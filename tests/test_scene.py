@@ -1,0 +1,86 @@
+import json
+
+import numpy as np
+
+from tinyrenderer_tpu.scene import components as comp
+from tinyrenderer_tpu.scene import level_io
+from tinyrenderer_tpu.scene.camera import Camera
+from tinyrenderer_tpu.scene.world import DirtyKind, OmnipresentObject, World, WorldObject
+
+
+def test_load_reference_level(reference_level_path):
+    level = level_io.load_level(reference_level_path)
+    objs = list(level.world.world_objects())
+    omni = list(level.world.omnipresent_objects())
+    assert len(objs) == 51
+    assert len(omni) == 1
+    renderables = [o for _, o in objs if o.get_renderable() is not None]
+    lights = [o for _, o in objs if o.get_light() is not None]
+    assert len(renderables) == 50
+    assert len(lights) == 1
+    assert omni[0][1].get_directional_light() is not None
+    # load populates the dirty list through the normal world API
+    added = [d for d in level.world.dirty_objects if d.kind == DirtyKind.Added]
+    assert len(added) == 52
+    # camera fields survive
+    assert level.camera.zfar == 300.0
+    assert abs(level.camera.aspect - 1.5) < 1e-6
+
+
+def test_level_json_roundtrip_is_stable(reference_level_path, tmp_path):
+    level = level_io.load_level(reference_level_path)
+    out = tmp_path / "roundtrip.lvl"
+    level_io.save_level(str(out), level.world, level.camera)
+    original = json.load(open(reference_level_path))
+    saved = json.load(open(out))
+    # Camera: reference serializes runtime speed fields too? No — skip_serializing.
+    assert saved["camera"] == original["camera"]
+    assert saved["omnipresent_objects"] == original["omnipresent_objects"]
+    assert len(saved["world_objects"]) == len(original["world_objects"])
+    for a, b in zip(saved["world_objects"], original["world_objects"]):
+        assert a == b
+
+
+def test_transient_components_filtered_on_save(tmp_path):
+    world = World()
+    obj = WorldObject(components=[comp.RenderableComponent(is_transient=True)])
+    world.add_world_object(obj)
+    world.add_world_object(WorldObject(components=[comp.RenderableComponent()]))
+    cam = Camera.new_default(800, 600)
+    path = tmp_path / "t.lvl"
+    level_io.save_level(str(path), world, cam)
+    data = json.load(open(path))
+    assert len(data["world_objects"]) == 1
+
+
+def test_point_light_gets_debug_billboard():
+    world = World()
+    oid = world.add_world_object(WorldObject(components=[comp.LightObjectComponent()]))
+    obj = world.get_world_object(oid)
+    r = obj.get_renderable()
+    assert r is not None and r.is_transient
+    assert r.rendering_options.pass_ == comp.RenderingPass.ForceForwardAfterDeferred
+
+
+def test_world_dirty_semantics():
+    world = World()
+    oid = world.add_world_object(WorldObject(components=[comp.RenderableComponent()]))
+    assert oid == 1  # ids start at 1; 0 = no object
+    world.on_end_frame()
+    assert world.dirty_objects == []
+    world.get_world_object_mut(oid).transform.position[0] = 5.0
+    assert world.dirty_objects[0].kind == DirtyKind.Modified
+    world.remove_world_object(oid)
+    assert world.dirty_objects[-1].kind == DirtyKind.Removed
+    assert world.get_world_object(oid) is None
+
+
+def test_camera_matrices_shapes_and_forward():
+    cam = Camera.new_default(1200, 800)
+    raw = cam.to_raw()
+    assert raw.shape == (84,)
+    f = cam.get_forward()
+    # default camera looks from (-12, 10, 0) towards origin
+    expected = -np.array([-12.0, 10.0, 0.0])
+    expected = expected / np.linalg.norm(expected)
+    np.testing.assert_allclose(f, expected, atol=1e-3)

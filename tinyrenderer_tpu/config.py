@@ -1,0 +1,121 @@
+"""Engine-wide constants and capacity configuration.
+
+The reference engine hardcodes its capacities (MAX_LIGHTS at
+src/renderer.rs:9, SHADOW_SIZE at src/light_render_data.rs:12, cubemap
+resolutions at src/equirectangular_to_cubemap_renderer.rs:14 and
+src/diffuse_irradiance_renderer.rs:16). We keep the same defaults but make
+them a dataclass: capacities become the static shape envelope of the jitted
+frame function, and growing past a capacity triggers a retrace (mirroring the
+reference's grow-by-reallocating behavior at src/light_render_data.rs:145).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+
+MAX_LIGHTS = 10            # src/renderer.rs:9
+SHADOW_SIZE = 1024         # src/light_render_data.rs:12
+ENV_CUBEMAP_SIZE = 1024    # src/equirectangular_to_cubemap_renderer.rs:14
+IRRADIANCE_MAP_SIZE = 64   # src/diffuse_irradiance_renderer.rs:16
+
+POINT_LIGHT_FAR_PLANE = 100.0        # src/lights.rs:16
+DIRECTIONAL_LIGHT_FAR_PLANE = 250.0  # src/lights.rs:17
+LIGHT_NEAR_PLANE = 0.1               # src/lights.rs:18
+DIRECTIONAL_LIGHT_PROJ_SIZE = 100.0  # src/lights.rs:20
+
+POINT_LIGHT_TYPE_RAW = 1
+DIRECTIONAL_LIGHT_TYPE_RAW = 2
+
+# Default texture resolution the material pool is resampled to. The
+# reference keeps native texture sizes; a TPU texture pool needs one static
+# shape, so every material texture is rescaled into this pyramid.
+MATERIAL_TEXTURE_SIZE = 256
+MATERIAL_MIP_LEVELS = 8  # 256 ... 2 (level i has size 256 >> i; >=2)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _next_bucket(x: int, minimum: int) -> int:
+    """Round up to the next power-of-two-ish bucket to bound retraces."""
+    b = max(minimum, 1)
+    while b < x:
+        b *= 2
+    return b
+
+
+@dataclass(frozen=True)
+class RenderConfig:
+    """Static (hashable) configuration of one compiled frame function."""
+
+    width: int = 1920
+    height: int = 1080
+
+    # Scene capacities (padded array sizes).
+    max_instances: int = 64
+    max_vertices: int = 4096      # flattened per-instance vertices
+    max_triangles: int = 2048     # flattened per-instance triangles
+    max_materials: int = 64
+    num_point_lights: int = 1     # static active counts (retrace on change,
+    num_directional_lights: int = 1  # mirroring light-buffer rebuilds)
+
+    # Rasterizer tiling. Tile sizes are aligned to the VPU (8, 128) lanes.
+    tile_h: int = 64
+    tile_w: int = 128
+    bin_capacity: int = 256       # max triangles binned per tile
+
+    # Shadows.
+    shadow_size: int = SHADOW_SIZE
+    shadow_tile: int = 128
+    shadow_bin_capacity: int = 192
+
+    # Environment.
+    env_size: int = ENV_CUBEMAP_SIZE
+    irradiance_size: int = IRRADIANCE_MAP_SIZE
+
+    # Texture pool.
+    texture_size: int = MATERIAL_TEXTURE_SIZE
+    mip_levels: int = MATERIAL_MIP_LEVELS
+    max_textures: int = 16        # unique texture images across materials
+
+    # Feature toggles (each toggle value is a separate compiled program).
+    enable_shadows: bool = True
+    enable_ibl: bool = True
+    enable_ssr: bool = True
+    use_pallas: bool = True       # Pallas raster kernel vs pure-jnp fallback
+
+    @property
+    def tiles_y(self) -> int:
+        return _round_up(self.height, self.tile_h) // self.tile_h
+
+    @property
+    def tiles_x(self) -> int:
+        return _round_up(self.width, self.tile_w) // self.tile_w
+
+    @property
+    def padded_height(self) -> int:
+        return self.tiles_y * self.tile_h
+
+    @property
+    def padded_width(self) -> int:
+        return self.tiles_x * self.tile_w
+
+    @property
+    def num_shadow_views(self) -> int:
+        return 6 * self.num_point_lights + self.num_directional_lights
+
+    def grown_for(self, n_instances: int, n_vertices: int, n_triangles: int,
+                  n_materials: int, n_point: int, n_directional: int,
+                  n_textures: int) -> "RenderConfig":
+        """Return a config whose capacities fit the given scene sizes."""
+        return replace(
+            self,
+            max_instances=_next_bucket(n_instances, self.max_instances),
+            max_vertices=_next_bucket(n_vertices, self.max_vertices),
+            max_triangles=_next_bucket(n_triangles, self.max_triangles),
+            max_materials=_next_bucket(n_materials, self.max_materials),
+            max_textures=_next_bucket(n_textures, self.max_textures),
+            num_point_lights=max(n_point, 0),
+            num_directional_lights=max(n_directional, 0),
+        )
