@@ -14,9 +14,12 @@ def test_load_reference_level(reference_level_path):
     omni = list(level.world.omnipresent_objects())
     assert len(objs) == 51
     assert len(omni) == 1
-    renderables = [o for _, o in objs if o.get_renderable() is not None]
+    renderables = [o for _, o in objs
+                   if o.get_renderable() is not None and o.get_light() is None]
     lights = [o for _, o in objs if o.get_light() is not None]
     assert len(renderables) == 50
+    # the point light auto-gains a transient billboard renderable
+    assert lights[0].get_renderable() is not None and lights[0].get_renderable().is_transient
     assert len(lights) == 1
     assert omni[0][1].get_directional_light() is not None
     # load populates the dirty list through the normal world API
