@@ -1,12 +1,20 @@
 """Test configuration: run everything on the CPU backend with 8 virtual
-devices so sharding tests work without TPU hardware."""
+devices so sharding tests work without TPU hardware.
+
+Note: the environment pre-imports jax with JAX_PLATFORMS=axon (TPU tunnel),
+so plain env vars are too late here — we must override via jax.config before
+the backend is first used.
+"""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

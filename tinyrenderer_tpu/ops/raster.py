@@ -1,0 +1,342 @@
+"""Tiled visibility-buffer triangle rasterizer.
+
+TPU-native replacement for the wgpu raster pipelines (GBuffer geometry
+src/gbuffer_geometry_renderer.rs, shadow src/pipelines/shadow_rp.rs, pick
+src/object_picker.rs, forward src/forward_renderer.rs). There is no
+hardware rasterizer on a TPU, so rasterization is reformulated as dense
+vector math:
+
+1. ``triangle_setup`` (jnp): transform the vertex pool by instance model
+   matrices + the view-projection, then build one *setup row* per triangle:
+   area-normalized screen-space edge planes (barycentric planes), the
+   affine NDC-depth plane, the triangle id and per-corner 1/w. Everything
+   is static-shape; invalid triangles (masked, near-plane, backfacing,
+   degenerate) get zeroed rows.
+2. ``bin_triangles`` (jnp): bucket triangles into screen tiles by bbox
+   overlap (a sort-based top-K per tile, capacity-padded).
+3. ``rasterize``: a Pallas kernel, grid over (tile_y, tile_x). Each tile
+   loops over its binned triangles in chunks, evaluates the barycentric
+   planes over the (tile_h, tile_w) pixel block on the VPU, and keeps a
+   running reverse-Z max depth + winning triangle id. Output is a
+   visibility buffer: per-pixel triangle id (int32, -1 = none) + depth.
+
+Downstream passes (resolve.py) reconstruct attributes from the winning
+triangle's setup row, which is how the GBuffer, the pick-id map
+(src/shaders/pick.wgsl exact-depth trick made exact by construction) and
+shadow maps all fall out of the same kernel.
+
+Depth convention: reverse-Z, depth in (0, 1], larger = closer, cleared to 0
+(matches CompareFunction::Greater + clear 0.0, gbuffer_geometry_renderer.rs:239-245).
+Winding: front faces are CCW in NDC (wgpu FrontFace::Ccw); in our y-down
+screen space that is a negative signed area.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+F32 = jnp.float32
+I32 = jnp.int32
+
+SETUP_COLS = 16
+# setup row layout
+_E0X, _E0Y, _E0C = 0, 1, 2
+_E1X, _E1Y, _E1C = 3, 4, 5
+_E2X, _E2Y, _E2C = 6, 7, 8
+_ZX, _ZY, _ZC = 9, 10, 11
+_IDF = 12
+_IW0, _IW1, _IW2 = 13, 14, 15
+
+W_EPS = 1e-6
+
+
+class TriangleSetup(NamedTuple):
+    """Per-triangle raster state (all arrays over the triangle capacity T)."""
+
+    rows: jax.Array       # (T, 16) f32 setup rows (zeroed when invalid)
+    valid: jax.Array      # (T,) bool
+    bbox: jax.Array       # (T, 4) f32: xmin, ymin, xmax, ymax (pixels)
+    screen: jax.Array     # (T, 3, 2) f32 screen-space corner positions
+    inv_w: jax.Array      # (T, 3) f32 per-corner 1/w
+    z_ndc: jax.Array      # (T, 3) f32 per-corner reverse-Z depth
+
+
+def transform_vertices(positions: jax.Array, vert_instance: jax.Array,
+                       inst_model: jax.Array, view_proj: jax.Array
+                       ) -> tuple[jax.Array, jax.Array]:
+    """Object-space positions -> (world (V, 3), clip (V, 4)).
+
+    Per-vertex model matrices are gathered by instance slot; the combined
+    transform runs as one fused einsum (MXU-friendly batched mat4 products).
+    Replaces the instance-attribute vertex shaders (gbuffer_geometry.wgsl:50-85).
+    """
+    m = inst_model[vert_instance]                       # (V, 4, 4)
+    world = jnp.einsum("vij,vj->vi", m[:, :3, :],
+                       jnp.concatenate([positions, jnp.ones_like(positions[:, :1])], axis=1),
+                       preferred_element_type=F32)      # (V, 3)
+    wh = jnp.concatenate([world, jnp.ones_like(world[:, :1])], axis=1)
+    clip = wh @ view_proj.T                             # (V, 4)
+    return world, clip
+
+
+def triangle_setup(clip: jax.Array, tri_vidx: jax.Array, tri_mask: jax.Array,
+                   width: int, height: int, cull: str = "back") -> TriangleSetup:
+    """Build per-triangle raster setup rows from clip-space vertex positions.
+
+    cull: 'back' keeps CCW(NDC) front faces (main passes,
+    gbuffer_geometry_renderer.rs:231-237), 'front' keeps back faces (shadow
+    passes — the reference's x-flip turns its back-culling into effective
+    front-culling, src/pipelines/shadow_rp.rs:81-86), 'none' keeps both.
+    """
+    c = clip[tri_vidx]                     # (T, 3, 4)
+    w = c[..., 3]                          # (T, 3)
+    w_ok = jnp.all(w > W_EPS, axis=1)
+
+    inv_w = 1.0 / jnp.where(jnp.abs(w) > W_EPS, w, 1.0)
+    ndc = c[..., :3] * inv_w[..., None]    # (T, 3, 3)
+    sx = (ndc[..., 0] * 0.5 + 0.5) * width
+    sy = (0.5 - ndc[..., 1] * 0.5) * height   # y flipped: NDC +y is up
+    z = ndc[..., 2]                        # reverse-Z depth
+
+    x0, x1, x2 = sx[:, 0], sx[:, 1], sx[:, 2]
+    y0, y1, y2 = sy[:, 0], sy[:, 1], sy[:, 2]
+    area2 = (x1 - x0) * (y2 - y0) - (x2 - x0) * (y1 - y0)
+
+    if cull == "back":
+        face_ok = area2 < 0.0
+    elif cull == "front":
+        face_ok = area2 > 0.0
+    else:
+        face_ok = jnp.abs(area2) > 0.0
+    valid = tri_mask & w_ok & face_ok & (jnp.abs(area2) > 1e-12)
+
+    inv_area = 1.0 / jnp.where(jnp.abs(area2) > 1e-12, area2, 1.0)
+    # Edge planes (opposite each corner), normalized so E_i == barycentric
+    # lambda_i inside the triangle regardless of winding.
+    e0x, e0y = (y1 - y2) * inv_area, (x2 - x1) * inv_area
+    e0c = (x1 * y2 - x2 * y1) * inv_area
+    e1x, e1y = (y2 - y0) * inv_area, (x0 - x2) * inv_area
+    e1c = (x2 * y0 - x0 * y2) * inv_area
+    e2x, e2y = (y0 - y1) * inv_area, (x1 - x0) * inv_area
+    e2c = (x0 * y1 - x1 * y0) * inv_area
+    # NDC depth is affine in screen space: z(x, y) = sum_i lambda_i * z_i.
+    zx = e0x * z[:, 0] + e1x * z[:, 1] + e2x * z[:, 2]
+    zy = e0y * z[:, 0] + e1y * z[:, 1] + e2y * z[:, 2]
+    zc = e0c * z[:, 0] + e1c * z[:, 1] + e2c * z[:, 2]
+
+    idf = (jnp.arange(tri_vidx.shape[0], dtype=I32) + 1).astype(F32)
+    rows = jnp.stack([e0x, e0y, e0c, e1x, e1y, e1c, e2x, e2y, e2c,
+                      zx, zy, zc, idf, inv_w[:, 0], inv_w[:, 1], inv_w[:, 2]],
+                     axis=1)
+    rows = jnp.where(valid[:, None], rows, 0.0)
+
+    bbox = jnp.stack([
+        jnp.minimum(jnp.minimum(x0, x1), x2),
+        jnp.minimum(jnp.minimum(y0, y1), y2),
+        jnp.maximum(jnp.maximum(x0, x1), x2),
+        jnp.maximum(jnp.maximum(y0, y1), y2),
+    ], axis=1)
+
+    screen = jnp.stack([sx, sy], axis=2)
+    return TriangleSetup(rows=rows, valid=valid, bbox=bbox, screen=screen,
+                         inv_w=inv_w, z_ndc=z)
+
+
+class Bins(NamedTuple):
+    ids: jax.Array       # (tiles_y, tiles_x, K) i32 triangle ids, -1 padded
+    rows: jax.Array      # (tiles_y, tiles_x, K, 16) f32 gathered setup rows
+    counts: jax.Array    # (tiles_y, tiles_x) i32
+    overflow: jax.Array  # () i32: max triangles wanted in any tile (capacity monitor)
+
+
+def bin_triangles(setup: TriangleSetup, width: int, height: int,
+                  tile_h: int, tile_w: int, capacity: int) -> Bins:
+    """Bucket triangles into tiles by bbox overlap (capacity-padded top-K)."""
+    tiles_y = -(-height // tile_h)
+    tiles_x = -(-width // tile_w)
+    T = setup.rows.shape[0]
+
+    txmin = jnp.clip(jnp.floor(setup.bbox[:, 0] / tile_w), 0, tiles_x - 1).astype(I32)
+    tymin = jnp.clip(jnp.floor(setup.bbox[:, 1] / tile_h), 0, tiles_y - 1).astype(I32)
+    txmax = jnp.clip(jnp.floor(setup.bbox[:, 2] / tile_w), 0, tiles_x - 1).astype(I32)
+    tymax = jnp.clip(jnp.floor(setup.bbox[:, 3] / tile_h), 0, tiles_y - 1).astype(I32)
+    onscreen = (setup.bbox[:, 2] >= 0) & (setup.bbox[:, 0] < width) & \
+               (setup.bbox[:, 3] >= 0) & (setup.bbox[:, 1] < height)
+    ok = setup.valid & onscreen
+
+    ty = jnp.arange(tiles_y, dtype=I32)
+    tx = jnp.arange(tiles_x, dtype=I32)
+    hit = (ok[None, None, :]
+           & (ty[:, None, None] >= tymin[None, None, :])
+           & (ty[:, None, None] <= tymax[None, None, :])
+           & (tx[None, :, None] >= txmin[None, None, :])
+           & (tx[None, :, None] <= txmax[None, None, :]))  # (ty, tx, T)
+
+    counts_full = jnp.sum(hit, axis=2, dtype=I32)
+    overflow = jnp.max(counts_full)
+
+    order = jnp.where(hit, jnp.arange(T, dtype=I32)[None, None, :], T)
+    if T < capacity:  # pad so every tile always has `capacity` slots
+        order = jnp.pad(order, ((0, 0), (0, 0), (0, capacity - T)),
+                        constant_values=T)
+    topk = jnp.sort(order, axis=2)[:, :, :capacity]           # (ty, tx, K)
+    ids = jnp.where(topk < T, topk, -1)
+    rows = setup.rows[jnp.clip(ids, 0, T - 1)]
+    rows = jnp.where((ids >= 0)[..., None], rows, 0.0)
+    counts = jnp.minimum(counts_full, capacity)
+    return Bins(ids=ids, rows=rows, counts=counts, overflow=overflow)
+
+
+# ---------------------------------------------------------------------------
+# Pallas tile kernel
+# ---------------------------------------------------------------------------
+
+def _raster_kernel(counts_ref, rows_ref, id_out_ref, z_out_ref,
+                   *, tile_h: int, tile_w: int, chunk: int):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    count = counts_ref[i, j]
+
+    ox = (j * tile_w).astype(F32) + 0.5
+    oy = (i * tile_h).astype(F32) + 0.5
+    xs = jax.lax.broadcasted_iota(I32, (tile_h, tile_w), 1).astype(F32) + ox
+    ys = jax.lax.broadcasted_iota(I32, (tile_h, tile_w), 0).astype(F32) + oy
+
+    nchunks = pl.cdiv(count, chunk)
+
+    def body(c, carry):
+        best_z, best_id = carry
+        s = rows_ref[0, 0, pl.ds(c * chunk, chunk), :]  # (chunk, 16)
+
+        def plane(ax, ay, ac):
+            return (s[:, ax][:, None, None] * xs[None]
+                    + s[:, ay][:, None, None] * ys[None]
+                    + s[:, ac][:, None, None])
+
+        l0 = plane(_E0X, _E0Y, _E0C)
+        l1 = plane(_E1X, _E1Y, _E1C)
+        l2 = plane(_E2X, _E2Y, _E2C)
+        z = plane(_ZX, _ZY, _ZC)
+        idf = s[:, _IDF][:, None, None]
+
+        covered = (l0 >= 0.0) & (l1 >= 0.0) & (l2 >= 0.0) & (idf > 0.0)
+        cand = jnp.where(covered, z, -1.0)
+        chunk_z = jnp.max(cand, axis=0)
+        chunk_id = jnp.max(jnp.where(cand >= chunk_z[None], idf, 0.0), axis=0)
+        upd = chunk_z > best_z
+        return (jnp.where(upd, chunk_z, best_z),
+                jnp.where(upd, chunk_id, best_id))
+
+    init = (jnp.zeros((tile_h, tile_w), F32), jnp.zeros((tile_h, tile_w), F32))
+    best_z, best_id = jax.lax.fori_loop(0, nchunks, body, init)
+
+    id_out_ref[0, 0] = best_id.astype(I32) - 1
+    z_out_ref[0, 0] = best_z
+
+
+def rasterize_binned(bins: Bins, tile_h: int, tile_w: int,
+                     chunk: int = 8, use_pallas: bool = True
+                     ) -> tuple[jax.Array, jax.Array]:
+    """Visibility raster over pre-binned tiles.
+
+    Returns (tri_id (H', W') int32 with -1 = background, depth (H', W') f32)
+    where H' = tiles_y*tile_h, W' = tiles_x*tile_w.
+    """
+    tiles_y, tiles_x, K, _ = bins.rows.shape
+    if not use_pallas:
+        return _rasterize_binned_jnp(bins, tile_h, tile_w)
+
+    chunk = min(chunk, K)
+    grid = (tiles_y, tiles_x)
+    kernel = functools.partial(_raster_kernel, tile_h=tile_h, tile_w=tile_w,
+                               chunk=chunk)
+    flops_per_tile = K * tile_h * tile_w * 16
+    interpret = jax.default_backend() != "tpu"
+    id_tiles, z_tiles = pl.pallas_call(
+        kernel,
+        grid=grid,
+        interpret=interpret,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # counts: full (ty, tx)
+            pl.BlockSpec((1, 1, K, SETUP_COLS), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, tile_h, tile_w), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tile_h, tile_w), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((tiles_y, tiles_x, tile_h, tile_w), I32),
+            jax.ShapeDtypeStruct((tiles_y, tiles_x, tile_h, tile_w), F32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=int(flops_per_tile) * tiles_y * tiles_x,
+            bytes_accessed=bins.rows.size * 4 + tiles_y * tiles_x * tile_h * tile_w * 8,
+            transcendentals=0),
+    )(bins.counts, bins.rows)
+    return _untile(id_tiles), _untile(z_tiles)
+
+
+def _untile(tiles: jax.Array) -> jax.Array:
+    ty, tx, th, tw = tiles.shape
+    return tiles.transpose(0, 2, 1, 3).reshape(ty * th, tx * tw)
+
+
+def _rasterize_binned_jnp(bins: Bins, tile_h: int, tile_w: int
+                          ) -> tuple[jax.Array, jax.Array]:
+    """Pure-jnp reference implementation of the tile raster (used for tests
+    and as a CPU fallback; numerically identical to the kernel)."""
+    tiles_y, tiles_x, K, _ = bins.rows.shape
+
+    def tile_fn(rows, ti, tj):
+        ox = (tj * tile_w).astype(F32) + 0.5
+        oy = (ti * tile_h).astype(F32) + 0.5
+        xs = jnp.arange(tile_w, dtype=F32)[None, :] + ox
+        ys = jnp.arange(tile_h, dtype=F32)[:, None] + oy
+
+        def plane(ax, ay, ac):
+            return (rows[:, ax][:, None, None] * xs[None]
+                    + rows[:, ay][:, None, None] * ys[None]
+                    + rows[:, ac][:, None, None])
+
+        l0 = plane(_E0X, _E0Y, _E0C)
+        l1 = plane(_E1X, _E1Y, _E1C)
+        l2 = plane(_E2X, _E2Y, _E2C)
+        z = plane(_ZX, _ZY, _ZC)
+        idf = rows[:, _IDF][:, None, None]
+        covered = (l0 >= 0.0) & (l1 >= 0.0) & (l2 >= 0.0) & (idf > 0.0)
+        cand = jnp.where(covered, z, -1.0)
+        best_z = jnp.max(cand, axis=0)
+        best_id = jnp.max(jnp.where(cand >= best_z[None], idf, 0.0), axis=0)
+        # pixels with no coverage (best_z <= 0) are background
+        best_id = jnp.where(best_z > 0.0, best_id, 0.0)
+        best_z = jnp.maximum(best_z, 0.0)
+        return best_id.astype(I32) - 1, best_z
+
+    ti = jnp.arange(tiles_y, dtype=I32)
+    tj = jnp.arange(tiles_x, dtype=I32)
+    fn = jax.vmap(jax.vmap(tile_fn, in_axes=(0, None, 0)), in_axes=(0, 0, None))
+    id_tiles, z_tiles = fn(bins.rows, ti, tj)
+    return _untile(id_tiles), _untile(z_tiles)
+
+
+def rasterize(clip: jax.Array, tri_vidx: jax.Array, tri_mask: jax.Array,
+              width: int, height: int, tile_h: int, tile_w: int,
+              bin_capacity: int, cull: str = "back", use_pallas: bool = True
+              ) -> tuple[jax.Array, jax.Array, TriangleSetup, jax.Array]:
+    """Full raster: setup -> bin -> tile kernel.
+
+    Returns (tri_id, depth, setup, bin_overflow).
+    """
+    setup = triangle_setup(clip, tri_vidx, tri_mask, width, height, cull)
+    bins = bin_triangles(setup, width, height, tile_h, tile_w, bin_capacity)
+    tri_id, depth = rasterize_binned(bins, tile_h, tile_w, use_pallas=use_pallas)
+    return tri_id, depth, setup, bins.overflow
