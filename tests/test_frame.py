@@ -1,0 +1,93 @@
+"""End-to-end frame tests on the CPU backend at tiny resolutions."""
+
+import numpy as np
+import pytest
+
+from tinyrenderer_tpu.config import RenderConfig
+from tinyrenderer_tpu.render.engine import Engine, RenderingAction
+
+TINY = RenderConfig(
+    width=160, height=96, tile_h=16, tile_w=128, bin_capacity=128,
+    shadow_size=128, shadow_tile=128, shadow_bin_capacity=128,
+    env_size=32, irradiance_size=8, texture_size=64, mip_levels=4,
+    max_vertices=4096, max_triangles=2048, max_instances=64,
+    use_pallas=False,
+)
+
+
+@pytest.fixture(scope="module")
+def engine(reference_level_path):
+    eng = Engine(cfg=TINY, level_path=reference_level_path)
+    return eng
+
+
+def test_full_frame_renders(engine):
+    out = engine.run_frame(0.016)
+    sdr = np.asarray(out.sdr)
+    assert sdr.shape == (96, 160, 3)
+    assert sdr.dtype == np.uint8
+    # scene covers part of the view; some geometry and some sky
+    pick = np.asarray(out.pick_id)
+    assert (pick > 0).any(), "no geometry picked"
+    assert int(out.bin_overflow) <= TINY.bin_capacity
+    # image is not a constant field
+    assert sdr.std() > 1.0
+    # depth: geometry pixels have reverse-Z depth > 0
+    depth = np.asarray(out.depth)
+    assert (depth[pick > 0] > 0).all()
+
+
+def test_pick_ids_match_world_objects(engine):
+    out = engine.run_frame(0.0)
+    pick = np.asarray(out.pick_id)
+    ids = set(np.unique(pick).tolist()) - {0}
+    assert ids, "nothing visible"
+    for oid in ids:
+        assert engine.world.get_world_object(int(oid)) is not None
+
+
+def test_frame_deterministic(engine):
+    a = np.asarray(engine.run_frame(0.0).sdr)
+    b = np.asarray(engine.run_frame(0.0).sdr)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_object_edit_changes_image(engine):
+    out0 = np.asarray(engine.run_frame(0.0).sdr).copy()
+    pick = np.asarray(engine.last_output.pick_id)
+    visible = [int(i) for i in np.unique(pick) if i > 0]
+    oid = visible[0]
+    obj = engine.world.get_world_object_mut(oid)
+    obj.transform.position[1] += 100.0  # move far away
+    out1 = np.asarray(engine.run_frame(0.0).sdr)
+    assert (out0 != out1).any()
+
+
+def test_remove_object(engine):
+    pick = np.asarray(engine.run_frame(0.0).pick_id)
+    visible = [int(i) for i in np.unique(pick) if i > 0]
+    oid = visible[-1]
+    engine.world.remove_world_object(oid)
+    pick2 = np.asarray(engine.run_frame(0.0).pick_id)
+    assert oid not in np.unique(pick2)
+
+
+def test_tone_mapping_modes_differ(engine):
+    from tinyrenderer_tpu.render import frame as framelib
+    engine.set_param(framelib.PARAM_TONE_TYPE, 0)
+    a = np.asarray(engine.run_frame(0.0).sdr).astype(int)
+    engine.set_param(framelib.PARAM_TONE_TYPE, 2)
+    b = np.asarray(engine.run_frame(0.0).sdr).astype(int)
+    assert np.abs(a - b).max() > 0
+    engine.set_param(framelib.PARAM_TONE_TYPE, 1)
+
+
+def test_ibl_dump_roundtrip(engine, tmp_path):
+    p = str(tmp_path / "ibl.data")
+    engine.render()
+    engine.write_ibl_to_file(p)
+    raw = np.fromfile(p, np.float16)
+    s = engine.cfg.irradiance_size
+    assert raw.size == 6 * s * s * 4
+    assert np.isfinite(raw.astype(np.float32)).all()
+    assert raw.astype(np.float32).max() > 0

@@ -1,0 +1,132 @@
+"""Environment pipeline: equirect -> cubemap, diffuse irradiance bake,
+skybox.
+
+Replaces src/equirectangular_to_cubemap_renderer.rs +
+equirectangular_to_cubemap.wgsl (direction -> spherical uv with the
+0.1591/0.3183 constants and pow-2.2 decode),
+src/diffuse_irradiance_renderer.rs + diffuse_irradiance_bake.wgsl (hemisphere
+Riemann sum, dPhi=0.125 / dTheta=0.025 ~= 3213 samples per texel), and
+src/shaders/skybox.wgsl (fullscreen unproject + cube sample).
+
+On TPU these are one-shot jitted precomputes over cubemap texel grids: no
+cube rasterization needed — texel directions are generated analytically.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import sampling
+
+F32 = jnp.float32
+
+
+def sample_equirect(equirect: jax.Array, d: jax.Array) -> jax.Array:
+    """Spherical mapping of equirectangular_to_cubemap.wgsl:48-56:
+    uv = (atan2(z, x), asin(y)) * (0.1591, 0.3183) + 0.5, v flipped."""
+    dn = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-12)
+    u = jnp.arctan2(dn[..., 2], dn[..., 0]) * 0.1591 + 0.5
+    v = 1.0 - (jnp.arcsin(jnp.clip(dn[..., 1], -1.0, 1.0)) * 0.3183 + 0.5)
+
+    h, w = equirect.shape[:2]
+    fu = u * w - 0.5
+    fv = jnp.clip(v * h - 0.5, 0.0, h - 1.0)
+    x0 = jnp.floor(fu)
+    y0 = jnp.floor(fv)
+    fx = (fu - x0)[..., None]
+    fy = (fv - y0)[..., None]
+    x0i = jnp.mod(x0.astype(jnp.int32), w)
+    x1i = jnp.mod(x0i + 1, w)
+    y0i = y0.astype(jnp.int32)
+    y1i = jnp.minimum(y0i + 1, h - 1)
+    flat = equirect.reshape(h * w, equirect.shape[-1])
+
+    def tex(xi, yi):
+        return flat[yi * w + xi]
+
+    return ((tex(x0i, y0i) * (1 - fx) + tex(x1i, y0i) * fx) * (1 - fy)
+            + (tex(x0i, y1i) * (1 - fx) + tex(x1i, y1i) * fx) * fy)
+
+
+def equirect_to_cubemap(equirect: jax.Array, size: int,
+                        gamma_decode: bool = True) -> jax.Array:
+    """Bake a (6, S, S, 3) environment cubemap from an equirect HDR image.
+
+    gamma_decode applies pow(c, 2.2) like the reference's bake shader
+    (equirectangular_to_cubemap.wgsl:37-39).
+    """
+    dirs = sampling.face_texel_dirs(size)          # (6, S, S, 3)
+    c = sample_equirect(equirect, dirs)
+    if gamma_decode:
+        c = jnp.power(jnp.maximum(c, 0.0), 2.2)
+    return c.astype(F32)
+
+
+def irradiance_sample_dirs() -> tuple[np.ndarray, np.ndarray, int]:
+    """Tangent-space hemisphere sample dirs + cos*sin weights, exactly the
+    loop of diffuse_irradiance_bake.wgsl:59-73 (phi += 0.125 while < 2pi,
+    theta += 0.025 while < pi/2)."""
+    phis = np.arange(0.0, 2.0 * math.pi, 0.125)
+    thetas = np.arange(0.0, 0.5 * math.pi, 0.025)
+    ph, th = np.meshgrid(phis, thetas, indexing="ij")
+    ph, th = ph.ravel(), th.ravel()
+    dirs = np.stack([np.sin(th) * np.cos(ph),
+                     np.sin(th) * np.sin(ph),
+                     np.cos(th)], axis=1).astype(np.float32)
+    weights = (np.cos(th) * np.sin(th)).astype(np.float32)
+    return dirs, weights, dirs.shape[0]
+
+
+def bake_irradiance(env_cube: jax.Array, size: int, chunk: int = 128) -> jax.Array:
+    """Diffuse irradiance convolution -> (6, S, S, 3).
+
+    irradiance = pi * sum(env(dir) * cos(theta) * sin(theta)) / N over the
+    hemisphere around each texel normal (diffuse_irradiance_bake.wgsl:49-77).
+    Runs as a lax.scan over sample-direction chunks to bound memory.
+    """
+    normals = sampling.face_texel_dirs(size)       # (6, S, S, 3)
+    n = normals.reshape(-1, 3)                     # (T, 3)
+    guessed_up = jnp.array([0.0, 1.0, 0.0], F32)
+    right = jnp.cross(jnp.broadcast_to(guessed_up, n.shape), n)
+    right = right / jnp.maximum(jnp.linalg.norm(right, axis=-1, keepdims=True), 1e-6)
+    up = jnp.cross(n, right)
+    up = up / jnp.maximum(jnp.linalg.norm(up, axis=-1, keepdims=True), 1e-6)
+
+    dirs_np, w_np, total = irradiance_sample_dirs()
+    pad = (-len(w_np)) % chunk
+    dirs_np = np.pad(dirs_np, ((0, pad), (0, 0)))
+    w_np = np.pad(w_np, (0, pad))
+    dirs = jnp.asarray(dirs_np.reshape(-1, chunk, 3))
+    weights = jnp.asarray(w_np.reshape(-1, chunk))
+
+    def step(acc, chunk_data):
+        d, w = chunk_data                          # (chunk, 3), (chunk,)
+        # world dir = x*right + y*up + z*normal, per texel per sample
+        world = (d[None, :, 0:1] * right[:, None, :]
+                 + d[None, :, 1:2] * up[:, None, :]
+                 + d[None, :, 2:3] * n[:, None, :])   # (T, chunk, 3)
+        c = sampling.sample_cubemap(env_cube, world)  # (T, chunk, 3)
+        return acc + jnp.sum(c * w[None, :, None], axis=1), None
+
+    acc0 = jnp.zeros((n.shape[0], 3), F32)
+    acc, _ = jax.lax.scan(step, acc0, (dirs, weights))
+    irr = math.pi * acc / float(total)
+    return irr.reshape(6, size, size, 3)
+
+
+def skybox_colors(env_cube: jax.Array, proj_inv: jax.Array,
+                  view_rot_inv: jax.Array, width: int, height: int) -> jax.Array:
+    """Per-pixel skybox color (skybox.wgsl:23-53): unproject the pixel NDC,
+    rotate into world by the inverse view rotation, sample the env cube."""
+    x = ((jnp.arange(width, dtype=F32) + 0.5) / width) * 2.0 - 1.0
+    y = -(((jnp.arange(height, dtype=F32) + 0.5) / height) * 2.0 - 1.0)
+    xg, yg = jnp.meshgrid(x, y, indexing="xy")
+    ndc = jnp.stack([xg, yg, jnp.zeros_like(xg), jnp.ones_like(xg)], axis=-1)
+    un = jnp.einsum("hwj,ij->hwi", ndc, proj_inv, preferred_element_type=F32)
+    d = jnp.einsum("hwj,ij->hwi", un[..., :3], view_rot_inv,
+                   preferred_element_type=F32)
+    return sampling.sample_cubemap(env_cube, d)

@@ -1,0 +1,142 @@
+"""Visibility-buffer resolve: winning triangle -> interpolated attributes ->
+GBuffer planes.
+
+TPU-native replacement for the GBuffer fragment shaders
+(src/shaders/gbuffer_geometry.wgsl:87-136 and
+gbuffer_geometry_flat_parameter.wgsl): instead of interpolating varyings in
+hardware, the resolve pass re-evaluates the winning triangle's barycentric
+planes at each pixel, gathers the three vertex attribute rows, and
+interpolates perspective-correctly (lambda_i * w_i^-1 / sum).
+
+GBuffer layout (matches the 4 MRTs + depth of
+src/gbuffer_geometry_renderer.rs:26 plus the pick id of
+src/object_picker.rs, emitted here as a 5th by-construction-exact channel):
+world position, shaded normal, albedo, (roughness, metalness, ao),
+object_id, material params.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from . import sampling
+
+F32 = jnp.float32
+I32 = jnp.int32
+
+
+class GBuffer(NamedTuple):
+    position: jax.Array    # (H, W, 3) world position
+    normal: jax.Array      # (H, W, 3) normal-mapped shading normal
+    albedo: jax.Array      # (H, W, 3)
+    rough_metal_ao: jax.Array  # (H, W, 3)
+    depth: jax.Array       # (H, W) reverse-Z
+    object_id: jax.Array   # (H, W) i32, 0 = none (src/world.rs:47)
+    mask: jax.Array        # (H, W) bool: geometry present
+
+
+class VertexAttrs(NamedTuple):
+    """Per-vertex interpolation sources (world-space)."""
+
+    world: jax.Array       # (V, 3)
+    uv: jax.Array          # (V, 2)
+    normal: jax.Array      # (V, 3)
+    tangent: jax.Array     # (V, 3)
+    bitangent: jax.Array   # (V, 3)
+
+    def rows(self) -> jax.Array:
+        return jnp.concatenate([self.world, self.uv, self.normal,
+                                self.tangent, self.bitangent], axis=1)
+
+
+def interpolate(tri_id: jax.Array, setup_rows: jax.Array, tri_vidx: jax.Array,
+                attr_rows: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Perspective-correct attribute interpolation.
+
+    tri_id: (H, W) int32 (-1 none); setup_rows: (T, 16); tri_vidx: (T, 3);
+    attr_rows: (V, C). Returns ((H, W, C) attrs, (H, W) valid mask).
+    """
+    H, W = tri_id.shape
+    valid = tri_id >= 0
+    tid = jnp.maximum(tri_id, 0)
+    rows = setup_rows[tid]                       # (H, W, 16)
+
+    px = (jnp.arange(W, dtype=F32) + 0.5)[None, :]
+    py = (jnp.arange(H, dtype=F32) + 0.5)[:, None]
+    l0 = rows[..., 0] * px + rows[..., 1] * py + rows[..., 2]
+    l1 = rows[..., 3] * px + rows[..., 4] * py + rows[..., 5]
+    l2 = rows[..., 6] * px + rows[..., 7] * py + rows[..., 8]
+    lam = jnp.stack([l0, l1, l2], axis=-1)       # (H, W, 3)
+    iw = rows[..., 13:16]
+    lam_p = lam * iw
+    denom = jnp.sum(lam_p, axis=-1, keepdims=True)
+    bary = lam_p / jnp.where(jnp.abs(denom) > 1e-20, denom, 1.0)
+
+    vidx = tri_vidx[tid]                         # (H, W, 3)
+    attrs = attr_rows[vidx]                      # (H, W, 3, C)
+    out = jnp.einsum("hwk,hwkc->hwc", bary, attrs, preferred_element_type=F32)
+    return out, valid
+
+
+def resolve_gbuffer(tri_id: jax.Array, depth: jax.Array, setup_rows: jax.Array,
+                    tri_vidx: jax.Array, tri_instance: jax.Array,
+                    attrs: VertexAttrs,
+                    inst_object_id: jax.Array, inst_material: jax.Array,
+                    mat_tex_slots: jax.Array, mat_flat: jax.Array,
+                    pool: sampling.TexturePoolGPU) -> GBuffer:
+    """Full GBuffer resolve including material evaluation.
+
+    mat_tex_slots: (M, 4) int32 [albedo, normal, roughness, metalness].
+    mat_flat: (M, 6) f32 [albedo rgb, roughness, metalness, use_textures].
+    """
+    interp, valid = interpolate(tri_id, setup_rows, tri_vidx, attrs.rows())
+    world = interp[..., 0:3]
+    uv = interp[..., 3:5]
+    n_geom = _safe_normalize(interp[..., 5:8])
+    tangent = _safe_normalize(interp[..., 8:11])
+    bitangent = _safe_normalize(interp[..., 11:14])
+
+    tid = jnp.maximum(tri_id, 0)
+    inst = tri_instance[tid]
+    mat = inst_material[inst]                        # (H, W)
+    tex_slots = mat_tex_slots[mat]                   # (H, W, 4)
+    flat = mat_flat[mat]                             # (H, W, 6)
+    use_tex = flat[..., 5] > 0.5
+
+    level = sampling.mip_level_from_uv(uv, pool.level_sizes[0])
+    # textures: albedo, normal, roughness (R), metalness (R)
+    albedo_t = sampling.sample_pool_mip(pool, tex_slots[..., 0], uv, level)[..., :3]
+    normal_t = sampling.sample_pool_mip(pool, tex_slots[..., 1], uv, level)[..., :3]
+    rough_t = sampling.sample_pool_mip(pool, tex_slots[..., 2], uv, level)[..., 0]
+    metal_t = sampling.sample_pool_mip(pool, tex_slots[..., 3], uv, level)[..., 0]
+
+    # TBN normal mapping (gbuffer_geometry.wgsl:118-125)
+    nt = normal_t * 2.0 - 1.0
+    n_mapped = _safe_normalize(
+        nt[..., 0:1] * tangent + nt[..., 1:2] * bitangent + nt[..., 2:3] * n_geom)
+
+    albedo = jnp.where(use_tex[..., None], albedo_t, flat[..., 0:3])
+    normal = jnp.where(use_tex[..., None], n_mapped, n_geom)
+    rough = jnp.where(use_tex, rough_t, flat[..., 3])
+    metal = jnp.where(use_tex, metal_t, flat[..., 4])
+
+    object_id = jnp.where(valid, inst_object_id[inst], 0)
+    vm = valid[..., None]
+    return GBuffer(
+        position=jnp.where(vm, world, 0.0),
+        normal=jnp.where(vm, normal, 0.0),
+        albedo=jnp.where(vm, albedo, 0.0),
+        rough_metal_ao=jnp.where(
+            vm, jnp.stack([rough, metal, jnp.ones_like(rough)], axis=-1), 0.0),
+        depth=depth,
+        object_id=object_id,
+        mask=valid,
+    )
+
+
+def _safe_normalize(v: jax.Array) -> jax.Array:
+    n = jnp.linalg.norm(v, axis=-1, keepdims=True)
+    return v / jnp.maximum(n, 1e-12)

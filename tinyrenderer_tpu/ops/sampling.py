@@ -1,0 +1,206 @@
+"""Texture sampling primitives: pooled 2D mip sampling and cubemaps.
+
+The wgpu samplers (src/texture.rs) become explicit gathers. Material
+textures live in one static pool (see assets/textures.py): each mip level
+``l`` of texture ``t`` occupies a contiguous region of a flattened texel
+array, so any (texture, level, y, x) sample is a single dynamic gather —
+TPU-friendly and shape-static.
+
+Cubemaps are (6, S, S, C) arrays with the face order of
+scene/lights.py::CUBE_FACE_DIRS (+X, -X, +Y, -Y, +Z, -Z). ``cubemap_dir``
+and ``cubemap_face_uv`` are exact inverses (round-trip tested), so bake and
+lookup share one convention — this replaces the reference's x-flip dance
+(src/shaders/shadow.wgsl:39-48, equirectangular_to_cubemap.wgsl:22-33).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+F32 = jnp.float32
+I32 = jnp.int32
+
+
+class TexturePoolGPU(NamedTuple):
+    """Flattened mip pyramid pool on device."""
+
+    texels: jax.Array        # (num_tex * texels_per_tex, 4) f32
+    level_offsets: tuple     # static: offset of each level within one texture
+    level_sizes: tuple       # static: edge length per level
+    texels_per_tex: int      # static
+
+
+def pack_texture_pool(mips: list[np.ndarray]) -> TexturePoolGPU:
+    """Flatten host mip arrays [(N, s, s, 4) per level] into one pool."""
+    n = mips[0].shape[0]
+    level_sizes = tuple(int(m.shape[1]) for m in mips)
+    offsets, off = [], 0
+    for s in level_sizes:
+        offsets.append(off)
+        off += s * s
+    texels_per_tex = off
+    flat = np.zeros((n * texels_per_tex, 4), np.float32)
+    for l, m in enumerate(mips):
+        s = level_sizes[l]
+        region = m.reshape(n, s * s, 4)
+        for_all = np.arange(n) * texels_per_tex + offsets[l]
+        for t in range(n):
+            flat[for_all[t]:for_all[t] + s * s] = region[t]
+    return TexturePoolGPU(texels=jnp.asarray(flat),
+                          level_offsets=tuple(offsets),
+                          level_sizes=level_sizes,
+                          texels_per_tex=texels_per_tex)
+
+
+def _gather_texel(pool: TexturePoolGPU, tex: jax.Array, level: int,
+                  ix: jax.Array, iy: jax.Array) -> jax.Array:
+    s = pool.level_sizes[level]
+    ix = jnp.clip(ix, 0, s - 1)
+    iy = jnp.clip(iy, 0, s - 1)
+    idx = tex * pool.texels_per_tex + pool.level_offsets[level] + iy * s + ix
+    return pool.texels[idx]
+
+
+def sample_pool_bilinear_level(pool: TexturePoolGPU, tex: jax.Array,
+                               uv: jax.Array, level: int,
+                               wrap: bool = True) -> jax.Array:
+    """Bilinear sample at one mip level. uv: (..., 2); tex: (...) int32."""
+    s = pool.level_sizes[level]
+    u = uv[..., 0] * s - 0.5
+    v = uv[..., 1] * s - 0.5
+    if wrap:
+        u = jnp.mod(u, s)
+        v = jnp.mod(v, s)
+    x0 = jnp.floor(u)
+    y0 = jnp.floor(v)
+    fx = (u - x0)[..., None]
+    fy = (v - y0)[..., None]
+    x0i = x0.astype(I32)
+    y0i = y0.astype(I32)
+    if wrap:
+        x1i = jnp.mod(x0i + 1, s)
+        y1i = jnp.mod(y0i + 1, s)
+        x0i = jnp.mod(x0i, s)
+        y0i = jnp.mod(y0i, s)
+    else:
+        x1i, y1i = x0i + 1, y0i + 1
+    c00 = _gather_texel(pool, tex, level, x0i, y0i)
+    c10 = _gather_texel(pool, tex, level, x1i, y0i)
+    c01 = _gather_texel(pool, tex, level, x0i, y1i)
+    c11 = _gather_texel(pool, tex, level, x1i, y1i)
+    return ((c00 * (1 - fx) + c10 * fx) * (1 - fy)
+            + (c01 * (1 - fx) + c11 * fx) * fy)
+
+
+def sample_pool_mip(pool: TexturePoolGPU, tex: jax.Array, uv: jax.Array,
+                    level_f: jax.Array, wrap: bool = True) -> jax.Array:
+    """Nearest-mip bilinear sample with a per-pixel fractional mip level.
+
+    Computes the sample at every static level and selects — levels are few
+    (<= 8) and each per-level pass is a cheap gather, which XLA fuses; this
+    keeps shapes static.
+    """
+    nlev = len(pool.level_sizes)
+    level_i = jnp.clip(jnp.round(level_f), 0, nlev - 1).astype(I32)
+    out = jnp.zeros((*uv.shape[:-1], 4), F32)
+    for l in range(nlev):
+        sample = sample_pool_bilinear_level(pool, tex, uv, l, wrap)
+        out = jnp.where((level_i == l)[..., None], sample, out)
+    return out
+
+
+def mip_level_from_uv(uv: jax.Array, base_size: int) -> jax.Array:
+    """Per-pixel mip level via screen-space finite differences of the
+    resolved UV map (the quad-derivative analog). uv: (H, W, 2)."""
+    du = uv - jnp.roll(uv, 1, axis=1)
+    dv = uv - jnp.roll(uv, 1, axis=0)
+    # wrap-aware: texture repeat makes |d| near 1 at seams; take fractional dist
+    du = du - jnp.round(du)
+    dv = dv - jnp.round(dv)
+    rho = jnp.maximum(jnp.sum(du * du, axis=-1), jnp.sum(dv * dv, axis=-1))
+    texel_d2 = rho * (base_size * base_size)
+    return jnp.maximum(0.5 * jnp.log2(jnp.maximum(texel_d2, 1e-12)), 0.0)
+
+
+# ---------------------------------------------------------------------------
+# Cubemaps
+# ---------------------------------------------------------------------------
+
+# For each face (order matches CUBE_FACE_DIRS): dir = normalize(f + u*ru + v*rv)
+# with u, v in [-1, 1].
+_FACE_AXES = np.array([
+    # forward        right(u)        down(v)
+    [[1, 0, 0], [0, 0, -1], [0, -1, 0]],   # +X
+    [[-1, 0, 0], [0, 0, 1], [0, -1, 0]],   # -X
+    [[0, 1, 0], [1, 0, 0], [0, 0, 1]],     # +Y
+    [[0, -1, 0], [1, 0, 0], [0, 0, -1]],   # -Y
+    [[0, 0, 1], [1, 0, 0], [0, -1, 0]],    # +Z
+    [[0, 0, -1], [-1, 0, 0], [0, -1, 0]],  # -Z
+], np.float32)
+
+
+def cubemap_dir(face: int, u: jax.Array, v: jax.Array) -> jax.Array:
+    """(face, u, v in [-1,1]) -> unnormalized direction (..., 3)."""
+    f, ru, rv = _FACE_AXES[face]
+    d = (jnp.asarray(f) + u[..., None] * jnp.asarray(ru)
+         + v[..., None] * jnp.asarray(rv))
+    return d
+
+
+def cubemap_face_uv(d: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """direction (..., 3) -> (face int32, u, v in [-1,1])."""
+    x, y, z = d[..., 0], d[..., 1], d[..., 2]
+    ax, ay, az = jnp.abs(x), jnp.abs(y), jnp.abs(z)
+    # face major axis
+    is_x = (ax >= ay) & (ax >= az)
+    is_y = (ay > ax) & (ay >= az)
+    face = jnp.where(is_x, jnp.where(x >= 0, 0, 1),
+                     jnp.where(is_y, jnp.where(y >= 0, 2, 3),
+                               jnp.where(z >= 0, 4, 5)))
+    major = jnp.where(is_x, ax, jnp.where(is_y, ay, az))
+    major = jnp.maximum(major, 1e-20)
+    # invert dir = f + u*ru + v*rv scaled by major
+    u = jnp.where(is_x, jnp.where(x >= 0, -z, z),
+                  jnp.where(is_y, x, jnp.where(z >= 0, x, -x)))
+    v = jnp.where(is_x, -y, jnp.where(is_y, jnp.where(y >= 0, z, -z), -y))
+    return face.astype(I32), u / major, v / major
+
+
+def sample_cubemap(cube: jax.Array, d: jax.Array) -> jax.Array:
+    """Bilinear cubemap sample (no seam blending). cube: (6, S, S, C),
+    d: (..., 3) direction -> (..., C)."""
+    S = cube.shape[1]
+    face, u, v = cubemap_face_uv(d)
+    fu = jnp.clip((u * 0.5 + 0.5) * S - 0.5, 0.0, S - 1.0)
+    fv = jnp.clip((v * 0.5 + 0.5) * S - 0.5, 0.0, S - 1.0)
+    x0 = jnp.floor(fu)
+    y0 = jnp.floor(fv)
+    fx = (fu - x0)[..., None]
+    fy = (fv - y0)[..., None]
+    x0 = x0.astype(I32)
+    y0 = y0.astype(I32)
+    x1 = jnp.minimum(x0 + 1, S - 1)
+    y1 = jnp.minimum(y0 + 1, S - 1)
+
+    flat = cube.reshape(6 * S * S, cube.shape[-1])
+
+    def tex(xi, yi):
+        return flat[(face * S + yi) * S + xi]
+
+    return ((tex(x0, y0) * (1 - fx) + tex(x1, y0) * fx) * (1 - fy)
+            + (tex(x0, y1) * (1 - fx) + tex(x1, y1) * fx) * fy)
+
+
+def face_texel_dirs(size: int) -> jax.Array:
+    """(6, S, S, 3) unit direction of every cubemap texel center."""
+    t = (jnp.arange(size, dtype=F32) + 0.5) / size * 2.0 - 1.0
+    v, u = jnp.meshgrid(t, t, indexing="ij")
+    dirs = []
+    for f in range(6):
+        d = cubemap_dir(f, u, v)
+        dirs.append(d / jnp.linalg.norm(d, axis=-1, keepdims=True))
+    return jnp.stack(dirs, axis=0)

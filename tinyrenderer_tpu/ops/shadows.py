@@ -1,0 +1,118 @@
+"""Shadow mapping: depth-only raster views + comparison lookups.
+
+Replaces src/light_controller.rs:187-245 (per point light x 6 cube faces +
+per directional light depth passes into a 1024^2 atlas,
+src/light_render_data.rs:12-16) and the lookups of main.wgsl:75-117.
+
+TPU shape: all shadow views are rasterized with the same visibility-buffer
+kernel (ops/raster.py) using per-view viewproj matrices; the atlas is one
+(V, S, S) reverse-Z depth array, V = 6P + D views in light order. Lookups
+project the world position by the *same* viewproj used for the bake, so the
+comparison is exactly consistent (no cube-face uv convention or x-flip
+needed — see scene/lights.py docstring).
+
+Culling: the bake keeps back faces (cull='front'), the reference's trick to
+avoid acne (shadow_rp.rs:81-86); compare passes when the fragment's
+reverse-Z depth is Greater than the stored occluder depth.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from . import raster
+
+F32 = jnp.float32
+I32 = jnp.int32
+
+
+def render_shadow_views(clip_per_view: jax.Array, tri_vidx: jax.Array,
+                        tri_mask: jax.Array, size: int, tile: int,
+                        bin_capacity: int, use_pallas: bool = True) -> jax.Array:
+    """Rasterize V depth-only views -> (V, S, S) reverse-Z atlas.
+
+    clip_per_view: (V, Vtx, 4) clip positions per view (static V, unrolled
+    at trace time like the reference's per-light pass loop).
+    """
+    views = []
+    for v in range(clip_per_view.shape[0]):
+        _, depth, _, _ = raster.rasterize(
+            clip_per_view[v], tri_vidx, tri_mask, size, size, tile, tile,
+            bin_capacity, cull="front", use_pallas=use_pallas)
+        views.append(depth)
+    return jnp.stack(views, axis=0)
+
+
+def _project(world_pos: jax.Array, viewproj: jax.Array) -> tuple[jax.Array, ...]:
+    """world (H, W, 3) -> (u, v, z_ndc, w) under a light viewproj."""
+    ph = jnp.concatenate([world_pos, jnp.ones_like(world_pos[..., :1])], axis=-1)
+    c = jnp.einsum("hwj,ij->hwi", ph, viewproj, preferred_element_type=F32)
+    w = c[..., 3]
+    inv_w = 1.0 / jnp.where(jnp.abs(w) > 1e-9, w, 1.0)
+    ndc = c[..., :3] * inv_w[..., None]
+    u = ndc[..., 0] * 0.5 + 0.5
+    v = 0.5 - ndc[..., 1] * 0.5
+    return u, v, ndc[..., 2], w
+
+
+def _compare_pcf(shadow_map: jax.Array, u: jax.Array, v: jax.Array,
+                 ref_z: jax.Array) -> jax.Array:
+    """2x2 PCF 'Greater' comparison sample — the analog of
+    textureSampleCompareLevel with a linear comparison sampler
+    (light_render_data.rs:49-58). Returns visibility in [0, 1]."""
+    S = shadow_map.shape[-1]
+    fu = u * S - 0.5
+    fv = v * S - 0.5
+    x0 = jnp.floor(fu)
+    y0 = jnp.floor(fv)
+    fx = fu - x0
+    fy = fv - y0
+    x0 = jnp.clip(x0.astype(I32), 0, S - 1)
+    y0 = jnp.clip(y0.astype(I32), 0, S - 1)
+    x1 = jnp.clip(x0 + 1, 0, S - 1)
+    y1 = jnp.clip(y0 + 1, 0, S - 1)
+    flat = shadow_map.reshape(-1)
+
+    def lit(xi, yi):
+        stored = flat[yi * S + xi]
+        return (ref_z > stored).astype(F32)
+
+    return ((lit(x0, y0) * (1 - fx) + lit(x1, y0) * fx) * (1 - fy)
+            + (lit(x0, y1) * (1 - fx) + lit(x1, y1) * fx) * fy)
+
+
+def directional_shadow(world_pos: jax.Array, viewproj: jax.Array,
+                       shadow_map: jax.Array) -> jax.Array:
+    """main.wgsl:75-96 get_directional_light_shadow_value (sans the x-flip,
+    which our consistent bake convention eliminates)."""
+    u, v, z, w = _project(world_pos, viewproj)
+    vis = _compare_pcf(shadow_map, u, v, z)
+    inside = (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (v <= 1.0) & (w > 0.0)
+    return jnp.where(inside, vis, 1.0)
+
+
+def point_shadow(world_pos: jax.Array, light_pos: jax.Array,
+                 face_viewprojs: jax.Array, face_maps: jax.Array) -> jax.Array:
+    """Cube shadow lookup (main.wgsl:98-117): select the face by the major
+    axis of (fragment - light), then compare through that face's own
+    viewproj — bake/lookup exactness by construction.
+
+    face_viewprojs: (6, 4, 4); face_maps: (6, S, S).
+    """
+    d = world_pos - light_pos[None, None, :]
+    ax = jnp.abs(d)
+    is_x = (ax[..., 0] >= ax[..., 1]) & (ax[..., 0] >= ax[..., 2])
+    is_y = (ax[..., 1] > ax[..., 0]) & (ax[..., 1] >= ax[..., 2])
+    face = jnp.where(is_x, jnp.where(d[..., 0] >= 0, 0, 1),
+                     jnp.where(is_y, jnp.where(d[..., 1] >= 0, 2, 3),
+                               jnp.where(d[..., 2] >= 0, 4, 5))).astype(I32)
+
+    vis = jnp.ones(world_pos.shape[:2], F32)
+    # static unroll over the 6 faces, select by mask (no gather of mat4s)
+    for f in range(6):
+        u, v, z, w = _project(world_pos, face_viewprojs[f])
+        fvis = _compare_pcf(face_maps[f], u, v, z)
+        fvis = jnp.where(w > 0.0, fvis, 1.0)
+        vis = jnp.where(face == f, fvis, vis)
+    return vis

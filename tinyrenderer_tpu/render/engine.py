@@ -1,0 +1,229 @@
+"""Engine: the App/WorldRenderer orchestration layer (src/app.rs +
+src/world_renderer.rs) rebuilt around the jitted frame function.
+
+Per-frame flow mirrors App::run_frame (src/app.rs:286-300):
+``update(dt)`` consumes GUI/param edits and the world dirty list (repacking
+device arrays only when something changed), drains deferred RenderingActions
+(env-map generation / irradiance bake / IBL dump, src/actions.rs), then
+``render()`` executes the single compiled XLA program and ``on_end_frame``
+clears the dirty list.
+
+Capacity growth: if a pack exceeds the compiled envelope, the config grows
+to the next bucket and the frame function recompiles — the reference's
+grow-by-reallocating (src/light_render_data.rs:145-152) at whole-frame scope.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from dataclasses import replace
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import config
+from ..assets import hdr as hdrlib
+from ..scene import level_io
+from ..scene.camera import Camera
+from ..scene.world import World
+from . import frame as framelib
+from .scene_gpu import CapacityError, ScenePacker
+
+log = logging.getLogger(__name__)
+
+
+class RenderingAction:
+    """src/actions.rs."""
+
+    GENERATE_CUBEMAP = "GenerateCubeMapFromEquirectangular"
+    BAKE_IRRADIANCE = "BakeDiffuseIrradianceMap"
+    SAVE_IRRADIANCE = "SaveDiffuseIrradianceMapToFile"
+
+
+class Engine:
+    def __init__(self, cfg: Optional[config.RenderConfig] = None,
+                 level_path: Optional[str] = None,
+                 asset_search_paths: tuple[str, ...] = (".", "/root/reference"),
+                 skybox_path: Optional[str] = None,
+                 ibl_cache_path: Optional[str] = None):
+        self.cfg = cfg or config.RenderConfig()
+        self.asset_search_paths = asset_search_paths
+        self.world = World()
+        self.camera = Camera.new_default(self.cfg.width, self.cfg.height)
+        self.params = framelib.default_params()
+        self._packer = ScenePacker(self.cfg, asset_search_paths)
+        self._pack = None
+        self._needs_pack = True
+        self._actions: list[str] = []
+        self._env: Optional[framelib.EnvGPU] = None
+        self._equirect = None
+        self._skybox_path = skybox_path
+        self._ibl_cache_path = ibl_cache_path
+        self.frame_index = 0
+        self.last_output: Optional[framelib.FrameOutput] = None
+
+        if level_path is not None:
+            self.load_level(level_path)
+
+        # Startup parity with App::new (src/app.rs:106): enqueue the env bake.
+        self.add_action(RenderingAction.GENERATE_CUBEMAP)
+
+    # -- level IO ----------------------------------------------------------
+
+    def load_level(self, path: str) -> None:
+        level = level_io.load_level(path)
+        self.world = level.world
+        self.camera = level.camera
+        self.camera.resize(self.cfg.width, self.cfg.height)
+        self._needs_pack = True
+
+    def save_level(self, path: str) -> None:
+        level_io.save_level(path, self.world, self.camera)
+
+    # -- environment --------------------------------------------------------
+
+    def _get_equirect(self):
+        if self._equirect is None:
+            if self._skybox_path and os.path.exists(self._skybox_path):
+                self._equirect = jnp.asarray(hdrlib.load_hdr(self._skybox_path))
+                self._equirect_is_file = True
+            else:
+                self._equirect = jnp.asarray(hdrlib.procedural_sky())
+                self._equirect_is_file = False
+        return self._equirect
+
+    def _ensure_env(self) -> framelib.EnvGPU:
+        if self._env is None:
+            eq = self._get_equirect()
+            # gamma-decode only file-loaded HDRs, like the bake shader does
+            # for the radiant-loaded image; the procedural sky is linear.
+            cube = framelib.bake_env_cubemap(eq, self.cfg.env_size,
+                                             gamma_decode=self._equirect_is_file)
+            irr = self._load_or_bake_irradiance(cube)
+            self._env = framelib.EnvGPU(env_cube=cube, irradiance=irr)
+        return self._env
+
+    def _load_or_bake_irradiance(self, cube) -> jnp.ndarray:
+        s = self.cfg.irradiance_size
+        p = self._ibl_cache_path
+        if p and os.path.exists(p):
+            # raw float16 RGBA face-major dump, the output_ibl.data analog
+            # (src/diffuse_irradiance_renderer.rs:155-162)
+            raw = np.fromfile(p, np.float16)
+            if raw.size == 6 * s * s * 4:
+                return jnp.asarray(raw.reshape(6, s, s, 4)[..., :3].astype(np.float32))
+            log.warning("IBL cache %s has wrong size; rebaking", p)
+        t0 = time.time()
+        irr = framelib.bake_irradiance(cube, s)
+        irr.block_until_ready()
+        log.info("irradiance bake: %.2fs", time.time() - t0)
+        if p:
+            self.write_ibl_to_file(p, irr)
+        return irr
+
+    def write_ibl_to_file(self, path: str, irr=None) -> None:
+        """Keyboard-I IBL dump (src/app.rs:231-235)."""
+        if irr is None:
+            if self._env is None:
+                return
+            irr = self._env.irradiance
+        a = np.asarray(irr)
+        rgba = np.concatenate([a, np.ones((*a.shape[:-1], 1), np.float32)], axis=-1)
+        rgba.astype(np.float16).tofile(path)
+
+    # -- actions -------------------------------------------------------------
+
+    def add_action(self, action: str) -> None:
+        self._actions.append(action)
+
+    def _drain_actions(self) -> None:
+        for action in self._actions:
+            if action == RenderingAction.GENERATE_CUBEMAP:
+                self._env = None  # rebake lazily
+            elif action == RenderingAction.BAKE_IRRADIANCE:
+                if self._env is not None:
+                    irr = framelib.bake_irradiance(self._env.env_cube,
+                                                   self.cfg.irradiance_size)
+                    self._env = framelib.EnvGPU(self._env.env_cube, irr)
+            elif action == RenderingAction.SAVE_IRRADIANCE:
+                self.write_ibl_to_file(self._ibl_cache_path or "output_ibl.data")
+        self._actions.clear()
+
+    # -- params (GlobalGPUParams analog) --------------------------------------
+
+    def set_param(self, index: int, value: float) -> None:
+        self.params = self.params.at[index].set(value)
+
+    # -- frame lifecycle -------------------------------------------------------
+
+    def update(self, delta_seconds: float = 0.0) -> None:
+        self.camera.update(delta_seconds)
+        if self.world.dirty_objects:
+            self._needs_pack = True
+        if self._needs_pack:
+            self._repack()
+
+    def _repack(self) -> None:
+        try:
+            self._pack = self._packer.pack(self.world)
+        except CapacityError as e:
+            c = e.counts
+            log.info("growing capacities for %s", c)
+            self.cfg = self.cfg.grown_for(
+                c["instances"], c["vertices"], c["triangles"], c["materials"],
+                c["point_lights"], c["directional_lights"], c["textures"])
+            self._packer = ScenePacker(self.cfg, self.asset_search_paths)
+            self._pack = self._packer.pack(self.world)
+        # light-count changes alter the static shadow-view count
+        c = self._pack.counts
+        if (c["point_lights"] != self.cfg.num_point_lights
+                or c["directional_lights"] != self.cfg.num_directional_lights):
+            self.cfg = replace(self.cfg,
+                               num_point_lights=c["point_lights"],
+                               num_directional_lights=c["directional_lights"])
+            self._pack = None
+            self._repack()
+            return
+        self._needs_pack = False
+
+    def render(self) -> framelib.FrameOutput:
+        if self._pack is None or self._needs_pack:
+            self._repack()
+        self._drain_actions()
+        env = self._ensure_env()  # skybox needs it even with IBL disabled
+        fn = framelib.compiled_frame(self.cfg)
+        cam_raw = jnp.asarray(self.camera.to_raw())
+        out = fn(self._pack.scene, self._packer.texture_pool_gpu(),
+                 self._pack.lights, cam_raw, self.params, env)
+        self.last_output = out
+        self.frame_index += 1
+        return out
+
+    def on_end_frame(self) -> None:
+        self.world.on_end_frame()
+
+    def run_frame(self, delta_seconds: float = 0.0) -> framelib.FrameOutput:
+        """update -> render -> on_end_frame (src/app.rs:286-300)."""
+        self.update(delta_seconds)
+        out = self.render()
+        self.on_end_frame()
+        return out
+
+    def present_numpy(self) -> np.ndarray:
+        """Fetch the last SDR frame to host (the swapchain copy analog)."""
+        if self.last_output is None:
+            self.run_frame()
+        return np.asarray(self.last_output.sdr)
+
+    # -- resize (src/app.rs:131-137) -------------------------------------------
+
+    def resize(self, width: int, height: int) -> None:
+        if width == self.cfg.width and height == self.cfg.height:
+            return
+        self.cfg = replace(self.cfg, width=width, height=height)
+        self.camera.resize(width, height)
+        self._needs_pack = True

@@ -1,0 +1,197 @@
+"""The frame graph: one jitted XLA program per RenderConfig.
+
+The reference records one command encoder per frame (shadow passes ->
+GBuffer raster -> pick pass -> deferred-shading compute -> skybox + forward
+-> post-process chain -> copy out, src/world_renderer.rs:194-371). Here the
+same pass sequence is function composition inside ``render_frame``; XLA
+replaces the encoder, fuses the elementwise passes, and schedules the Pallas
+raster kernels.
+
+All mutable per-frame state (camera uniform, light arrays, global params)
+enters as array arguments so nothing retraces frame-to-frame
+(src/camera_controller.rs:69-74 / gpu_buffer.rs write-on-change semantics).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .. import config
+from ..ops import env as envops
+from ..ops import post, raster, resolve, shading, shadows, sampling
+from .scene_gpu import LightsGPU, SceneGPU
+
+F32 = jnp.float32
+I32 = jnp.int32
+
+# GlobalParams device vector layout (GlobalGPUParams, src/global_params.rs:6-13
+# plus the SSR blend the reference hardcodes to pass-through)
+PARAM_EXPOSURE = 0        # "random_param"
+PARAM_TONE_TYPE = 1       # 0..3
+PARAM_SSR_THICKNESS = 2
+PARAM_SSR_STRENGTH = 3
+NUM_PARAMS = 4
+
+
+def default_params() -> jnp.ndarray:
+    return jnp.array([1.0, 1.0, 0.25, 0.0], F32)
+
+
+class EnvGPU(NamedTuple):
+    env_cube: jax.Array      # (6, E, E, 3) environment cubemap
+    irradiance: jax.Array    # (6, I, I, 3) diffuse irradiance
+
+
+class FrameOutput(NamedTuple):
+    sdr: jax.Array           # (H, W, 3) uint8 tone-mapped
+    pick_id: jax.Array       # (H, W) int32 object id map (0 = none)
+    depth: jax.Array         # (H, W) f32 reverse-Z
+    hdr: jax.Array           # (H, W, 3) f32 pre-tonemap (post-SSR)
+    bin_overflow: jax.Array  # () i32 max bin occupancy across passes
+
+
+def _unpack_camera(camera_raw: jax.Array) -> dict:
+    return dict(
+        view_proj=camera_raw[0:16].reshape(4, 4),
+        view=camera_raw[16:32].reshape(4, 4),
+        view_inv=camera_raw[32:48].reshape(4, 4),
+        proj=camera_raw[48:64].reshape(4, 4),
+        proj_inv=camera_raw[64:80].reshape(4, 4),
+        position=camera_raw[80:83],
+    )
+
+
+def render_frame(scene: SceneGPU, pool: sampling.TexturePoolGPU,
+                 lights: LightsGPU, camera_raw: jax.Array,
+                 params: jax.Array, env: Optional[EnvGPU],
+                 cfg: config.RenderConfig) -> FrameOutput:
+    cam = _unpack_camera(camera_raw)
+    W, H = cfg.width, cfg.height
+    PW, PH = cfg.padded_width, cfg.padded_height
+
+    # ---- geometry stage: world/clip transforms for the whole vertex pool ----
+    world, clip = raster.transform_vertices(
+        scene.vert_pos, scene.vert_instance, scene.inst_model, cam["view_proj"])
+    nm = scene.inst_normal_mat[scene.vert_instance]
+    n_w = jnp.einsum("vij,vj->vi", nm, scene.vert_normal, preferred_element_type=F32)
+    t_w = jnp.einsum("vij,vj->vi", nm, scene.vert_tangent, preferred_element_type=F32)
+    b_w = jnp.einsum("vij,vj->vi", nm, scene.vert_bitangent, preferred_element_type=F32)
+    attrs = resolve.VertexAttrs(world=world, uv=scene.vert_uv,
+                                normal=n_w, tangent=t_w, bitangent=b_w)
+
+    # ---- main visibility raster (GBuffer geometry pass) ----
+    tri_id, depth, setup, ovf_main = raster.rasterize(
+        clip, scene.tri_vidx, scene.tri_deferred, PW, PH,
+        cfg.tile_h, cfg.tile_w, cfg.bin_capacity, cull="back",
+        use_pallas=cfg.use_pallas)
+
+    g = resolve.resolve_gbuffer(
+        tri_id, depth, setup.rows, scene.tri_vidx, scene.tri_instance, attrs,
+        scene.inst_object_id, scene.inst_material,
+        scene.mat_tex_slots, scene.mat_flat, pool)
+
+    # ---- shadow atlas ----
+    overflow = ovf_main
+    P, D = cfg.num_point_lights, cfg.num_directional_lights
+    point_shadow_fn = dir_shadow_fn = None
+    if cfg.enable_shadows and (P + D) > 0:
+        wh = jnp.concatenate([world, jnp.ones_like(world[:, :1])], axis=1)
+        clip_views = jnp.einsum("vj,sij->svi", wh, lights.shadow_viewprojs,
+                                preferred_element_type=F32)
+        atlas = shadows.render_shadow_views(
+            clip_views, scene.tri_vidx, scene.tri_shadow, cfg.shadow_size,
+            cfg.shadow_tile, cfg.shadow_bin_capacity, use_pallas=cfg.use_pallas)
+
+        def point_shadow_fn(i, pos):  # noqa: E306
+            return shadows.point_shadow(
+                pos, lights.point_position[i],
+                lights.shadow_viewprojs[6 * i:6 * i + 6],
+                atlas[6 * i:6 * i + 6])
+
+        def dir_shadow_fn(i, pos):
+            return shadows.directional_shadow(
+                pos, lights.dir_viewproj[i], atlas[6 * P + i])
+
+    # ---- deferred shading ----
+    slights = shading.ShadingLights(
+        point_position=lights.point_position, point_color=lights.point_color,
+        dir_direction=lights.dir_direction, dir_color=lights.dir_color,
+        dir_viewproj=lights.dir_viewproj)
+    irradiance = env.irradiance if (env is not None and cfg.enable_ibl) else None
+    hdr = shading.shade_deferred(g, cam["position"], slights, P, D, irradiance,
+                                 point_shadow_fn, dir_shadow_fn)
+
+    # ---- skybox (background pixels, depth GreaterEqual at far plane) ----
+    if env is not None:
+        sky = envops.skybox_colors(env.env_cube, cam["proj_inv"],
+                                   cam["view_inv"][:3, :3], PW, PH)
+        hdr = jnp.where(g.mask[..., None], hdr, sky)
+
+    # ---- forward pass (gizmos/billboards: depth Always, drawn on top) ----
+    pick = g.object_id
+    has_forward = True  # static: forward geometry shares the pools
+    if has_forward:
+        f_id, f_depth, f_setup, ovf_f = raster.rasterize(
+            clip, scene.tri_vidx, scene.tri_forward, PW, PH,
+            cfg.tile_h, cfg.tile_w, cfg.bin_capacity, cull="none",
+            use_pallas=cfg.use_pallas)
+        overflow = jnp.maximum(overflow, ovf_f)
+        f_attrs, f_valid = resolve.interpolate(
+            f_id, f_setup.rows, scene.tri_vidx,
+            jnp.concatenate([scene.vert_uv], axis=1))
+        f_tid = jnp.maximum(f_id, 0)
+        f_inst = scene.tri_instance[f_tid]
+        f_mat = scene.inst_material[f_inst]
+        f_flat = scene.mat_flat[f_mat]
+        f_slots = scene.mat_tex_slots[f_mat]
+        f_uv = f_attrs[..., 0:2]
+        lvl = sampling.mip_level_from_uv(f_uv, pool.level_sizes[0])
+        f_tex = sampling.sample_pool_mip(pool, f_slots[..., 0], f_uv, lvl)
+        use_tex = f_flat[..., 5] > 0.5
+        f_color = jnp.where(use_tex[..., None], f_tex[..., :3], f_flat[..., 0:3])
+        f_alpha = jnp.where(use_tex, f_tex[..., 3], 1.0) * f_valid.astype(F32)
+        hdr = hdr * (1.0 - f_alpha[..., None]) + f_color * f_alpha[..., None]
+        # pick: forward (non-depth-tested) objects override, like the second
+        # object-picker pipeline (src/pipelines/object_picker_rp.rs:151-178)
+        pick = jnp.where(f_valid & (f_alpha > 0.5), scene.inst_object_id[f_inst], pick)
+
+    # ---- SSR (reference ships an effective pass-through; strength=0) ----
+    if cfg.enable_ssr:
+        hdr = post.screen_space_reflections(
+            hdr, depth, g.position, g.normal, cam["view_proj"], cam["position"],
+            params[PARAM_SSR_THICKNESS], params[PARAM_SSR_STRENGTH])
+
+    # ---- tone map + crop to the true resolution ----
+    sdr = post.tone_map(hdr, params[PARAM_TONE_TYPE], params[PARAM_EXPOSURE])
+    return FrameOutput(sdr=sdr[:H, :W], pick_id=pick[:H, :W],
+                       depth=depth[:H, :W], hdr=hdr[:H, :W],
+                       bin_overflow=overflow)
+
+
+@functools.lru_cache(maxsize=8)
+def compiled_frame(cfg: config.RenderConfig):
+    """Jitted render_frame for a given static config (cached per config,
+    the analog of the reference's pipeline cache)."""
+
+    def fn(scene, pool, lights, camera_raw, params, env):
+        return render_frame(scene, pool, lights, camera_raw, params, env, cfg)
+
+    return jax.jit(fn)
+
+
+# ---------------------------------------------------------------------------
+# One-shot environment precomputes (RenderingAction analogs, src/actions.rs)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("size", "gamma_decode"))
+def bake_env_cubemap(equirect: jax.Array, size: int, gamma_decode: bool = True):
+    return envops.equirect_to_cubemap(equirect, size, gamma_decode)
+
+
+@functools.partial(jax.jit, static_argnames=("size",))
+def bake_irradiance(env_cube: jax.Array, size: int):
+    return envops.bake_irradiance(env_cube, size)

@@ -1,0 +1,294 @@
+"""Scene -> device packing: the world becomes static-capacity arrays.
+
+The reference mirrors world objects into per-object GPU buffers through its
+dirty list (src/world_renderer.rs:135-192: Added -> load_model + upload,
+Modified -> transform/material re-upload, Removed -> drop). The TPU-native
+equivalent: the whole scene is a handful of padded, capacity-static arrays
+(vertex pool, triangle pool, instance table, material table) so the jitted
+frame function never retraces on edits — only on capacity growth, mirroring
+the reference's grow-by-reallocating (src/light_render_data.rs:145-152).
+
+Flattening: each (world object, renderable part) pair is an *instance*;
+its mesh's vertices/triangles are appended to the pools with the instance
+slot recorded per vertex/per triangle. Meshes and textures are cached by
+descriptor, so repeated cubes cost only pool space, not reloads
+(src/resource_loader.rs:75-85 primitive cache semantics).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import config
+from ..assets import mesh as meshlib
+from ..assets import textures as texlib
+from ..ops import sampling
+from ..scene import components as comp
+from ..scene import lights as lightslib
+from ..scene.world import World
+
+log = logging.getLogger(__name__)
+
+F32 = np.float32
+I32 = np.int32
+
+
+class SceneGPU(NamedTuple):
+    """Device-resident packed scene (a pytree of jnp arrays)."""
+
+    vert_pos: jax.Array        # (Vc, 3) object space
+    vert_uv: jax.Array         # (Vc, 2)
+    vert_normal: jax.Array     # (Vc, 3)
+    vert_tangent: jax.Array    # (Vc, 3)
+    vert_bitangent: jax.Array  # (Vc, 3)
+    vert_instance: jax.Array   # (Vc,) i32
+    tri_vidx: jax.Array        # (Tc, 3) i32
+    tri_instance: jax.Array    # (Tc,) i32
+    tri_deferred: jax.Array    # (Tc,) bool
+    tri_forward: jax.Array     # (Tc,) bool
+    tri_shadow: jax.Array      # (Tc,) bool
+    inst_model: jax.Array      # (Ic, 4, 4)
+    inst_normal_mat: jax.Array # (Ic, 3, 3)
+    inst_object_id: jax.Array  # (Ic,) i32
+    inst_material: jax.Array   # (Ic,) i32
+    mat_tex_slots: jax.Array   # (Mc, 4) i32
+    mat_flat: jax.Array        # (Mc, 6) f32: albedo rgb, rough, metal, use_tex
+
+
+class LightsGPU(NamedTuple):
+    point_position: jax.Array   # (P, 3)
+    point_color: jax.Array      # (P, 3)
+    dir_direction: jax.Array    # (D, 3)
+    dir_color: jax.Array        # (D, 3)
+    dir_viewproj: jax.Array     # (D, 4, 4)
+    shadow_viewprojs: jax.Array # (6P + D, 4, 4)
+
+
+class PackResult(NamedTuple):
+    scene: SceneGPU
+    lights: LightsGPU
+    counts: dict            # host-side sizes for capacity checks
+
+
+class ScenePacker:
+    """Host-side packer with mesh/material/texture caches."""
+
+    def __init__(self, cfg: config.RenderConfig,
+                 asset_search_paths: tuple[str, ...] = (".", "/root/reference")):
+        self.cfg = cfg
+        self.asset_search_paths = asset_search_paths
+        self.pool = texlib.TexturePool.create(cfg)
+        self._pool_gpu: Optional[sampling.TexturePoolGPU] = None
+        self._pool_dirty = True
+        self._mesh_cache: dict = {}
+        self._material_cache: dict = {}
+        self._materials: list[tuple[np.ndarray, np.ndarray]] = []
+        self._register_default_material()
+
+    # -- asset resolution ----------------------------------------------------
+
+    def resolve_path(self, path: str) -> Optional[str]:
+        if os.path.isabs(path):
+            return path if os.path.exists(path) else None
+        for root in self.asset_search_paths:
+            p = os.path.join(root, path)
+            if os.path.exists(p):
+                return p
+        return None
+
+    def load_mesh(self, desc: comp.MeshDescriptor) -> meshlib.MeshData:
+        if desc in self._mesh_cache:
+            return self._mesh_cache[desc]
+        if desc.kind == "PrimitiveInCode":
+            mesh = meshlib.get_primitive(desc.value)
+        else:
+            path = self.resolve_path(desc.value)
+            if path is None:
+                log.warning("mesh not found: %s; substituting cube", desc.value)
+                mesh = meshlib.get_primitive("Cube")
+            elif path.lower().endswith(".obj"):
+                mesh = meshlib.load_obj(path)
+            else:
+                # glTF loading is a stub in the reference too
+                # (src/resource_loader.rs:254-283): fall back with a warning.
+                log.warning("unsupported mesh format: %s; substituting cube", path)
+                mesh = meshlib.get_primitive("Cube")
+        self._mesh_cache[desc] = mesh
+        return mesh
+
+    # -- materials -------------------------------------------------------------
+
+    def _register_default_material(self) -> int:
+        slots = np.array([texlib.DEFAULT_ALBEDO_SLOT, texlib.DEFAULT_NORMAL_SLOT,
+                          texlib.DEFAULT_ROUGHNESS_SLOT, texlib.DEFAULT_METALNESS_SLOT],
+                         I32)
+        flat = np.array([1.0, 1.0, 1.0, 1.0, 0.0, 1.0], F32)  # textured default
+        self._materials.append((slots, flat))
+        return 0
+
+    def material_index(self, desc: comp.PbrMaterialDescriptor) -> int:
+        key = json.dumps(desc.to_json(), sort_keys=True)
+        if key in self._material_cache:
+            return self._material_cache[key]
+        if desc.is_flat:
+            slots = np.array([0, 1, 2, 3], I32)
+            p = desc.flat
+            flat = np.array([p.albedo[0], p.albedo[1], p.albedo[2],
+                             p.roughness, p.metalness, 0.0], F32)
+        else:
+            by_usage = {t.usage: t for t in desc.textures}
+            slots = np.zeros(4, I32)
+            for i, usage in enumerate((comp.TextureUsage.Albedo, comp.TextureUsage.Normal,
+                                       comp.TextureUsage.Roughness, comp.TextureUsage.Metalness)):
+                t = by_usage.get(usage)
+                if t is None or t.path is None:
+                    slots[i] = self.pool.default_slot(usage.value)
+                else:
+                    path = self.resolve_path(t.path)
+                    if path is None:
+                        log.warning("texture not found: %s; using default", t.path)
+                        slots[i] = self.pool.default_slot(usage.value)
+                    else:
+                        slots[i] = self.pool.get_or_load(path, usage.value)
+                        self._pool_dirty = True
+            flat = np.array([1.0, 1.0, 1.0, 1.0, 0.0, 1.0], F32)
+        idx = len(self._materials)
+        self._materials.append((slots, flat))
+        self._material_cache[key] = idx
+        return idx
+
+    def texture_pool_gpu(self) -> sampling.TexturePoolGPU:
+        if self._pool_gpu is None or self._pool_dirty:
+            self._pool_gpu = sampling.pack_texture_pool(self.pool.device_arrays())
+            self._pool_dirty = False
+        return self._pool_gpu
+
+    # -- packing -----------------------------------------------------------------
+
+    def pack(self, world: World) -> PackResult:
+        cfg = self.cfg
+        vp, vu, vn, vt, vb, vi = [], [], [], [], [], []
+        t_vidx, t_inst, t_def, t_fwd, t_shadow = [], [], [], [], []
+        i_model, i_nmat, i_oid, i_mat = [], [], [], []
+        point_lights, dir_lights = [], []
+
+        vert_off = 0
+        for oid, obj in world.world_objects():
+            light = obj.get_light()
+            if light is not None:
+                point_lights.append((obj.transform.position.copy(),
+                                     light.light.color.copy()))
+            for c in obj.components:
+                if not isinstance(c, comp.RenderableComponent):
+                    continue
+                mesh = self.load_mesh(c.model_descriptor.mesh_descriptor)
+                mat_idx = self.material_index(c.model_descriptor.material_descriptor)
+                inst = len(i_model)
+                model = obj.transform.model_matrix()
+                i_model.append(model)
+                i_nmat.append(obj.transform.normal_matrix())
+                i_oid.append(oid)
+                i_mat.append(mat_idx)
+
+                vcount = mesh.num_vertices
+                vp.append(mesh.positions)
+                vu.append(mesh.tex_coords)
+                vn.append(mesh.normals)
+                vt.append(mesh.tangents)
+                vb.append(mesh.bitangents)
+                vi.append(np.full(vcount, inst, I32))
+
+                tri = mesh.indices.reshape(-1, 3).astype(I32) + vert_off
+                t_vidx.append(tri)
+                n_tri = tri.shape[0]
+                t_inst.append(np.full(n_tri, inst, I32))
+                opts = c.rendering_options
+                is_fwd = opts.pass_ == comp.RenderingPass.ForceForwardAfterDeferred
+                t_def.append(np.full(n_tri, not is_fwd, bool))
+                t_fwd.append(np.full(n_tri, is_fwd, bool))
+                t_shadow.append(np.full(n_tri, opts.cast_shadows and not is_fwd, bool))
+                vert_off += vcount
+
+        for _oid, obj in world.omnipresent_objects():
+            dl = obj.get_directional_light()
+            if dl is not None:
+                dir_lights.append((dl.direction.copy(), dl.color.copy()))
+
+        n_verts = vert_off
+        n_tris = sum(t.shape[0] for t in t_vidx) if t_vidx else 0
+        n_insts = len(i_model)
+        counts = dict(vertices=n_verts, triangles=n_tris, instances=n_insts,
+                      materials=len(self._materials),
+                      point_lights=len(point_lights),
+                      directional_lights=len(dir_lights),
+                      textures=self.pool.next_slot)
+
+        if (n_verts > cfg.max_vertices or n_tris > cfg.max_triangles
+                or n_insts > cfg.max_instances
+                or len(self._materials) > cfg.max_materials):
+            raise CapacityError(counts)
+
+        def cat(parts, shape, dtype):
+            if parts:
+                a = np.concatenate([np.asarray(p).reshape(-1, *shape[1:]) for p in parts])
+            else:
+                a = np.zeros((0, *shape[1:]), dtype)
+            out = np.zeros(shape, dtype)
+            out[:a.shape[0]] = a
+            return out
+
+        Vc, Tc, Ic, Mc = (cfg.max_vertices, cfg.max_triangles,
+                          cfg.max_instances, cfg.max_materials)
+        scene = SceneGPU(
+            vert_pos=jnp.asarray(cat(vp, (Vc, 3), F32)),
+            vert_uv=jnp.asarray(cat(vu, (Vc, 2), F32)),
+            vert_normal=jnp.asarray(cat(vn, (Vc, 3), F32)),
+            vert_tangent=jnp.asarray(cat(vt, (Vc, 3), F32)),
+            vert_bitangent=jnp.asarray(cat(vb, (Vc, 3), F32)),
+            vert_instance=jnp.asarray(cat(vi, (Vc,), I32)),
+            tri_vidx=jnp.asarray(cat(t_vidx, (Tc, 3), I32)),
+            tri_instance=jnp.asarray(cat(t_inst, (Tc,), I32)),
+            tri_deferred=jnp.asarray(cat(t_def, (Tc,), bool)),
+            tri_forward=jnp.asarray(cat(t_fwd, (Tc,), bool)),
+            tri_shadow=jnp.asarray(cat(t_shadow, (Tc,), bool)),
+            inst_model=jnp.asarray(_cat_mats(i_model, Ic, 4)),
+            inst_normal_mat=jnp.asarray(_cat_mats(i_nmat, Ic, 3)),
+            inst_object_id=jnp.asarray(cat(i_oid, (Ic,), I32)),
+            inst_material=jnp.asarray(cat(i_mat, (Ic,), I32)),
+            mat_tex_slots=jnp.asarray(cat([m[0] for m in self._materials], (Mc, 4), I32)),
+            mat_flat=jnp.asarray(cat([m[1] for m in self._materials], (Mc, 6), F32)),
+        )
+
+        packed = lightslib.pack_lights(point_lights, dir_lights)
+        lights = LightsGPU(
+            point_position=jnp.asarray(packed.point_position),
+            point_color=jnp.asarray(packed.point_color),
+            dir_direction=jnp.asarray(packed.dir_direction),
+            dir_color=jnp.asarray(packed.dir_color),
+            dir_viewproj=jnp.asarray(packed.dir_viewproj),
+            shadow_viewprojs=jnp.asarray(packed.shadow_viewprojs),
+        )
+        return PackResult(scene=scene, lights=lights, counts=counts)
+
+
+class CapacityError(RuntimeError):
+    """Scene exceeds the compiled capacity envelope — grow the RenderConfig
+    (the caller retraces, mirroring the reference's buffer reallocation)."""
+
+    def __init__(self, counts: dict):
+        super().__init__(f"scene exceeds capacities: {counts}")
+        self.counts = counts
+
+
+def _cat_mats(mats: list, capacity: int, n: int) -> np.ndarray:
+    out = np.tile(np.eye(n, dtype=F32), (capacity, 1, 1))
+    for i, m in enumerate(mats):
+        out[i] = m
+    return out

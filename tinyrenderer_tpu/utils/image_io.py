@@ -1,0 +1,19 @@
+"""Image output helpers (the swapchain/present + screenshot analog)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def save_png(path: str, img: np.ndarray) -> None:
+    """img: (H, W, 3|4) uint8 or float in [0,1]."""
+    from PIL import Image
+    a = np.asarray(img)
+    if a.dtype != np.uint8:
+        a = np.clip(a * 255.0 + 0.5, 0, 255).astype(np.uint8)
+    mode = "RGBA" if a.shape[-1] == 4 else "RGB"
+    Image.fromarray(a, mode).save(path)
+
+
+def save_pfm_like_npy(path: str, img: np.ndarray) -> None:
+    np.save(path, np.asarray(img, np.float32))
