@@ -1,0 +1,87 @@
+"""Multi-chip sharding tests on the 8-virtual-device CPU mesh.
+
+Verifies the (dp, sp) shard_map frame produces the same pixels as the
+single-chip frame function — band decomposition and the shadow-view
+all_gather must be exact, not approximate.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tinyrenderer_tpu import parallel
+from tinyrenderer_tpu.config import RenderConfig
+from tinyrenderer_tpu.render import frame as framelib
+from tinyrenderer_tpu.render.engine import Engine
+
+TINY = RenderConfig(
+    width=128, height=64, tile_h=16, tile_w=128, bin_capacity=128,
+    shadow_size=128, shadow_tile=128, shadow_bin_capacity=128,
+    env_size=32, irradiance_size=8, texture_size=64, mip_levels=4,
+    max_vertices=4096, max_triangles=2048, max_instances=64,
+    use_pallas=False, enable_ssr=False,
+)
+
+
+@pytest.fixture(scope="module")
+def engine(reference_level_path):
+    eng = Engine(cfg=TINY, level_path=reference_level_path)
+    eng.update(0.0)
+    eng.render()  # establishes env + pack
+    return eng
+
+
+def _args(engine):
+    return (engine._pack.scene, engine._packer.texture_pool_gpu(),
+            engine._pack.lights, jnp.asarray(engine.camera.to_raw()),
+            engine.params, engine._env)
+
+
+def test_mesh_construction():
+    mesh = parallel.make_mesh(8, dp=2)
+    assert mesh.shape == {"dp": 2, "sp": 4}
+
+
+def test_sharded_matches_single_chip(engine):
+    scene, pool, lights, cam, params, env = _args(engine)
+    cfg = engine.cfg
+    mesh = parallel.make_mesh(4, dp=1)
+    cfg_s = parallel.sharded_config(cfg, mesh.shape["sp"])
+
+    single = framelib.compiled_frame(cfg_s)(scene, pool, lights, cam, params, env)
+    fn = parallel.compiled_sharded_frame(cfg_s, mesh)
+    out = fn(scene, pool, lights, cam[None], params, env)
+
+    assert out.sdr.shape == (1, cfg_s.height, cfg_s.width, 3)
+    np.testing.assert_array_equal(np.asarray(out.pick_id[0]),
+                                  np.asarray(single.pick_id))
+    np.testing.assert_allclose(np.asarray(out.depth[0]),
+                               np.asarray(single.depth), atol=1e-6)
+    # tone-mapped 8-bit output: band-local plane evaluation reassociates the
+    # barycentric arithmetic, which can flip the reference's hard shadow gate
+    # (`if shadow > 0.0`, main.wgsl:228-237) on a handful of band-boundary
+    # pixels. Require 1-LSB agreement on >99.9% of pixels.
+    a = np.asarray(out.sdr[0]).astype(np.int16)
+    b = np.asarray(single.sdr).astype(np.int16)
+    d = np.abs(a - b).max(axis=-1)
+    assert (d > 1).mean() < 1e-3, f"{(d > 1).sum()} pixels differ"
+
+
+def test_sharded_dp_batch(engine):
+    scene, pool, lights, cam, params, env = _args(engine)
+    mesh = parallel.make_mesh(8, dp=2)
+    cfg_s = parallel.sharded_config(engine.cfg, mesh.shape["sp"])
+
+    cam2 = np.asarray(cam).copy()
+    cam_batch = jnp.stack([cam, jnp.asarray(cam2)], axis=0)
+    fn = parallel.compiled_sharded_frame(cfg_s, mesh)
+    out = fn(scene, pool, lights, cam_batch, params, env)
+    assert out.sdr.shape == (2, cfg_s.height, cfg_s.width, 3)
+    # identical cameras -> identical frames on both dp shards
+    np.testing.assert_array_equal(np.asarray(out.sdr[0]), np.asarray(out.sdr[1]))
+
+
+def test_sharded_config_pads_height():
+    cfg = parallel.sharded_config(TINY, 8)
+    assert cfg.tiles_y % 8 == 0

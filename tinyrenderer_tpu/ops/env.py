@@ -119,11 +119,18 @@ def bake_irradiance(env_cube: jax.Array, size: int, chunk: int = 128) -> jax.Arr
 
 
 def skybox_colors(env_cube: jax.Array, proj_inv: jax.Array,
-                  view_rot_inv: jax.Array, width: int, height: int) -> jax.Array:
+                  view_rot_inv: jax.Array, width: int, height: int,
+                  y0: int = 0, full_height: int = 0) -> jax.Array:
     """Per-pixel skybox color (skybox.wgsl:23-53): unproject the pixel NDC,
-    rotate into world by the inverse view rotation, sample the env cube."""
+    rotate into world by the inverse view rotation, sample the env cube.
+
+    ``y0``/``full_height`` render a horizontal band [y0, y0+height) of a
+    ``full_height``-tall image — used by the spatially sharded multi-chip
+    frame (parallel/sharded.py) where each device owns a band of rows.
+    """
+    fh = full_height or height
     x = ((jnp.arange(width, dtype=F32) + 0.5) / width) * 2.0 - 1.0
-    y = -(((jnp.arange(height, dtype=F32) + 0.5) / height) * 2.0 - 1.0)
+    y = -(((jnp.arange(height, dtype=F32) + y0 + 0.5) / fh) * 2.0 - 1.0)
     xg, yg = jnp.meshgrid(x, y, indexing="xy")
     ndc = jnp.stack([xg, yg, jnp.zeros_like(xg), jnp.ones_like(xg)], axis=-1)
     un = jnp.einsum("hwj,ij->hwi", ndc, proj_inv, preferred_element_type=F32)

@@ -148,6 +148,27 @@ def triangle_setup(clip: jax.Array, tri_vidx: jax.Array, tri_mask: jax.Array,
                          inv_w=inv_w, z_ndc=z)
 
 
+def translate_setup_y(setup: TriangleSetup, y0) -> TriangleSetup:
+    """Shift a triangle setup down by ``y0`` pixels so that evaluating the
+    planes at band-local coordinates (y' = y - y0) gives the same values.
+
+    Used by the spatially sharded frame (parallel/sharded.py): every device
+    computes the full-screen setup, translates it into its band's local
+    frame, and rasterizes only its rows. Planes are affine, so translation
+    only folds ``a_y * y0`` into each constant term.
+    """
+    y0f = jnp.asarray(y0, F32)
+    rows = setup.rows
+    rows = rows.at[:, _E0C].add(rows[:, _E0Y] * y0f)
+    rows = rows.at[:, _E1C].add(rows[:, _E1Y] * y0f)
+    rows = rows.at[:, _E2C].add(rows[:, _E2Y] * y0f)
+    rows = rows.at[:, _ZC].add(rows[:, _ZY] * y0f)
+    bbox = setup.bbox.at[:, 1].add(-y0f)
+    bbox = bbox.at[:, 3].add(-y0f)
+    screen = setup.screen.at[:, :, 1].add(-y0f)
+    return setup._replace(rows=rows, bbox=bbox, screen=screen)
+
+
 class Bins(NamedTuple):
     ids: jax.Array       # (tiles_y, tiles_x, K) i32 triangle ids, -1 padded
     rows: jax.Array      # (tiles_y, tiles_x, K, 16) f32 gathered setup rows

@@ -1,0 +1,230 @@
+"""Multi-chip frame rendering: shard_map over a (dp, sp) device mesh.
+
+The reference is a single-GPU engine (SURVEY.md §2.4) — there is nothing to
+translate here, so this layer is designed TPU-first from scratch:
+
+- **dp (data parallel)**: a *batch of views* is sharded over the ``dp`` mesh
+  axis — multi-camera rendering (cubemap bakes, stereo, multi-viewport
+  editors) with zero cross-talk.
+- **sp (spatial parallel)**: each frame's pixel grid is split into
+  horizontal *bands* of raster tiles, one band per device on the ``sp``
+  axis. Geometry setup is tiny (≪1 MFLOP) and is replicated; rasterization,
+  GBuffer resolve and PBR shading — the HBM- and FLOP-heavy stages — touch
+  only the device's own rows. Triangle planes are affine, so a band is just
+  a y-translation of the per-triangle setup (raster.translate_setup_y).
+- **shadow views** (6·P + D depth maps) are sharded round-robin over the
+  *flattened* (dp, sp) grid and combined with one tiled ``all_gather`` over
+  ICI — the only collective in the steady-state frame.
+
+SSR is intentionally absent from the sharded path: its screen-space ray
+march crosses band boundaries, and the reference ships it as an effective
+pass-through anyway (src/shaders/screen_space_reflection.wgsl:135).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from .. import config
+from ..ops import env as envops
+from ..ops import post, raster, resolve, shading, shadows, sampling
+from ..render import frame as framelib
+from ..render.scene_gpu import LightsGPU, SceneGPU
+
+F32 = jnp.float32
+I32 = jnp.int32
+
+
+def make_mesh(n_devices: Optional[int] = None, dp: int = 1) -> Mesh:
+    """Build a (dp, sp) mesh from the first ``n_devices`` local devices."""
+    devs = jax.devices()
+    n = n_devices if n_devices is not None else len(devs)
+    if n % dp != 0:
+        raise ValueError(f"n_devices={n} not divisible by dp={dp}")
+    arr = np.array(devs[:n]).reshape(dp, n // dp)
+    return Mesh(arr, ("dp", "sp"))
+
+
+def sharded_config(cfg: config.RenderConfig, n_sp: int) -> config.RenderConfig:
+    """Pad the frame height so the tile rows divide evenly over ``sp``."""
+    rows_per_dev = -(-cfg.tiles_y // n_sp)
+    from dataclasses import replace
+    return replace(cfg, height=rows_per_dev * n_sp * cfg.tile_h)
+
+
+class ShardedFrameOutput(NamedTuple):
+    sdr: jax.Array      # (B, H, W, 3) uint8
+    pick_id: jax.Array  # (B, H, W) int32
+    depth: jax.Array    # (B, H, W) f32
+    hdr: jax.Array      # (B, H, W, 3) f32
+
+
+def _render_band(scene: SceneGPU, pool, lights: LightsGPU, atlas,
+                 camera_raw, params, env, y0, cfg: config.RenderConfig,
+                 band_h: int):
+    """Rasterize + shade rows [y0, y0 + band_h) of one camera's frame.
+
+    Mirrors frame.render_frame's pass sequence (which mirrors
+    src/world_renderer.rs:194-371) but confined to one horizontal band.
+    """
+    cam = framelib._unpack_camera(camera_raw)
+    PW, PH = cfg.padded_width, cfg.padded_height
+
+    world, clip = raster.transform_vertices(
+        scene.vert_pos, scene.vert_instance, scene.inst_model, cam["view_proj"])
+    nm = scene.inst_normal_mat[scene.vert_instance]
+    n_w = jnp.einsum("vij,vj->vi", nm, scene.vert_normal, preferred_element_type=F32)
+    t_w = jnp.einsum("vij,vj->vi", nm, scene.vert_tangent, preferred_element_type=F32)
+    b_w = jnp.einsum("vij,vj->vi", nm, scene.vert_bitangent, preferred_element_type=F32)
+    attrs = resolve.VertexAttrs(world=world, uv=scene.vert_uv,
+                                normal=n_w, tangent=t_w, bitangent=b_w)
+
+    def band_raster(tri_mask, cull):
+        setup = raster.triangle_setup(clip, scene.tri_vidx, tri_mask,
+                                      PW, PH, cull)
+        setup = raster.translate_setup_y(setup, y0)
+        bins = raster.bin_triangles(setup, PW, band_h, cfg.tile_h, cfg.tile_w,
+                                    cfg.bin_capacity)
+        tri_id, depth = raster.rasterize_binned(bins, cfg.tile_h, cfg.tile_w,
+                                                use_pallas=cfg.use_pallas)
+        return tri_id, depth, setup
+
+    tri_id, depth, setup = band_raster(scene.tri_deferred, "back")
+    g = resolve.resolve_gbuffer(
+        tri_id, depth, setup.rows, scene.tri_vidx, scene.tri_instance, attrs,
+        scene.inst_object_id, scene.inst_material,
+        scene.mat_tex_slots, scene.mat_flat, pool)
+
+    Pn, D = cfg.num_point_lights, cfg.num_directional_lights
+    point_shadow_fn = dir_shadow_fn = None
+    if cfg.enable_shadows and (Pn + D) > 0 and atlas is not None:
+        def point_shadow_fn(i, pos):  # noqa: E306
+            return shadows.point_shadow(
+                pos, lights.point_position[i],
+                lights.shadow_viewprojs[6 * i:6 * i + 6],
+                atlas[6 * i:6 * i + 6])
+
+        def dir_shadow_fn(i, pos):
+            return shadows.directional_shadow(
+                pos, lights.dir_viewproj[i], atlas[6 * Pn + i])
+
+    slights = shading.ShadingLights(
+        point_position=lights.point_position, point_color=lights.point_color,
+        dir_direction=lights.dir_direction, dir_color=lights.dir_color,
+        dir_viewproj=lights.dir_viewproj)
+    irradiance = env.irradiance if (env is not None and cfg.enable_ibl) else None
+    hdr = shading.shade_deferred(g, cam["position"], slights, Pn, D, irradiance,
+                                 point_shadow_fn, dir_shadow_fn)
+
+    if env is not None:
+        sky = envops.skybox_colors(env.env_cube, cam["proj_inv"],
+                                   cam["view_inv"][:3, :3], PW, band_h,
+                                   y0=y0, full_height=PH)
+        hdr = jnp.where(g.mask[..., None], hdr, sky)
+
+    # forward pass (gizmos/billboards), band-local
+    f_id, _, f_setup = band_raster(scene.tri_forward, "none")
+    f_attrs, f_valid = resolve.interpolate(
+        f_id, f_setup.rows, scene.tri_vidx, scene.vert_uv)
+    f_tid = jnp.maximum(f_id, 0)
+    f_inst = scene.tri_instance[f_tid]
+    f_mat = scene.inst_material[f_inst]
+    f_flat = scene.mat_flat[f_mat]
+    f_slots = scene.mat_tex_slots[f_mat]
+    f_uv = f_attrs[..., 0:2]
+    lvl = sampling.mip_level_from_uv(f_uv, pool.level_sizes[0])
+    f_tex = sampling.sample_pool_mip(pool, f_slots[..., 0], f_uv, lvl)
+    use_tex = f_flat[..., 5] > 0.5
+    f_color = jnp.where(use_tex[..., None], f_tex[..., :3], f_flat[..., 0:3])
+    f_alpha = jnp.where(use_tex, f_tex[..., 3], 1.0) * f_valid.astype(F32)
+    hdr = hdr * (1.0 - f_alpha[..., None]) + f_color * f_alpha[..., None]
+    pick = jnp.where(f_valid & (f_alpha > 0.5),
+                     scene.inst_object_id[f_inst], g.object_id)
+
+    sdr = post.tone_map(hdr, params[framelib.PARAM_TONE_TYPE],
+                        params[framelib.PARAM_EXPOSURE])
+    return sdr, pick, depth, hdr
+
+
+def render_frame_sharded(scene: SceneGPU, pool, lights: LightsGPU,
+                         camera_raw_batch: jax.Array, params: jax.Array,
+                         env: Optional[framelib.EnvGPU],
+                         cfg: config.RenderConfig, mesh: Mesh
+                         ) -> ShardedFrameOutput:
+    """Render a batch of views over the mesh. Call under ``jax.jit``."""
+    dp, sp = mesh.shape["dp"], mesh.shape["sp"]
+    n_total = dp * sp
+    B = camera_raw_batch.shape[0]
+    if B % dp != 0:
+        raise ValueError(f"camera batch {B} not divisible by dp={dp}")
+    if cfg.tiles_y % sp != 0:
+        raise ValueError(
+            f"tiles_y={cfg.tiles_y} not divisible by sp={sp}; "
+            "use sharded_config() to pad the height")
+    band_h = cfg.padded_height // sp
+
+    n_views = cfg.num_shadow_views if cfg.enable_shadows else 0
+    views_pad = -(-max(n_views, 1) // n_total) * n_total
+    views_local = views_pad // n_total
+
+    def fn(scene, pool, lights, cam_local, params, env):
+        dp_i = jax.lax.axis_index("dp")
+        sp_i = jax.lax.axis_index("sp")
+        flat = dp_i * sp + sp_i
+
+        atlas = None
+        if cfg.enable_shadows and n_views > 0:
+            # shadow views round-robin over the flat device grid + all_gather
+            vp = lights.shadow_viewprojs
+            vp_pad = jnp.concatenate(
+                [vp, jnp.broadcast_to(jnp.eye(4, dtype=F32),
+                                      (views_pad - vp.shape[0], 4, 4))], axis=0)
+            my_vp = jax.lax.dynamic_slice_in_dim(
+                vp_pad, flat * views_local, views_local, axis=0)
+            world, _ = raster.transform_vertices(
+                scene.vert_pos, scene.vert_instance, scene.inst_model,
+                jnp.eye(4, dtype=F32))
+            wh = jnp.concatenate([world, jnp.ones_like(world[:, :1])], axis=1)
+            clip_views = jnp.einsum("vj,sij->svi", wh, my_vp,
+                                    preferred_element_type=F32)
+            atlas_local = shadows.render_shadow_views(
+                clip_views, scene.tri_vidx, scene.tri_shadow, cfg.shadow_size,
+                cfg.shadow_tile, cfg.shadow_bin_capacity,
+                use_pallas=cfg.use_pallas)
+            atlas = jax.lax.all_gather(atlas_local, ("dp", "sp"),
+                                       axis=0, tiled=True)[:n_views]
+
+        y0 = (sp_i * band_h).astype(F32)
+        band = functools.partial(_render_band, scene, pool, lights, atlas,
+                                 params=params, env=env, y0=y0, cfg=cfg,
+                                 band_h=band_h)
+        sdr, pick, depth, hdr = jax.vmap(lambda c: band(c))(cam_local)
+        return sdr, pick, depth, hdr
+
+    spec_rep = P()
+    out = shard_map(
+        fn, mesh=mesh,
+        in_specs=(spec_rep, spec_rep, spec_rep, P("dp"), spec_rep, spec_rep),
+        out_specs=(P("dp", "sp"), P("dp", "sp"), P("dp", "sp"), P("dp", "sp")),
+        check_vma=False,
+    )(scene, pool, lights, camera_raw_batch, params, env)
+
+    H, W = cfg.height, cfg.width
+    sdr, pick, depth, hdr = out
+    return ShardedFrameOutput(sdr=sdr[:, :H, :W], pick_id=pick[:, :H, :W],
+                              depth=depth[:, :H, :W], hdr=hdr[:, :H, :W])
+
+
+@functools.lru_cache(maxsize=4)
+def compiled_sharded_frame(cfg: config.RenderConfig, mesh: Mesh):
+    def fn(scene, pool, lights, cams, params, env):
+        return render_frame_sharded(scene, pool, lights, cams, params, env,
+                                    cfg, mesh)
+    return jax.jit(fn)

@@ -72,6 +72,20 @@ class Engine:
         # Startup parity with App::new (src/app.rs:106): enqueue the env bake.
         self.add_action(RenderingAction.GENERATE_CUBEMAP)
 
+    @classmethod
+    def from_world(cls, world: World, camera: Optional[Camera] = None,
+                   cfg: Optional[config.RenderConfig] = None,
+                   **kwargs) -> "Engine":
+        """Build an engine around a programmatically constructed world
+        (demo/bench scenes) instead of a .lvl file."""
+        eng = cls(cfg=cfg, **kwargs)
+        eng.world = world
+        if camera is not None:
+            eng.camera = camera
+            eng.camera.resize(eng.cfg.width, eng.cfg.height)
+        eng._needs_pack = True
+        return eng
+
     # -- level IO ----------------------------------------------------------
 
     def load_level(self, path: str) -> None:

@@ -95,6 +95,21 @@ class Camera:
         lim = math.pi / 2.0 - 0.0001
         self.orientation[2] = float(np.clip(self.orientation[2], -lim, lim))
 
+    def look_at(self, target) -> None:
+        """Point the camera at ``target`` by solving the orientation euler
+        pair directly: forward = Ry(o0) * Rz(o2) * X, so
+        o2 = asin(dir.y) and o0 = atan2(-dir.z, dir.x).
+
+        The reference's Camera::new derives orientation through a quaternion
+        whose euler decomposition lands in the wrong slots (the in-source
+        TODO "Now the camera can flip", src/camera.rs:55); .lvl files always
+        carry a hand-tuned orientation so it never shows there. This solver
+        is the corrected path used by procedural scenes.
+        """
+        d = math3d.normalize(np.asarray(target, F32) - self.position)
+        self.orientation[2] = float(np.arcsin(np.clip(d[1], -1.0, 1.0)))
+        self.orientation[0] = float(np.arctan2(-d[2], d[0]))
+
     def update(self, delta_seconds: float) -> None:
         speed = self.current_speed_positive - self.current_speed_negative
         if not speed.any():
