@@ -30,7 +30,9 @@ from ..assets import hdr as hdrlib
 from ..scene import level_io
 from ..scene.camera import Camera
 from ..scene.world import World
+from ..utils.notify import Notifier
 from . import frame as framelib
+from . import reload as reloadlib
 from .scene_gpu import CapacityError, ScenePacker
 
 log = logging.getLogger(__name__)
@@ -65,6 +67,9 @@ class Engine:
         self._ibl_cache_path = ibl_cache_path
         self.frame_index = 0
         self.last_output: Optional[framelib.FrameOutput] = None
+        self.notifier = Notifier()
+        self._reloader = reloadlib.KernelReloader()
+        self.last_frame_ms = 0.0
 
         if level_path is not None:
             self.load_level(level_path)
@@ -167,6 +172,28 @@ class Engine:
                 self.write_ibl_to_file(self._ibl_cache_path or "output_ibl.data")
         self._actions.clear()
 
+    # -- live kernel reload (shader hot-recompile analog) ----------------------
+
+    def recompile_kernels(self) -> reloadlib.ReloadResult:
+        """Ctrl+R / GUI "Recompile shaders" (src/app.rs:330-349): reload
+        changed kernel modules, invalidate compiled frames, re-enqueue the
+        environment bakes if the env kernels changed
+        (src/world_renderer.rs:382-399)."""
+        result = self._reloader.reload_if_changed()
+        if not result.ok:
+            self.notifier.push(f"Kernel reload failed: {result.error}", "error")
+            return result
+        if result.changed:
+            reloadlib.invalidate_compiled_frames()
+            if any(m.endswith(".env") for m in result.reloaded):
+                self.add_action(RenderingAction.GENERATE_CUBEMAP)
+                self.add_action(RenderingAction.BAKE_IRRADIANCE)
+            self.notifier.push(
+                f"Reloaded kernels: {', '.join(m.rsplit('.', 1)[-1] for m in result.reloaded)}")
+        else:
+            self.notifier.push("Kernels up to date")
+        return result
+
     # -- params (GlobalGPUParams analog) --------------------------------------
 
     def set_param(self, index: int, value: float) -> None:
@@ -211,8 +238,11 @@ class Engine:
         env = self._ensure_env()  # skybox needs it even with IBL disabled
         fn = framelib.compiled_frame(self.cfg)
         cam_raw = jnp.asarray(self.camera.to_raw())
+        t0 = time.perf_counter()
         out = fn(self._pack.scene, self._packer.texture_pool_gpu(),
                  self._pack.lights, cam_raw, self.params, env)
+        # dispatch wall time; the FPS-label analog (src/gui.rs:513-516)
+        self.last_frame_ms = (time.perf_counter() - t0) * 1e3
         self.last_output = out
         self.frame_index += 1
         return out

@@ -74,6 +74,10 @@ class TransformComponent:
 class PrimitiveShape(str, Enum):  # src/resource_loader.rs:41
     Cube = "Cube"
     Square = "Square"
+    # Extension: the reference loads assets/models/arrow/arrow.obj for its
+    # gizmo (src/gizmo.rs:266-276); we generate the arrow procedurally so
+    # the gizmo works without shipping binary assets.
+    Arrow = "Arrow"
 
 
 @dataclass(frozen=True)
