@@ -1,0 +1,114 @@
+"""Viewer HTTP server tests: the full editor loop over the wire."""
+
+import json
+import urllib.request
+
+import numpy as np
+import pytest
+
+from tinyrenderer_tpu.config import RenderConfig
+from tinyrenderer_tpu.editor.session import EditorApp
+from tinyrenderer_tpu.render.engine import Engine
+from tinyrenderer_tpu.scene import demo
+from tinyrenderer_tpu.viewer.server import ViewerServer
+
+TINY = RenderConfig(
+    width=256, height=128, tile_h=16, tile_w=128, bin_capacity=160,
+    shadow_size=128, shadow_tile=128, shadow_bin_capacity=128,
+    env_size=32, irradiance_size=8, texture_size=64, mip_levels=4,
+    max_vertices=8192, max_triangles=4096, max_instances=64,
+    use_pallas=False, enable_ssr=False,
+)
+
+
+@pytest.fixture(scope="module")
+def server():
+    eng = Engine.from_world(demo.build_demo_world(n_cubes=9),
+                            camera=demo.build_demo_camera(TINY.width, TINY.height),
+                            cfg=TINY)
+    srv = ViewerServer(EditorApp(eng), port=0)  # ephemeral port
+    srv.start_background()
+    yield srv
+    srv.shutdown()
+
+
+def _get(server, path):
+    with urllib.request.urlopen(f"http://127.0.0.1:{server.port}{path}",
+                                timeout=120) as r:
+        return r.read()
+
+
+def _post(server, path, obj):
+    req = urllib.request.Request(f"http://127.0.0.1:{server.port}{path}",
+                                 data=json.dumps(obj).encode(), method="POST")
+    with urllib.request.urlopen(req, timeout=120) as r:
+        return json.loads(r.read())
+
+
+def test_page_and_frame(server):
+    page = _get(server, "/")
+    assert b"<canvas" in page
+    png = _get(server, "/frame.png")
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+
+
+def test_state_has_params(server):
+    s = json.loads(_get(server, "/state"))
+    assert "global_params" in s["params"]
+    fields = {f["name"] for f in s["params"]["global_params"]["fields"]}
+    assert {"exposure", "tone_mapping_type"} <= fields
+
+
+def test_click_selects_over_http(server):
+    _get(server, "/frame.png")
+    server.app.picker.flush()
+    pick = server.app.picker.latest
+    ids = [int(i) for i in np.unique(pick) if i > 1]
+    assert ids
+    oid = max(ids, key=lambda i: (pick == i).sum())
+    ys, xs = np.nonzero(pick == oid)
+    x, y = float(xs[len(xs) // 2]), float(ys[len(ys) // 2])
+    _post(server, "/event", [
+        {"type": "button", "button": "left", "pressed": True, "x": x, "y": y},
+        {"type": "button", "button": "left", "pressed": False, "x": x, "y": y},
+    ])
+    s = json.loads(_get(server, "/state"))
+    assert s["selected"] == oid
+    # the selected object's reflected UI registers on the next frame
+    # (PlayerController update timing, src/player_controller.rs:46-72)
+    _get(server, "/frame.png")
+    s = json.loads(_get(server, "/state"))
+    assert f"object_{oid}" in s["params"]
+
+
+def test_param_edit_changes_frame(server):
+    _post(server, "/set", {"name": "global_params", "path": ["exposure"],
+                           "value": 0.05})
+    from PIL import Image
+    import io
+    dark = np.asarray(Image.open(io.BytesIO(_get(server, "/frame.png"))))
+    _post(server, "/set", {"name": "global_params", "path": ["exposure"],
+                           "value": 4.0})
+    bright = np.asarray(Image.open(io.BytesIO(_get(server, "/frame.png"))))
+    assert bright.mean() > dark.mean() + 10
+
+
+def test_bad_requests_surface_cleanly(server):
+    # unknown action -> 500 with toast, server stays alive
+    try:
+        _post(server, "/action", {"action": "nonsense"})
+        assert False, "expected HTTPError"
+    except urllib.error.HTTPError as e:
+        assert e.code == 500
+    s = json.loads(_get(server, "/state"))
+    assert any("nonsense" in t["message"] for t in s["toasts"])
+    # malformed json -> 400
+    req = urllib.request.Request(f"http://127.0.0.1:{server.port}/set",
+                                 data=b"{not json", method="POST")
+    try:
+        urllib.request.urlopen(req, timeout=30)
+        assert False
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+    # still serving frames
+    assert _get(server, "/frame.png")[:4] == b"\x89PNG"

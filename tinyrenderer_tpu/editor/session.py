@@ -11,8 +11,10 @@ import logging
 from typing import Optional
 
 from ..render.engine import Engine, RenderingAction
+from ..render.global_params import GlobalParams
 from . import events
 from .controller import Action, PlayerController
+from .params import ParamRegistry
 from .picking import PickReadbackManager
 
 log = logging.getLogger(__name__)
@@ -27,6 +29,14 @@ class EditorApp:
             self.picker.get_object_id_at)
         self.should_exit = False
         self.gui_visible = True
+        # reflected runtime parameters (src/app.rs:84-101): GlobalParams is
+        # always registered; the selected object registers on selection
+        # (GuiSettableValue RAII analog, src/player_controller.rs:46-72).
+        self.registry = ParamRegistry()
+        self.global_params = GlobalParams()
+        self.registry.register("global_params", self.global_params)
+        self.engine.params = self.global_params.to_device()
+        self._registered_object_id = None
 
     # -- events (src/app.rs:160-198) -------------------------------------------
 
@@ -47,11 +57,33 @@ class EditorApp:
 
     # -- frame (src/app.rs:286-300) --------------------------------------------
 
+    def _sync_registry(self) -> None:
+        """Apply reflected-UI edits and keep the selected object registered
+        (src/app.rs:312-328 handle_*_events + src/player_controller.rs:46-72)."""
+        for name in self.registry.drain_changes():
+            if name == "global_params":
+                self.global_params = self.registry.get(name)
+                self.engine.params = self.global_params.to_device()
+            elif name.startswith("object_"):
+                oid = int(name.split("_", 1)[1])
+                self.engine.world.mark_modified(oid)
+
+        sel = self.selected_object_id
+        if sel != self._registered_object_id:
+            if self._registered_object_id is not None:
+                self.registry.deregister(f"object_{self._registered_object_id}")
+            if sel is not None:
+                obj = self.engine.world.get_world_object(sel)
+                if obj is not None:
+                    self.registry.register(f"object_{sel}", obj)
+            self._registered_object_id = sel
+
     def run_frame(self, delta_seconds: float = 0.016):
         # controller.camera is the same object as engine.camera unless the
         # engine reloaded a level — resync then.
         if self.controller.camera_input.camera is not self.engine.camera:
             self.controller.camera_input.camera = self.engine.camera
+        self._sync_registry()
         self.controller.update(self.engine.world)
         out = self.engine.run_frame(delta_seconds)
         self.picker.on_end_frame(out.pick_id)

@@ -15,5 +15,20 @@ def save_png(path: str, img: np.ndarray) -> None:
     Image.fromarray(a, mode).save(path)
 
 
+def encode_png(img: np.ndarray) -> bytes:
+    """Encode (H, W, 3|4) uint8 to PNG bytes (viewer frame streaming)."""
+    import io
+
+    from PIL import Image
+    a = np.asarray(img)
+    if a.dtype != np.uint8:
+        a = np.clip(a * 255.0 + 0.5, 0, 255).astype(np.uint8)
+    mode = "RGBA" if a.shape[-1] == 4 else "RGB"
+    buf = io.BytesIO()
+    # compress_level=1: frame streaming favors latency over size
+    Image.fromarray(a, mode).save(buf, format="PNG", compress_level=1)
+    return buf.getvalue()
+
+
 def save_pfm_like_npy(path: str, img: np.ndarray) -> None:
     np.save(path, np.asarray(img, np.float32))
