@@ -87,7 +87,12 @@ def build_mesh(positions, tex_coords, normals, indices) -> MeshData:
     tex_coords = np.asarray(tex_coords, F32).reshape(-1, 2)
     normals = np.asarray(normals, F32).reshape(-1, 3)
     indices = np.asarray(indices, I32).ravel()
-    tangents, bitangents = compute_tangents(positions, tex_coords, indices)
+    # native C++ fast path (native/asset_loader.cpp), numpy fallback
+    from . import native
+    tb = native.compute_tangents(positions, tex_coords, indices)
+    if tb is None:
+        tb = compute_tangents(positions, tex_coords, indices)
+    tangents, bitangents = tb
     return MeshData(positions, tex_coords, normals, tangents, bitangents, indices)
 
 
