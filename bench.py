@@ -11,6 +11,7 @@ than the target.
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import sys
@@ -21,52 +22,81 @@ WARMUP = 3
 ITERS = 30
 
 
-def build_engine():
+def build_engine(stress: bool = False):
     from tinyrenderer_tpu.config import RenderConfig
     from tinyrenderer_tpu.render.engine import Engine
     from tinyrenderer_tpu.scene import demo
 
+    if stress:
+        # BASELINE.json config 5: 500+ draws, 2K shadow atlas, 1440p
+        cfg = RenderConfig(width=2560, height=1440, shadow_size=2048,
+                           max_instances=1024, max_vertices=16384,
+                           max_triangles=8192, max_materials=1024,
+                           bin_capacity=512)
+        return Engine.from_world(
+            demo.build_stress_world(500),
+            camera=demo.build_demo_camera(cfg.width, cfg.height), cfg=cfg)
     cfg = RenderConfig(width=1920, height=1080)
     ref_level = "/root/reference/levels/test.lvl"
     if os.path.exists(ref_level):
         return Engine(cfg=cfg, level_path=ref_level)
-    return Engine.from_world(demo.build_demo_world(n_cubes=50), cfg=cfg)
+    return Engine.from_world(
+        demo.build_demo_world(n_cubes=50),
+        camera=demo.build_demo_camera(cfg.width, cfg.height), cfg=cfg)
 
 
-def main() -> None:
+def time_engine(eng, trace_dir: str = ""):
     import jax
     import jax.numpy as jnp
 
     from tinyrenderer_tpu.render import frame as framelib
 
-    eng = build_engine()
     eng.update(0.0)
     eng._drain_actions()
     env = eng._ensure_env()
     cfg = eng.cfg
 
     fn = framelib.compiled_frame(cfg)
-    scene = eng._pack.scene
-    pool = eng._packer.texture_pool_gpu()
-    lights = eng._pack.lights
-    cam = jnp.asarray(eng.camera.to_raw())
-    params = eng.params
+    args = (eng._pack.scene, eng._packer.texture_pool_gpu(), eng._pack.lights,
+            jnp.asarray(eng.camera.to_raw()), eng.params, env)
 
     for _ in range(WARMUP):
-        out = fn(scene, pool, lights, cam, params, env)
+        out = fn(*args)
     jax.block_until_ready(out)
+
+    if trace_dir:  # jax.profiler trace (the RenderDoc-capture analog)
+        with jax.profiler.trace(trace_dir):
+            jax.block_until_ready(fn(*args))
 
     times = []
     for _ in range(ITERS):
         t0 = time.perf_counter()
-        out = fn(scene, pool, lights, cam, params, env)
+        out = fn(*args)
         jax.block_until_ready(out)
         times.append((time.perf_counter() - t0) * 1e3)
     times.sort()
-    p50 = times[len(times) // 2]
+    return times
 
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--stress", action="store_true",
+                    help="500-draw 1440p 2K-shadow stress config")
+    ap.add_argument("--trace-dir", default="",
+                    help="write a jax.profiler trace of one frame")
+    args = ap.parse_args()
+
+    import jax
+
+    eng = build_engine(stress=args.stress)
+    times = time_engine(eng, args.trace_dir)
+    p50 = times[len(times) // 2]
+    tris = int(eng._pack.counts["triangles"])
+
+    name = ("ms/frame p50, 1440p 500-draw stress, 2K shadows" if args.stress
+            else "ms/frame p50, 1080p deferred PBR+shadows+IBL (test.lvl)")
     print(json.dumps({
-        "metric": "ms/frame p50, 1080p deferred PBR+shadows+IBL (test.lvl)",
+        "metric": name,
         "value": round(p50, 3),
         "unit": "ms/frame",
         "vs_baseline": round(BASELINE_MS / p50, 3),
@@ -74,8 +104,9 @@ def main() -> None:
             "backend": jax.default_backend(),
             "p10_ms": round(times[len(times) // 10], 3),
             "p90_ms": round(times[(len(times) * 9) // 10], 3),
-            "triangles": int(eng._pack.counts["triangles"]),
-            "shadow_views": int(cfg.num_shadow_views),
+            "triangles": tris,
+            "mtris_per_s": round(tris / (p50 * 1e-3) / 1e6, 2),
+            "shadow_views": int(eng.cfg.num_shadow_views),
         },
     }))
 

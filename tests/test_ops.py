@@ -1,0 +1,174 @@
+"""Per-kernel numerical tests: BRDF terms, tone mapping, environment maps.
+
+The reference has no such tests (SURVEY.md §4); these check our kernels
+against analytic values — the WGSL formulas evaluated by hand."""
+
+import math
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tinyrenderer_tpu.ops import env as envops
+from tinyrenderer_tpu.ops import post, sampling, shading
+
+F32 = np.float32
+
+
+# -- Cook-Torrance terms (main.wgsl:124-200) ---------------------------------
+
+def test_fresnel_schlick_limits():
+    f0 = jnp.array(0.04)
+    # normal incidence -> F0; grazing -> 1
+    assert float(shading.fresnel_schlick(jnp.array(1.0), f0)) == pytest.approx(0.04)
+    assert float(shading.fresnel_schlick(jnp.array(0.0), f0)) == pytest.approx(1.0)
+    # cos=0.5 -> f0 + (1-f0)*0.5^5
+    assert float(shading.fresnel_schlick(jnp.array(0.5), f0)) == pytest.approx(
+        0.04 + 0.96 * 0.5 ** 5, rel=1e-6)
+
+
+def test_ggx_ndf_analytic():
+    # D(n==h) = a^4 / (pi * a^4^... ) with nh=1: denom = a4, D = 1/(pi*a4)...
+    # D = r4 / (pi * (nh2*(r4-1)+1)^2); nh=1 -> r4/(pi*r4^2) = 1/(pi*r4)
+    r = 0.5
+    got = float(shading.distribution_ggx(jnp.array(1.0), jnp.array(r)))
+    assert got == pytest.approx(1.0 / (math.pi * r ** 4), rel=1e-5)
+
+
+def test_geometry_smith_range():
+    g = float(shading.geometry_smith(jnp.array(1.0), jnp.array(1.0), jnp.array(0.0)))
+    assert 0.0 < g <= 1.0 + 1e-6
+    # rougher surfaces shadow more
+    g_rough = float(shading.geometry_smith(jnp.array(0.5), jnp.array(0.5), jnp.array(1.0)))
+    g_smooth = float(shading.geometry_smith(jnp.array(0.5), jnp.array(0.5), jnp.array(0.1)))
+    assert g_rough < g_smooth
+
+
+def test_light_contribution_lambertian_limit():
+    """Fully rough, non-metal, head-on light: spec ~ small, diffuse ~
+    kD * albedo/pi * NdotL * color."""
+    shape = (1, 1)
+    n = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0], F32), (*shape, 3))
+    v = n
+    l = n
+    albedo = jnp.full((*shape, 3), 0.5, F32)
+    color = jnp.ones(3, F32)[None, None]
+    contrib = shading.light_contribution(
+        l, color, 1.0, v, n, albedo, jnp.zeros((*shape, 1), F32),
+        jnp.ones((*shape, 1), F32))
+    got = np.asarray(contrib)[0, 0]
+    # F at normal incidence = 0.04 -> kD = 0.96
+    expected_diffuse = 0.96 * 0.5 / math.pi
+    assert got[0] == pytest.approx(expected_diffuse, rel=0.2)  # + small spec
+
+
+# -- tone mapping (tone_mapping.wgsl:30-41) -----------------------------------
+
+def test_tone_map_modes():
+    hdr = jnp.full((2, 2, 3), 1.0, F32)
+    # type 0: identity + gamma -> clip(1)^(1/2.2) = 1 -> 255
+    out0 = np.asarray(post.tone_map(hdr, jnp.array(0.0), jnp.array(1.0)))
+    assert (out0 == 255).all()
+    # type 1: exposure 1-exp(-c*k)
+    out1 = np.asarray(post.tone_map(hdr, jnp.array(1.0), jnp.array(2.0)))
+    expect = round(((1.0 - math.exp(-2.0)) ** (1 / 2.2)) * 255 + 0.5)
+    assert abs(int(out1[0, 0, 0]) - expect) <= 1
+    # type 2: Reinhard c/(c+1) = 0.5
+    out2 = np.asarray(post.tone_map(hdr, jnp.array(2.0), jnp.array(1.0)))
+    expect2 = round((0.5 ** (1 / 2.2)) * 255 + 0.5)
+    assert abs(int(out2[0, 0, 0]) - expect2) <= 1
+    # monotonic in exposure
+    dim = np.asarray(post.tone_map(hdr * 0.1, jnp.array(1.0), jnp.array(1.0)))
+    assert dim[0, 0, 0] < out1[0, 0, 0]
+
+
+# -- cubemap sampling (main.wgsl cube lookups, skybox.wgsl) -------------------
+
+def test_cubemap_face_selection():
+    # constant-colored faces: sampling along each axis returns that face
+    cube = np.zeros((6, 4, 4, 3), F32)
+    for f in range(6):
+        cube[f, :, :, 0] = f
+    cube = jnp.asarray(cube)
+    # wgpu face order: +X, -X, +Y, -Y, +Z, -Z
+    axes = [(1, 0, 0), (-1, 0, 0), (0, 1, 0), (0, -1, 0), (0, 0, 1), (0, 0, -1)]
+    for f, d in enumerate(axes):
+        c = sampling.sample_cubemap(cube, jnp.array([[d]], F32))
+        assert int(np.asarray(c)[0, 0, 0]) == f, (f, d)
+
+
+def test_face_texel_dirs_unit_and_cover():
+    dirs = np.asarray(sampling.face_texel_dirs(8))
+    norms = np.linalg.norm(dirs, axis=-1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-5)
+    # all 6 principal directions are approximately covered
+    flat = dirs.reshape(-1, 3)
+    for axis in range(3):
+        assert flat[:, axis].max() > 0.9
+        assert flat[:, axis].min() < -0.9
+
+
+# -- equirect mapping (equirectangular_to_cubemap.wgsl:48-56) -----------------
+
+def test_equirect_sampling_poles_and_seam():
+    H, W = 16, 32
+    img = np.zeros((H, W, 3), F32)
+    img[:, :, 0] = np.linspace(0, 1, H)[:, None]   # red ramp with latitude
+    img = jnp.asarray(img)
+    up = envops.sample_equirect(img, jnp.array([[[0.0, 1.0, 0.0]]], F32))
+    down = envops.sample_equirect(img, jnp.array([[[0.0, -1.0, 0.0]]], F32))
+    # reference flips v (y up -> top of image): up should be darker (row 0)
+    assert float(np.asarray(up)[0, 0, 0]) < float(np.asarray(down)[0, 0, 0])
+
+
+# -- irradiance bake (diffuse_irradiance_bake.wgsl:49-78) ---------------------
+
+def test_irradiance_constant_env():
+    """For a constant environment L, the bake computes
+    pi * L * mean(cos*sin) ... with the reference's Riemann sum the analytic
+    value is L * pi * (sum cos sin / N) = L * pi * avg. Verify against the
+    discrete sum itself and sanity-bound by the analytic pi*L*(1/2)*(2pi/N_phi...)."""
+    L = 0.75
+    cube = jnp.full((6, 8, 8, 3), L, F32)
+    irr = np.asarray(envops.bake_irradiance(cube, 4))
+    dirs, w, total = envops.irradiance_sample_dirs()
+    expected = math.pi * L * w.sum() / total
+    np.testing.assert_allclose(irr, expected, rtol=1e-4)
+    # and that discrete sum approximates the analytic pi*L/ (integral
+    # normalization): integral of cos*sin over hemisphere/N steps ~ 1/2 avg
+    assert 0.5 * L < irr.mean() < 1.5 * L
+
+
+def test_irradiance_directional_env():
+    """Environment lit only from +Y: texels with normal +Y receive the most
+    irradiance, normal -Y the least."""
+    cube = np.zeros((6, 8, 8, 3), F32)
+    cube[2] = 1.0  # +Y face
+    irr = np.asarray(envops.bake_irradiance(jnp.asarray(cube), 4))
+    assert irr[2].mean() > irr[3].mean() * 3  # +Y face >> -Y face
+
+
+# -- mip pyramid (mipmap_generator.wgsl) --------------------------------------
+
+def test_texture_pool_mip_levels():
+    from tinyrenderer_tpu.assets import textures as texlib
+    base = np.zeros((64, 64, 4), F32)
+    base[:32] = 1.0  # top half white
+    chain = texlib.build_mip_chain(base, 4)       # [(s,s,4) per level]
+    pool = sampling.pack_texture_pool([m[None] for m in chain])
+    # level sizes halve
+    sizes = list(np.asarray(pool.level_sizes))
+    assert sizes[0] == 64 and sizes[1] == 32
+    # sampling at a coarse level mixes the halves near the boundary
+    uv = jnp.array([[[0.5, 0.5]]], F32)
+    fine = sampling.sample_pool_bilinear_level(pool, jnp.array([[0]]), uv, 0)
+    np.testing.assert_allclose(np.asarray(fine)[0, 0, :3], 0.5, atol=0.5)
+
+
+def test_mip_level_from_uv_monotonic():
+    # a uv grid spanning more texels -> higher mip level
+    uv_fine = jnp.broadcast_to(jnp.linspace(0, 0.01, 8)[None, :, None], (8, 8, 2))
+    uv_coarse = jnp.broadcast_to(jnp.linspace(0, 1.0, 8)[None, :, None], (8, 8, 2))
+    l_fine = float(np.asarray(sampling.mip_level_from_uv(uv_fine, 256)).mean())
+    l_coarse = float(np.asarray(sampling.mip_level_from_uv(uv_coarse, 256)).mean())
+    assert l_coarse > l_fine
