@@ -1,0 +1,34 @@
+"""Raster bin-capacity monitor: overflow grows the envelope, no silent
+triangle drops persist."""
+
+import numpy as np
+
+from tinyrenderer_tpu.config import RenderConfig
+from tinyrenderer_tpu.render.engine import Engine
+from tinyrenderer_tpu.scene import demo
+
+SMALL_BINS = RenderConfig(
+    width=128, height=64, tile_h=16, tile_w=128, bin_capacity=8,
+    shadow_size=64, shadow_tile=64, shadow_bin_capacity=256,
+    env_size=16, irradiance_size=8, texture_size=32, mip_levels=3,
+    max_vertices=8192, max_triangles=4096, max_instances=128,
+    use_pallas=False, enable_ssr=False, enable_shadows=False,
+)
+
+
+def test_bin_overflow_grows_capacity():
+    # 40 overlapping cubes in a 128px frame with bin_capacity=8 must overflow
+    eng = Engine.from_world(demo.build_demo_world(n_cubes=40),
+                            camera=demo.build_demo_camera(128, 64),
+                            cfg=SMALL_BINS)
+    assert eng.cfg.bin_capacity == 8
+    toast_seen = False
+    for _ in range(4):  # async monitor may take a frame to land
+        eng.run_frame(0.0)
+        toast_seen = toast_seen or any(
+            "overflow" in t.message for t in eng.notifier.active())
+    assert eng.cfg.bin_capacity > 8
+    assert toast_seen
+    # after growth, a settled frame reports no overflow beyond capacity
+    out = eng.run_frame(0.0)
+    assert int(out.bin_overflow) <= eng.cfg.bin_capacity

@@ -81,6 +81,7 @@ def irradiance_sample_dirs() -> tuple[np.ndarray, np.ndarray, int]:
     return dirs, weights, dirs.shape[0]
 
 
+@jax.named_scope("irradiance_bake")
 def bake_irradiance(env_cube: jax.Array, size: int, chunk: int = 128) -> jax.Array:
     """Diffuse irradiance convolution -> (6, S, S, 3).
 
@@ -118,6 +119,7 @@ def bake_irradiance(env_cube: jax.Array, size: int, chunk: int = 128) -> jax.Arr
     return irr.reshape(6, size, size, 3)
 
 
+@jax.named_scope("skybox")
 def skybox_colors(env_cube: jax.Array, proj_inv: jax.Array,
                   view_rot_inv: jax.Array, width: int, height: int,
                   y0: int = 0, full_height: int = 0) -> jax.Array:

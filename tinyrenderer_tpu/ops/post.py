@@ -25,6 +25,7 @@ TONE_MAP_EXPOSURE = 1
 TONE_MAP_REINHARD = 2
 
 
+@jax.named_scope("tone_map")
 def tone_map(hdr: jax.Array, tone_type: jax.Array, exposure: jax.Array) -> jax.Array:
     """(H, W, 3) HDR -> (H, W, 3) u8 SDR. tone_type/exposure are traced
     scalars (from GlobalParams) so changing them never retraces."""
@@ -37,6 +38,7 @@ def tone_map(hdr: jax.Array, tone_type: jax.Array, exposure: jax.Array) -> jax.A
     return jnp.clip(gamma * 255.0 + 0.5, 0.0, 255.0).astype(jnp.uint8)
 
 
+@jax.named_scope("ssr")
 def screen_space_reflections(hdr: jax.Array, depth: jax.Array,
                              position: jax.Array, normal: jax.Array,
                              view_proj: jax.Array, camera_pos: jax.Array,

@@ -67,6 +67,7 @@ class TriangleSetup(NamedTuple):
     z_ndc: jax.Array      # (T, 3) f32 per-corner reverse-Z depth
 
 
+@jax.named_scope("vertex_transform")
 def transform_vertices(positions: jax.Array, vert_instance: jax.Array,
                        inst_model: jax.Array, view_proj: jax.Array
                        ) -> tuple[jax.Array, jax.Array]:
@@ -349,6 +350,7 @@ def _rasterize_binned_jnp(bins: Bins, tile_h: int, tile_w: int
     return _untile(id_tiles), _untile(z_tiles)
 
 
+@jax.named_scope("raster")
 def rasterize(clip: jax.Array, tri_vidx: jax.Array, tri_mask: jax.Array,
               width: int, height: int, tile_h: int, tile_w: int,
               bin_capacity: int, cull: str = "back", use_pallas: bool = True

@@ -81,6 +81,7 @@ def interpolate(tri_id: jax.Array, setup_rows: jax.Array, tri_vidx: jax.Array,
     return out, valid
 
 
+@jax.named_scope("gbuffer_resolve")
 def resolve_gbuffer(tri_id: jax.Array, depth: jax.Array, setup_rows: jax.Array,
                     tri_vidx: jax.Array, tri_instance: jax.Array,
                     attrs: VertexAttrs,

@@ -101,6 +101,7 @@ class ShadingLights(NamedTuple):
     dir_viewproj: jax.Array    # (D, 4, 4)
 
 
+@jax.named_scope("deferred_shading")
 def shade_deferred(g: GBuffer, camera_pos: jax.Array, lights: ShadingLights,
                    num_point: int, num_directional: int,
                    irradiance_cube: jax.Array | None,

@@ -27,6 +27,7 @@ F32 = jnp.float32
 I32 = jnp.int32
 
 
+@jax.named_scope("shadow_pass")
 def render_shadow_views(clip_per_view: jax.Array, tri_vidx: jax.Array,
                         tri_mask: jax.Array, size: int, tile: int,
                         bin_capacity: int, use_pallas: bool = True) -> jax.Array:

@@ -70,6 +70,7 @@ class Engine:
         self.notifier = Notifier()
         self._reloader = reloadlib.KernelReloader()
         self.last_frame_ms = 0.0
+        self._overflow_inflight: list = []
 
         if level_path is not None:
             self.load_level(level_path)
@@ -245,7 +246,34 @@ class Engine:
         self.last_frame_ms = (time.perf_counter() - t0) * 1e3
         self.last_output = out
         self.frame_index += 1
+        self._check_bin_overflow(out.bin_overflow)
         return out
+
+    def _check_bin_overflow(self, overflow) -> None:
+        """Bin-capacity monitor: if a tile wanted more triangles than the
+        bin envelope, triangles were dropped — grow the capacity for the
+        next frame (grow-by-reallocating at raster scope, like
+        src/light_render_data.rs:145-152 for lights). Values are polled
+        asynchronously (like the pick readback) so the check never blocks
+        the frame loop."""
+        self._overflow_inflight.append(overflow)
+        while self._overflow_inflight:
+            head = self._overflow_inflight[0]
+            ready = getattr(head, "is_ready", lambda: True)()
+            if not ready and len(self._overflow_inflight) < 4:
+                break
+            self._overflow_inflight.pop(0)
+            v = int(head)
+            if v > self.cfg.bin_capacity:
+                new_cap = 1 << (v - 1).bit_length()
+                log.info("bin overflow %d > %d; growing bin_capacity to %d",
+                         v, self.cfg.bin_capacity, new_cap)
+                self.notifier.push(
+                    f"Raster bin overflow ({v}); capacity grown to {new_cap}",
+                    "warning")
+                self.cfg = replace(self.cfg, bin_capacity=new_cap)
+                self._overflow_inflight.clear()
+                break
 
     def on_end_frame(self) -> None:
         self.world.on_end_frame()
