@@ -1,0 +1,82 @@
+"""Asset pipeline tests: HDR codec, texture defaults, light capacity."""
+
+import numpy as np
+import pytest
+
+from tinyrenderer_tpu.assets import hdr as hdrlib
+from tinyrenderer_tpu.assets import textures as texlib
+
+
+def test_hdr_roundtrip(rng):
+    img = (rng.random((16, 24, 3)).astype(np.float32) * 8.0 + 0.01)
+    data = hdrlib.encode_hdr(img)
+    out = hdrlib.decode_hdr(data)
+    assert out.shape == img.shape
+    # RGBE shares one exponent per pixel: error bound is ~max_channel/256
+    bound = img.max(axis=-1, keepdims=True) / 256.0 + 1e-4
+    assert (np.abs(out - img) <= bound).all()
+
+
+def test_hdr_rle_decode(rng):
+    """Hand-build an adaptive-RLE scanline file and decode it."""
+    w, h = 16, 2
+    rgbe = np.zeros((h, w, 4), np.uint8)
+    rgbe[..., 0] = 100           # constant red mantissa
+    rgbe[0, :, 1] = np.arange(w)  # varying green
+    rgbe[..., 3] = 128            # exponent for ~[0,1) range
+
+    def rle_scanline(row):
+        out = bytearray([2, 2, w >> 8, w & 0xFF])
+        for ch in range(4):
+            vals = row[:, ch]
+            if (vals == vals[0]).all():      # one run
+                out += bytes([128 + w, int(vals[0])])
+            else:                            # one literal block
+                out += bytes([w]) + vals.tobytes()
+        return bytes(out)
+
+    payload = b"".join(rle_scanline(rgbe[y]) for y in range(h))
+    data = (b"#?RADIANCE\nFORMAT=32-bit_rle_rgbe\n\n"
+            + f"-Y {h} +X {w}\n".encode() + payload)
+    out = hdrlib.decode_hdr(data)
+    expected = hdrlib.rgbe_to_float(rgbe)
+    np.testing.assert_allclose(out, expected, rtol=1e-6)
+
+
+def test_hdr_rejects_non_hdr():
+    with pytest.raises(ValueError):
+        hdrlib.decode_hdr(b"PNG not really")
+
+
+def test_procedural_sky_is_plausible():
+    sky = hdrlib.procedural_sky(32, 64)
+    assert sky.shape == (32, 64, 3)
+    assert sky.min() >= 0.0
+    # sky top (v=0) should be bluer than ground bottom
+    assert sky[0, :, 2].mean() > sky[-1, :, 2].mean()
+
+
+def test_default_textures():
+    alb = texlib.default_albedo(16)
+    nrm = texlib.default_normal(16)
+    assert alb.shape == (16, 16, 4)
+    # flat normal map encodes +Z: (0.5, 0.5, 1.0)
+    np.testing.assert_allclose(nrm[..., 2], 1.0, atol=0.01)
+    np.testing.assert_allclose(nrm[..., 0], 0.5, atol=0.01)
+
+
+def test_max_lights_clamped(caplog):
+    from tinyrenderer_tpu.config import MAX_LIGHTS, RenderConfig
+    from tinyrenderer_tpu.render.scene_gpu import ScenePacker
+    from tinyrenderer_tpu.scene import components as comp
+    from tinyrenderer_tpu.scene.world import World, WorldObject
+
+    world = World()
+    for i in range(MAX_LIGHTS + 3):
+        world.add_world_object(WorldObject(
+            components=[comp.LightObjectComponent()],
+            transform=comp.TransformComponent(
+                position=np.array([i, 5.0, 0.0], np.float32))))
+    cfg = RenderConfig(max_instances=64, texture_size=32, mip_levels=3)
+    pack = ScenePacker(cfg, (".",)).pack(world)
+    assert pack.counts["point_lights"] == MAX_LIGHTS

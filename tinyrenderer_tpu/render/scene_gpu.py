@@ -221,6 +221,17 @@ class ScenePacker:
             if dl is not None:
                 dir_lights.append((dl.direction.copy(), dl.color.copy()))
 
+        # MAX_LIGHTS cap (src/renderer.rs:9): excess lights are dropped
+        # with a warning rather than crashing the frame.
+        if len(point_lights) > config.MAX_LIGHTS:
+            log.warning("dropping %d point lights over MAX_LIGHTS=%d",
+                        len(point_lights) - config.MAX_LIGHTS, config.MAX_LIGHTS)
+            point_lights = point_lights[:config.MAX_LIGHTS]
+        if len(dir_lights) > config.MAX_LIGHTS:
+            log.warning("dropping %d directional lights over MAX_LIGHTS=%d",
+                        len(dir_lights) - config.MAX_LIGHTS, config.MAX_LIGHTS)
+            dir_lights = dir_lights[:config.MAX_LIGHTS]
+
         n_verts = vert_off
         n_tris = sum(t.shape[0] for t in t_vidx) if t_vidx else 0
         n_insts = len(i_model)
