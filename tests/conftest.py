@@ -22,6 +22,11 @@ import pytest  # noqa: E402
 REFERENCE_DIR = "/root/reference"
 
 
+def pytest_addoption(parser):
+    parser.addoption("--regen-goldens", action="store_true", default=False,
+                     help="regenerate golden images instead of comparing")
+
+
 @pytest.fixture(scope="session")
 def reference_level_path() -> str:
     return os.path.join(REFERENCE_DIR, "levels", "test.lvl")

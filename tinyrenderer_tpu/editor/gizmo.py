@@ -137,6 +137,9 @@ class Gizmo:
             part = world.get_world_object_mut(oid)
             if part is not None:
                 part.transform.scale = np.full(3, s, F32)
+                # follow the object when its position was edited externally
+                # (reflected-UI edits, src/player_controller.rs:74-93 sync)
+                part.transform.position = pos.copy()
 
     def update_position(self, position: np.ndarray, world: World) -> None:
         for oid in self.part_axis:
