@@ -213,6 +213,30 @@ def cube() -> MeshData:
     return build_mesh(positions, tex_coords, normals, indices)
 
 
+def uv_sphere(stacks: int = 16, slices: int = 24) -> MeshData:
+    """Unit UV sphere — an extension primitive (the reference ships only
+    cube/square) used by the high-poly stress scenes."""
+    positions, tex_coords, normals, indices = [], [], [], []
+    for i in range(stacks + 1):
+        theta = math.pi * i / stacks
+        for j in range(slices + 1):
+            phi = 2.0 * math.pi * j / slices
+            n = (math.sin(theta) * math.cos(phi), math.cos(theta),
+                 math.sin(theta) * math.sin(phi))
+            positions.append(n)
+            normals.append(n)
+            tex_coords.append((j / slices, i / stacks))
+    for i in range(stacks):
+        for j in range(slices):
+            a = i * (slices + 1) + j
+            b = a + slices + 1
+            if i > 0:
+                indices.extend((a, b, a + 1))
+            if i < stacks - 1:
+                indices.extend((a + 1, b, b + 1))
+    return build_mesh(positions, tex_coords, normals, indices)
+
+
 def arrow(shaft_radius: float = 0.03, head_radius: float = 0.09,
           shaft_length: float = 0.75, total_length: float = 1.0,
           segments: int = 12) -> MeshData:
@@ -270,6 +294,8 @@ def get_primitive(name: str) -> MeshData:
             _PRIMITIVE_CACHE[key] = square()
         elif key == "arrow":
             _PRIMITIVE_CACHE[key] = arrow()
+        elif key == "sphere":
+            _PRIMITIVE_CACHE[key] = uv_sphere()
         else:
             raise KeyError(f"unknown primitive: {name}")
     return _PRIMITIVE_CACHE[key]

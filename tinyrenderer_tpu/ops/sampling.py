@@ -98,19 +98,25 @@ def sample_pool_bilinear_level(pool: TexturePoolGPU, tex: jax.Array,
 
 def sample_pool_mip(pool: TexturePoolGPU, tex: jax.Array, uv: jax.Array,
                     level_f: jax.Array, wrap: bool = True) -> jax.Array:
-    """Nearest-mip bilinear sample with a per-pixel fractional mip level.
+    """Trilinear sample with a per-pixel fractional mip level (the material
+    sampler is mipmap_filter: Linear in the reference, src/texture.rs:264-266).
 
-    Computes the sample at every static level and selects — levels are few
-    (<= 8) and each per-level pass is a cheap gather, which XLA fuses; this
-    keeps shapes static.
+    Computes the bilinear sample at every static level and blends the two
+    adjacent ones — levels are few (<= 8) and each per-level pass is a cheap
+    gather, which XLA fuses; this keeps shapes static.
     """
     nlev = len(pool.level_sizes)
-    level_i = jnp.clip(jnp.round(level_f), 0, nlev - 1).astype(I32)
-    out = jnp.zeros((*uv.shape[:-1], 4), F32)
+    lf = jnp.clip(level_f, 0.0, nlev - 1.0)
+    lo = jnp.floor(lf).astype(I32)
+    frac = (lf - lo.astype(F32))[..., None]
+    out_lo = jnp.zeros((*uv.shape[:-1], 4), F32)
+    out_hi = jnp.zeros((*uv.shape[:-1], 4), F32)
     for l in range(nlev):
         sample = sample_pool_bilinear_level(pool, tex, uv, l, wrap)
-        out = jnp.where((level_i == l)[..., None], sample, out)
-    return out
+        out_lo = jnp.where((lo == l)[..., None], sample, out_lo)
+        out_hi = jnp.where((jnp.minimum(lo + 1, nlev - 1) == l)[..., None],
+                           sample, out_hi)
+    return out_lo * (1.0 - frac) + out_hi * frac
 
 
 def mip_level_from_uv(uv: jax.Array, base_size: int) -> jax.Array:

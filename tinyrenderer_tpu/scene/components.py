@@ -78,6 +78,8 @@ class PrimitiveShape(str, Enum):  # src/resource_loader.rs:41
     # gizmo (src/gizmo.rs:266-276); we generate the arrow procedurally so
     # the gizmo works without shipping binary assets.
     Arrow = "Arrow"
+    # Extension: high-poly primitive for stress/bench scenes.
+    Sphere = "Sphere"
 
 
 @dataclass(frozen=True)
