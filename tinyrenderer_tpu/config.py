@@ -57,6 +57,7 @@ class RenderConfig:
     max_vertices: int = 4096      # flattened per-instance vertices
     max_triangles: int = 2048     # flattened per-instance triangles
     max_materials: int = 64
+    max_forward_triangles: int = 512  # gizmos/billboards (own small pool)
     num_point_lights: int = 1     # static active counts (retrace on change,
     num_directional_lights: int = 1  # mirroring light-buffer rebuilds)
 
@@ -107,7 +108,7 @@ class RenderConfig:
 
     def grown_for(self, n_instances: int, n_vertices: int, n_triangles: int,
                   n_materials: int, n_point: int, n_directional: int,
-                  n_textures: int) -> "RenderConfig":
+                  n_textures: int, n_forward: int = 0) -> "RenderConfig":
         """Return a config whose capacities fit the given scene sizes."""
         return replace(
             self,
@@ -116,6 +117,8 @@ class RenderConfig:
             max_triangles=_next_bucket(n_triangles, self.max_triangles),
             max_materials=_next_bucket(n_materials, self.max_materials),
             max_textures=_next_bucket(n_textures, self.max_textures),
+            max_forward_triangles=_next_bucket(n_forward,
+                                               self.max_forward_triangles),
             num_point_lights=max(n_point, 0),
             num_directional_lights=max(n_directional, 0),
         )

@@ -86,9 +86,8 @@ def _render_band(scene: SceneGPU, pool, lights: LightsGPU, atlas,
     attrs = resolve.VertexAttrs(world=world, uv=scene.vert_uv,
                                 normal=n_w, tangent=t_w, bitangent=b_w)
 
-    def band_raster(tri_mask, cull):
-        setup = raster.triangle_setup(clip, scene.tri_vidx, tri_mask,
-                                      PW, PH, cull)
+    def band_raster(tri_vidx, tri_mask, cull):
+        setup = raster.triangle_setup(clip, tri_vidx, tri_mask, PW, PH, cull)
         setup = raster.translate_setup_y(setup, y0)
         bins = raster.bin_triangles(setup, PW, band_h, cfg.tile_h, cfg.tile_w,
                                     cfg.bin_capacity)
@@ -96,7 +95,8 @@ def _render_band(scene: SceneGPU, pool, lights: LightsGPU, atlas,
                                                 use_pallas=cfg.use_pallas)
         return tri_id, depth, setup
 
-    tri_id, depth, setup = band_raster(scene.tri_deferred, "back")
+    tri_id, depth, setup = band_raster(scene.tri_vidx, scene.tri_deferred,
+                                       "back")
     g = resolve.resolve_gbuffer(
         tri_id, depth, setup.rows, scene.tri_vidx, scene.tri_instance, attrs,
         scene.inst_object_id, scene.inst_material,
@@ -129,12 +129,13 @@ def _render_band(scene: SceneGPU, pool, lights: LightsGPU, atlas,
                                    y0=y0, full_height=PH)
         hdr = jnp.where(g.mask[..., None], hdr, sky)
 
-    # forward pass (gizmos/billboards), band-local
-    f_id, _, f_setup = band_raster(scene.tri_forward, "none")
+    # forward pass (gizmos/billboards), band-local, own small triangle pool
+    f_id, _, f_setup = band_raster(scene.fwd_tri_vidx, scene.fwd_tri_mask,
+                                   "none")
     f_attrs, f_valid = resolve.interpolate(
-        f_id, f_setup.rows, scene.tri_vidx, scene.vert_uv)
+        f_id, f_setup.rows, scene.fwd_tri_vidx, scene.vert_uv)
     f_tid = jnp.maximum(f_id, 0)
-    f_inst = scene.tri_instance[f_tid]
+    f_inst = scene.fwd_tri_instance[f_tid]
     f_mat = scene.inst_material[f_inst]
     f_flat = scene.mat_flat[f_mat]
     f_slots = scene.mat_tex_slots[f_mat]

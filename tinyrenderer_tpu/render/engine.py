@@ -217,7 +217,8 @@ class Engine:
             log.info("growing capacities for %s", c)
             self.cfg = self.cfg.grown_for(
                 c["instances"], c["vertices"], c["triangles"], c["materials"],
-                c["point_lights"], c["directional_lights"], c["textures"])
+                c["point_lights"], c["directional_lights"], c["textures"],
+                c.get("forward_triangles", 0))
             self._packer = ScenePacker(self.cfg, self.asset_search_paths)
             self._pack = self._packer.pack(self.world)
         # light-count changes alter the static shadow-view count

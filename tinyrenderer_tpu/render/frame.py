@@ -132,19 +132,20 @@ def render_frame(scene: SceneGPU, pool: sampling.TexturePoolGPU,
         hdr = jnp.where(g.mask[..., None], hdr, sky)
 
     # ---- forward pass (gizmos/billboards: depth Always, drawn on top) ----
+    # Forward triangles live in their own small pack-time pool, so this
+    # raster bins Fc triangles (hundreds), not the whole scene pool.
     pick = g.object_id
-    has_forward = True  # static: forward geometry shares the pools
+    has_forward = True
     if has_forward:
         f_id, f_depth, f_setup, ovf_f = raster.rasterize(
-            clip, scene.tri_vidx, scene.tri_forward, PW, PH,
+            clip, scene.fwd_tri_vidx, scene.fwd_tri_mask, PW, PH,
             cfg.tile_h, cfg.tile_w, cfg.bin_capacity, cull="none",
             use_pallas=cfg.use_pallas)
         overflow = jnp.maximum(overflow, ovf_f)
         f_attrs, f_valid = resolve.interpolate(
-            f_id, f_setup.rows, scene.tri_vidx,
-            jnp.concatenate([scene.vert_uv], axis=1))
+            f_id, f_setup.rows, scene.fwd_tri_vidx, scene.vert_uv)
         f_tid = jnp.maximum(f_id, 0)
-        f_inst = scene.tri_instance[f_tid]
+        f_inst = scene.fwd_tri_instance[f_tid]
         f_mat = scene.inst_material[f_inst]
         f_flat = scene.mat_flat[f_mat]
         f_slots = scene.mat_tex_slots[f_mat]

@@ -52,8 +52,13 @@ class SceneGPU(NamedTuple):
     tri_vidx: jax.Array        # (Tc, 3) i32
     tri_instance: jax.Array    # (Tc,) i32
     tri_deferred: jax.Array    # (Tc,) bool
-    tri_forward: jax.Array     # (Tc,) bool
     tri_shadow: jax.Array      # (Tc,) bool
+    # Forward-pass triangles (gizmos/billboards) live in their own small
+    # pool so the forward raster never re-bins the full triangle pool —
+    # forward membership is known at pack time.
+    fwd_tri_vidx: jax.Array    # (Fc, 3) i32 (indexes the shared vertex pool)
+    fwd_tri_instance: jax.Array  # (Fc,) i32
+    fwd_tri_mask: jax.Array    # (Fc,) bool
     inst_model: jax.Array      # (Ic, 4, 4)
     inst_normal_mat: jax.Array # (Ic, 3, 3)
     inst_object_id: jax.Array  # (Ic,) i32
@@ -235,15 +240,18 @@ class ScenePacker:
         n_verts = vert_off
         n_tris = sum(t.shape[0] for t in t_vidx) if t_vidx else 0
         n_insts = len(i_model)
+        n_fwd = int(sum(np.count_nonzero(f) for f in t_fwd)) if t_fwd else 0
         counts = dict(vertices=n_verts, triangles=n_tris, instances=n_insts,
                       materials=len(self._materials),
+                      forward_triangles=n_fwd,
                       point_lights=len(point_lights),
                       directional_lights=len(dir_lights),
                       textures=self.pool.next_slot)
 
         if (n_verts > cfg.max_vertices or n_tris > cfg.max_triangles
                 or n_insts > cfg.max_instances
-                or len(self._materials) > cfg.max_materials):
+                or len(self._materials) > cfg.max_materials
+                or n_fwd > cfg.max_forward_triangles):
             raise CapacityError(counts)
 
         def cat(parts, shape, dtype):
@@ -257,6 +265,20 @@ class ScenePacker:
 
         Vc, Tc, Ic, Mc = (cfg.max_vertices, cfg.max_triangles,
                           cfg.max_instances, cfg.max_materials)
+
+        # forward-pass triangle subset (small, pack-time-known)
+        Fc = cfg.max_forward_triangles
+        h_tri_vidx = cat(t_vidx, (Tc, 3), I32)
+        h_tri_inst = cat(t_inst, (Tc,), I32)
+        h_tri_fwd = cat(t_fwd, (Tc,), bool)
+        fwd_rows = np.nonzero(h_tri_fwd)[0][:Fc]
+        fwd_vidx_pad = np.zeros((Fc, 3), I32)
+        fwd_inst_pad = np.zeros((Fc,), I32)
+        fwd_mask_pad = np.zeros((Fc,), bool)
+        fwd_vidx_pad[:len(fwd_rows)] = h_tri_vidx[fwd_rows]
+        fwd_inst_pad[:len(fwd_rows)] = h_tri_inst[fwd_rows]
+        fwd_mask_pad[:len(fwd_rows)] = True
+
         scene = SceneGPU(
             vert_pos=jnp.asarray(cat(vp, (Vc, 3), F32)),
             vert_uv=jnp.asarray(cat(vu, (Vc, 2), F32)),
@@ -264,11 +286,13 @@ class ScenePacker:
             vert_tangent=jnp.asarray(cat(vt, (Vc, 3), F32)),
             vert_bitangent=jnp.asarray(cat(vb, (Vc, 3), F32)),
             vert_instance=jnp.asarray(cat(vi, (Vc,), I32)),
-            tri_vidx=jnp.asarray(cat(t_vidx, (Tc, 3), I32)),
-            tri_instance=jnp.asarray(cat(t_inst, (Tc,), I32)),
+            tri_vidx=jnp.asarray(h_tri_vidx),
+            tri_instance=jnp.asarray(h_tri_inst),
             tri_deferred=jnp.asarray(cat(t_def, (Tc,), bool)),
-            tri_forward=jnp.asarray(cat(t_fwd, (Tc,), bool)),
             tri_shadow=jnp.asarray(cat(t_shadow, (Tc,), bool)),
+            fwd_tri_vidx=jnp.asarray(fwd_vidx_pad),
+            fwd_tri_instance=jnp.asarray(fwd_inst_pad),
+            fwd_tri_mask=jnp.asarray(fwd_mask_pad),
             inst_model=jnp.asarray(_cat_mats(i_model, Ic, 4)),
             inst_normal_mat=jnp.asarray(_cat_mats(i_nmat, Ic, 3)),
             inst_object_id=jnp.asarray(cat(i_oid, (Ic,), I32)),
