@@ -80,3 +80,30 @@ def test_max_lights_clamped(caplog):
     cfg = RenderConfig(max_instances=64, texture_size=32, mip_levels=3)
     pack = ScenePacker(cfg, (".",)).pack(world)
     assert pack.counts["point_lights"] == MAX_LIGHTS
+
+
+def test_engine_set_skybox_changes_environment(tmp_path):
+    import jax.numpy as jnp
+    from tinyrenderer_tpu.config import RenderConfig
+    from tinyrenderer_tpu.render.engine import Engine
+    from tinyrenderer_tpu.scene import demo
+
+    cfg = RenderConfig(
+        width=128, height=64, tile_h=16, tile_w=128, bin_capacity=128,
+        shadow_size=64, shadow_tile=64, shadow_bin_capacity=128,
+        env_size=16, irradiance_size=8, texture_size=32, mip_levels=3,
+        enable_shadows=False, enable_ssr=False, use_pallas=False)
+    eng = Engine.from_world(demo.build_demo_world(n_cubes=2),
+                            camera=demo.build_demo_camera(128, 64), cfg=cfg)
+    before = np.asarray(eng.run_frame().sdr).astype(np.int16)
+
+    # red-tinted environment
+    red = np.zeros((8, 16, 3), np.float32)
+    red[..., 0] = 4.0
+    p = tmp_path / "red.hdr"
+    p.write_bytes(hdrlib.encode_hdr(red))
+    eng.set_skybox(str(p))
+    after = np.asarray(eng.run_frame().sdr).astype(np.int16)
+    # sky pixels turn red-dominant
+    assert (after[..., 0].mean() - after[..., 2].mean()) > \
+           (before[..., 0].mean() - before[..., 2].mean()) + 10

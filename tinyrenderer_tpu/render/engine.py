@@ -155,6 +155,13 @@ class Engine:
         rgba = np.concatenate([a, np.ones((*a.shape[:-1], 1), np.float32)], axis=-1)
         rgba.astype(np.float16).tofile(path)
 
+    def set_skybox(self, path: Optional[str]) -> None:
+        """Swap the environment HDR (the GUI skybox file picker,
+        src/gui.rs:539-553 + GlobalWorldSettings.sykbox_path) and re-bake."""
+        self._skybox_path = path
+        self._equirect = None
+        self._env = None
+
     # -- actions -------------------------------------------------------------
 
     def add_action(self, action: str) -> None:

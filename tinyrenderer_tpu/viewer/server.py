@@ -171,6 +171,9 @@ class ViewerServer:
             elif act == "bake_irradiance":
                 from ..render.engine import RenderingAction
                 eng.add_action(RenderingAction.BAKE_IRRADIANCE)
+            elif act == "set_skybox":
+                eng.set_skybox(payload.get("path") or None)
+                eng.notifier.push("Environment re-baked")
             else:
                 raise ValueError(f"unknown action {act!r}")
 
