@@ -121,9 +121,15 @@ def sample_pool_mip(pool: TexturePoolGPU, tex: jax.Array, uv: jax.Array,
 
 def mip_level_from_uv(uv: jax.Array, base_size: int) -> jax.Array:
     """Per-pixel mip level via screen-space finite differences of the
-    resolved UV map (the quad-derivative analog). uv: (H, W, 2)."""
+    resolved UV map (the quad-derivative analog). uv: (H, W, 2).
+
+    One-sided differences at row/column 0 (a rolled difference would pair
+    the first row with the last — wrong for the image edge, and a source of
+    band-boundary artifacts in the sharded frame)."""
     du = uv - jnp.roll(uv, 1, axis=1)
     dv = uv - jnp.roll(uv, 1, axis=0)
+    du = du.at[:, 0].set(du[:, 1])
+    dv = dv.at[0, :].set(dv[1, :])
     # wrap-aware: texture repeat makes |d| near 1 at seams; take fractional dist
     du = du - jnp.round(du)
     dv = dv - jnp.round(dv)
