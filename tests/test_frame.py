@@ -91,3 +91,17 @@ def test_ibl_dump_roundtrip(engine, tmp_path):
     assert raw.size == 6 * s * s * 4
     assert np.isfinite(raw.astype(np.float32)).all()
     assert raw.astype(np.float32).max() > 0
+
+
+def test_forward_only_pipeline(reference_level_path):
+    """BASELINE config 1: forward pass, directional N-dot-L, no shadows."""
+    from dataclasses import replace
+    cfg = replace(TINY, forward_only=True, enable_shadows=False,
+                  enable_ibl=False, enable_ssr=False)
+    eng = Engine(cfg=cfg, level_path=reference_level_path)
+    out = eng.run_frame(0.0)
+    sdr = np.asarray(out.sdr)
+    assert sdr.shape == (TINY.height, TINY.width, 3)
+    assert sdr.std() > 1.0
+    pick = np.asarray(out.pick_id)
+    assert (pick > 0).any()

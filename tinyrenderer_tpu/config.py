@@ -85,6 +85,10 @@ class RenderConfig:
     enable_ibl: bool = True
     enable_ssr: bool = True
     use_pallas: bool = True       # Pallas raster kernel vs pure-jnp fallback
+    # Forward-only pipeline (BASELINE config 1): one raster pass, N-dot-L
+    # directional shading, no GBuffer/shadows/IBL/SSR. A cheap preview mode
+    # the reference approximates with its forward renderer.
+    forward_only: bool = False
 
     @property
     def tiles_y(self) -> int:

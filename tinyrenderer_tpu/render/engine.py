@@ -37,6 +37,28 @@ from .scene_gpu import CapacityError, ScenePacker
 
 log = logging.getLogger(__name__)
 
+_cache_enabled = False
+
+
+def enable_persistent_compile_cache(path: str = "") -> None:
+    """Persist XLA compilations across processes so repeated CLI/viewer/
+    bench launches skip the 30s+ first-frame compile. Safe to call often."""
+    global _cache_enabled
+    if _cache_enabled:
+        return
+    import jax
+
+    cache_dir = path or os.environ.get(
+        "TINYRENDERER_COMPILE_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "tinyrenderer_tpu_xla"))
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        _cache_enabled = True
+    except Exception as e:  # never fatal
+        log.debug("compile cache unavailable: %s", e)
+
 
 class RenderingAction:
     """src/actions.rs."""
@@ -52,6 +74,7 @@ class Engine:
                  asset_search_paths: tuple[str, ...] = (".", "/root/reference"),
                  skybox_path: Optional[str] = None,
                  ibl_cache_path: Optional[str] = None):
+        enable_persistent_compile_cache()
         self.cfg = cfg or config.RenderConfig()
         self.asset_search_paths = asset_search_paths
         self.world = World()

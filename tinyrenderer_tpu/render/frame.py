@@ -65,10 +65,71 @@ def _unpack_camera(camera_raw: jax.Array) -> dict:
     )
 
 
+def render_frame_forward(scene: SceneGPU, pool: sampling.TexturePoolGPU,
+                         lights: LightsGPU, camera_raw: jax.Array,
+                         params: jax.Array, env: Optional[EnvGPU],
+                         cfg: config.RenderConfig) -> FrameOutput:
+    """Forward-only pipeline (BASELINE config 1): one visibility raster over
+    every triangle, flat/textured albedo with Lambert N-dot-L directional
+    lighting, tone map. No GBuffer resolve, shadows, IBL or SSR."""
+    cam = _unpack_camera(camera_raw)
+    W, H = cfg.width, cfg.height
+    PW, PH = cfg.padded_width, cfg.padded_height
+
+    world, clip = raster.transform_vertices(
+        scene.vert_pos, scene.vert_instance, scene.inst_model, cam["view_proj"])
+    nm = scene.inst_normal_mat[scene.vert_instance]
+    n_w = jnp.einsum("vij,vj->vi", nm, scene.vert_normal, preferred_element_type=F32)
+
+    tri_id, depth, setup, overflow = raster.rasterize(
+        clip, scene.tri_vidx, scene.tri_deferred, PW, PH,
+        cfg.tile_h, cfg.tile_w, cfg.bin_capacity, cull="back",
+        use_pallas=cfg.use_pallas)
+
+    attrs = jnp.concatenate([scene.vert_uv, n_w], axis=1)
+    interp, valid = resolve.interpolate(tri_id, setup.rows, scene.tri_vidx, attrs)
+    uv = interp[..., 0:2]
+    normal = interp[..., 2:5]
+    normal = normal / jnp.maximum(
+        jnp.linalg.norm(normal, axis=-1, keepdims=True), 1e-8)
+
+    tid = jnp.maximum(tri_id, 0)
+    inst = scene.tri_instance[tid]
+    mat = scene.inst_material[inst]
+    flat = scene.mat_flat[mat]
+    slots = scene.mat_tex_slots[mat]
+    lvl = sampling.mip_level_from_uv(uv, pool.level_sizes[0])
+    tex = sampling.sample_pool_mip(pool, slots[..., 0], uv, lvl)[..., :3]
+    use_tex = flat[..., 5] > 0.5
+    albedo = jnp.where(use_tex[..., None], tex, flat[..., 0:3])
+
+    shade = jnp.full(normal.shape[:2], 0.1, F32)[..., None]  # ambient floor
+    for i in range(cfg.num_directional_lights):
+        ndotl = jnp.maximum(
+            -jnp.sum(normal * lights.dir_direction[i][None, None, :], axis=-1),
+            0.0)
+        shade = shade + ndotl[..., None] * lights.dir_color[i][None, None, :]
+    hdr = albedo * shade * valid[..., None].astype(F32)
+
+    if env is not None:
+        sky = envops.skybox_colors(env.env_cube, cam["proj_inv"],
+                                   cam["view_inv"][:3, :3], PW, PH)
+        hdr = jnp.where(valid[..., None], hdr, sky)
+
+    sdr = post.tone_map(hdr, params[PARAM_TONE_TYPE], params[PARAM_EXPOSURE])
+    pick = jnp.where(valid, scene.inst_object_id[inst], 0)
+    return FrameOutput(sdr=sdr[:H, :W], pick_id=pick[:H, :W],
+                       depth=depth[:H, :W], hdr=hdr[:H, :W],
+                       bin_overflow=overflow)
+
+
 def render_frame(scene: SceneGPU, pool: sampling.TexturePoolGPU,
                  lights: LightsGPU, camera_raw: jax.Array,
                  params: jax.Array, env: Optional[EnvGPU],
                  cfg: config.RenderConfig) -> FrameOutput:
+    if cfg.forward_only:
+        return render_frame_forward(scene, pool, lights, camera_raw, params,
+                                    env, cfg)
     cam = _unpack_camera(camera_raw)
     W, H = cfg.width, cfg.height
     PW, PH = cfg.padded_width, cfg.padded_height
