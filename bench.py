@@ -22,11 +22,22 @@ WARMUP = 3
 ITERS = 30
 
 
-def build_engine(stress: bool = False):
+def build_engine(stress: bool = False, forward: bool = False):
     from tinyrenderer_tpu.config import RenderConfig
     from tinyrenderer_tpu.render.engine import Engine
     from tinyrenderer_tpu.scene import demo
 
+    if forward:
+        # BASELINE config 1: forward pass, one directional light, 800x600
+        cfg = RenderConfig(width=800, height=600, forward_only=True,
+                           enable_shadows=False, enable_ibl=False,
+                           enable_ssr=False)
+        ref_level = "/root/reference/levels/test.lvl"
+        if os.path.exists(ref_level):
+            return Engine(cfg=cfg, level_path=ref_level)
+        return Engine.from_world(
+            demo.build_demo_world(n_cubes=50, with_point_light=False),
+            camera=demo.build_demo_camera(cfg.width, cfg.height), cfg=cfg)
     if stress:
         # BASELINE.json config 5: 500+ draws, 2K shadow atlas, 1440p
         cfg = RenderConfig(width=2560, height=1440, shadow_size=2048,
@@ -82,18 +93,21 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--stress", action="store_true",
                     help="500-draw 1440p 2K-shadow stress config")
+    ap.add_argument("--forward", action="store_true",
+                    help="forward-only 800x600 config (BASELINE config 1)")
     ap.add_argument("--trace-dir", default="",
                     help="write a jax.profiler trace of one frame")
     args = ap.parse_args()
 
     import jax
 
-    eng = build_engine(stress=args.stress)
+    eng = build_engine(stress=args.stress, forward=args.forward)
     times = time_engine(eng, args.trace_dir)
     p50 = times[len(times) // 2]
     tris = int(eng._pack.counts["triangles"])
 
     name = ("ms/frame p50, 1440p 500-draw stress, 2K shadows" if args.stress
+            else "ms/frame p50, 800x600 forward-only (test.lvl)" if args.forward
             else "ms/frame p50, 1080p deferred PBR+shadows+IBL (test.lvl)")
     print(json.dumps({
         "metric": name,
