@@ -79,14 +79,31 @@ def time_engine(eng, trace_dir: str = ""):
         with jax.profiler.trace(trace_dir):
             jax.block_until_ready(fn(*args))
 
-    times = []
-    for _ in range(ITERS):
-        t0 = time.perf_counter()
-        out = fn(*args)
-        jax.block_until_ready(out)
-        times.append((time.perf_counter() - t0) * 1e3)
-    times.sort()
-    return times
+    # Honest device timing: N frames inside one jitted lax.scan, each
+    # chained on the previous frame's output, finished with a host fetch.
+    # (block_until_ready on the remote-TPU tunnel returns before execution
+    # completes, so per-dispatch wall timings are meaningless.)
+    scene, pool, lights, cam0, params, env = args
+    import jax.numpy as jnp
+
+    from tinyrenderer_tpu.render import frame as framelib
+
+    cfgc = eng.cfg
+
+    @jax.jit
+    def loop(cam):
+        def step(c, _):
+            out = framelib.render_frame(scene, pool, lights, c, params, env,
+                                        cfgc)
+            return cam0 + 0.0 * out.depth[0, 0], out.sdr[0, 0, 0]
+        _, outs = jax.lax.scan(step, cam, None, length=ITERS)
+        return outs.sum()
+
+    float(loop(cam0))  # compile + warm
+    t0 = time.perf_counter()
+    float(loop(cam0))
+    per_frame = (time.perf_counter() - t0) * 1e3 / ITERS
+    return [per_frame] * ITERS
 
 
 def main() -> None:

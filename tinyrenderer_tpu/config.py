@@ -83,7 +83,11 @@ class RenderConfig:
     # Feature toggles (each toggle value is a separate compiled program).
     enable_shadows: bool = True
     enable_ibl: bool = True
-    enable_ssr: bool = True
+    # SSR is off by default: the reference ships its SSR as an effective
+    # pass-through (screen_space_reflection.wgsl:135 stores source_color),
+    # and the real ray march is a sequential 256-step gather loop that
+    # dominates the frame when enabled.
+    enable_ssr: bool = False
     use_pallas: bool = True       # Pallas raster kernel vs pure-jnp fallback
     # Forward-only pipeline (BASELINE config 1): one raster pass, N-dot-L
     # directional shading, no GBuffer/shadows/IBL/SSR. A cheap preview mode

@@ -46,7 +46,7 @@ def sample_equirect(equirect: jax.Array, d: jax.Array) -> jax.Array:
     flat = equirect.reshape(h * w, equirect.shape[-1])
 
     def tex(xi, yi):
-        return flat[yi * w + xi]
+        return jnp.take(flat, yi * w + xi, axis=0)
 
     return ((tex(x0i, y0i) * (1 - fx) + tex(x1i, y0i) * fx) * (1 - fy)
             + (tex(x0i, y1i) * (1 - fx) + tex(x1i, y1i) * fx) * fy)

@@ -70,7 +70,7 @@ def screen_space_reflections(hdr: jax.Array, depth: jax.Array,
         v = 0.5 - ndc[..., 1] * 0.5
         xi = jnp.clip((u * W).astype(jnp.int32), 0, W - 1)
         yi = jnp.clip((v * H).astype(jnp.int32), 0, H - 1)
-        scene_z = depth[yi, xi]
+        scene_z = jnp.take(depth.reshape(-1), yi * W + xi)
         ray_z = ndc[..., 2]
         inside = (u >= 0) & (u <= 1) & (v >= 0) & (v <= 1)
         # reverse-Z: scene in front of ray point when scene_z > ray_z
@@ -84,7 +84,7 @@ def screen_space_reflections(hdr: jax.Array, depth: jax.Array,
 
     xi = jnp.clip((hit_uv[..., 0] * W).astype(jnp.int32), 0, W - 1)
     yi = jnp.clip((hit_uv[..., 1] * H).astype(jnp.int32), 0, H - 1)
-    refl_color = hdr[yi, xi]
+    refl_color = jnp.take(hdr.reshape(-1, 3), yi * W + xi, axis=0)
     blend = strength * hit_found.astype(F32)[..., None]
     return hdr * (1.0 - blend) + refl_color * blend
 

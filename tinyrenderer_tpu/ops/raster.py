@@ -77,7 +77,7 @@ def transform_vertices(positions: jax.Array, vert_instance: jax.Array,
     transform runs as one fused einsum (MXU-friendly batched mat4 products).
     Replaces the instance-attribute vertex shaders (gbuffer_geometry.wgsl:50-85).
     """
-    m = inst_model[vert_instance]                       # (V, 4, 4)
+    m = jnp.take(inst_model, vert_instance, axis=0)     # (V, 4, 4)
     world = jnp.einsum("vij,vj->vi", m[:, :3, :],
                        jnp.concatenate([positions, jnp.ones_like(positions[:, :1])], axis=1),
                        preferred_element_type=F32)      # (V, 3)
@@ -95,7 +95,7 @@ def triangle_setup(clip: jax.Array, tri_vidx: jax.Array, tri_mask: jax.Array,
     passes — the reference's x-flip turns its back-culling into effective
     front-culling, src/pipelines/shadow_rp.rs:81-86), 'none' keeps both.
     """
-    c = clip[tri_vidx]                     # (T, 3, 4)
+    c = jnp.take(clip, tri_vidx, axis=0)   # (T, 3, 4)
     w = c[..., 3]                          # (T, 3)
     w_ok = jnp.all(w > W_EPS, axis=1)
 
@@ -209,7 +209,7 @@ def bin_triangles(setup: TriangleSetup, width: int, height: int,
                         constant_values=T)
     topk = jnp.sort(order, axis=2)[:, :, :capacity]           # (ty, tx, K)
     ids = jnp.where(topk < T, topk, -1)
-    rows = setup.rows[jnp.clip(ids, 0, T - 1)]
+    rows = jnp.take(setup.rows, jnp.clip(ids, 0, T - 1), axis=0)
     rows = jnp.where((ids >= 0)[..., None], rows, 0.0)
     counts = jnp.minimum(counts_full, capacity)
     return Bins(ids=ids, rows=rows, counts=counts, overflow=overflow)
@@ -221,14 +221,25 @@ def bin_triangles(setup: TriangleSetup, width: int, height: int,
 
 def _raster_kernel(counts_ref, rows_ref, id_out_ref, z_out_ref,
                    *, tile_h: int, tile_w: int, chunk: int):
+    """Per-tile visibility raster.
+
+    Plane evaluation is an MXU matmul: the 4 affine planes (3 edges + depth)
+    of ``chunk`` triangles stack into A (4*chunk, 3), the tile's pixels into
+    B (3, P) — one (4*chunk, P) dot per chunk instead of ~12 VPU broadcast
+    multiply-adds per plane. With chunk=32 the A rows fill one 128-row MXU
+    tile. The VPU only does the cover test + running max afterwards.
+    """
     i = pl.program_id(0)
     j = pl.program_id(1)
     count = counts_ref[i, j]
 
+    P = tile_h * tile_w
     ox = (j * tile_w).astype(F32) + 0.5
     oy = (i * tile_h).astype(F32) + 0.5
-    xs = jax.lax.broadcasted_iota(I32, (tile_h, tile_w), 1).astype(F32) + ox
-    ys = jax.lax.broadcasted_iota(I32, (tile_h, tile_w), 0).astype(F32) + oy
+    xs = jax.lax.broadcasted_iota(I32, (1, P), 1).astype(F32)
+    pixx = jnp.remainder(xs, float(tile_w)) + ox
+    pixy = jnp.floor_divide(xs, float(tile_w)) + oy
+    basis = jnp.concatenate([pixx, pixy, jnp.ones_like(pixx)], axis=0)  # (3, P)
 
     nchunks = pl.cdiv(count, chunk)
 
@@ -236,34 +247,35 @@ def _raster_kernel(counts_ref, rows_ref, id_out_ref, z_out_ref,
         best_z, best_id = carry
         s = rows_ref[0, 0, pl.ds(c * chunk, chunk), :]  # (chunk, 16)
 
-        def plane(ax, ay, ac):
-            return (s[:, ax][:, None, None] * xs[None]
-                    + s[:, ay][:, None, None] * ys[None]
-                    + s[:, ac][:, None, None])
+        def plane_dot(lo):
+            return jax.lax.dot_general(
+                s[:, lo:lo + 3], basis, (((1,), (0,)), ((), ())),
+                preferred_element_type=F32,
+                precision=jax.lax.Precision.HIGHEST)   # (chunk, P) on MXU
 
-        l0 = plane(_E0X, _E0Y, _E0C)
-        l1 = plane(_E1X, _E1Y, _E1C)
-        l2 = plane(_E2X, _E2Y, _E2C)
-        z = plane(_ZX, _ZY, _ZC)
-        idf = s[:, _IDF][:, None, None]
+        l0 = plane_dot(_E0X)
+        l1 = plane_dot(_E1X)
+        l2 = plane_dot(_E2X)
+        z = plane_dot(_ZX)
+        idf = s[:, _IDF][:, None]
 
         covered = (l0 >= 0.0) & (l1 >= 0.0) & (l2 >= 0.0) & (idf > 0.0)
         cand = jnp.where(covered, z, -1.0)
-        chunk_z = jnp.max(cand, axis=0)
+        chunk_z = jnp.max(cand, axis=0)                # (P,)
         chunk_id = jnp.max(jnp.where(cand >= chunk_z[None], idf, 0.0), axis=0)
         upd = chunk_z > best_z
         return (jnp.where(upd, chunk_z, best_z),
                 jnp.where(upd, chunk_id, best_id))
 
-    init = (jnp.zeros((tile_h, tile_w), F32), jnp.zeros((tile_h, tile_w), F32))
+    init = (jnp.zeros((P,), F32), jnp.zeros((P,), F32))
     best_z, best_id = jax.lax.fori_loop(0, nchunks, body, init)
 
-    id_out_ref[0, 0] = best_id.astype(I32) - 1
-    z_out_ref[0, 0] = best_z
+    id_out_ref[0, 0] = best_id.reshape(tile_h, tile_w).astype(I32) - 1
+    z_out_ref[0, 0] = best_z.reshape(tile_h, tile_w)
 
 
 def rasterize_binned(bins: Bins, tile_h: int, tile_w: int,
-                     chunk: int = 8, use_pallas: bool = True
+                     chunk: int = 32, use_pallas: bool = True
                      ) -> tuple[jax.Array, jax.Array]:
     """Visibility raster over pre-binned tiles.
 

@@ -62,7 +62,7 @@ def interpolate(tri_id: jax.Array, setup_rows: jax.Array, tri_vidx: jax.Array,
     H, W = tri_id.shape
     valid = tri_id >= 0
     tid = jnp.maximum(tri_id, 0)
-    rows = setup_rows[tid]                       # (H, W, 16)
+    rows = jnp.take(setup_rows, tid, axis=0)     # (H, W, 16)
 
     px = (jnp.arange(W, dtype=F32) + 0.5)[None, :]
     py = (jnp.arange(H, dtype=F32) + 0.5)[:, None]
@@ -75,8 +75,8 @@ def interpolate(tri_id: jax.Array, setup_rows: jax.Array, tri_vidx: jax.Array,
     denom = jnp.sum(lam_p, axis=-1, keepdims=True)
     bary = lam_p / jnp.where(jnp.abs(denom) > 1e-20, denom, 1.0)
 
-    vidx = tri_vidx[tid]                         # (H, W, 3)
-    attrs = attr_rows[vidx]                      # (H, W, 3, C)
+    vidx = jnp.take(tri_vidx, tid, axis=0)       # (H, W, 3)
+    attrs = jnp.take(attr_rows, vidx, axis=0)    # (H, W, 3, C)
     out = jnp.einsum("hwk,hwkc->hwc", bary, attrs, preferred_element_type=F32)
     return out, valid
 
@@ -101,10 +101,10 @@ def resolve_gbuffer(tri_id: jax.Array, depth: jax.Array, setup_rows: jax.Array,
     bitangent = _safe_normalize(interp[..., 11:14])
 
     tid = jnp.maximum(tri_id, 0)
-    inst = tri_instance[tid]
-    mat = inst_material[inst]                        # (H, W)
-    tex_slots = mat_tex_slots[mat]                   # (H, W, 4)
-    flat = mat_flat[mat]                             # (H, W, 6)
+    inst = jnp.take(tri_instance, tid)
+    mat = jnp.take(inst_material, inst)              # (H, W)
+    tex_slots = jnp.take(mat_tex_slots, mat, axis=0)  # (H, W, 4)
+    flat = jnp.take(mat_flat, mat, axis=0)           # (H, W, 6)
     use_tex = flat[..., 5] > 0.5
 
     level = sampling.mip_level_from_uv(uv, pool.level_sizes[0])
@@ -124,7 +124,7 @@ def resolve_gbuffer(tri_id: jax.Array, depth: jax.Array, setup_rows: jax.Array,
     rough = jnp.where(use_tex, rough_t, flat[..., 3])
     metal = jnp.where(use_tex, metal_t, flat[..., 4])
 
-    object_id = jnp.where(valid, inst_object_id[inst], 0)
+    object_id = jnp.where(valid, jnp.take(inst_object_id, inst), 0)
     vm = valid[..., None]
     return GBuffer(
         position=jnp.where(vm, world, 0.0),

@@ -62,7 +62,7 @@ def _gather_texel(pool: TexturePoolGPU, tex: jax.Array, level: int,
     ix = jnp.clip(ix, 0, s - 1)
     iy = jnp.clip(iy, 0, s - 1)
     idx = tex * pool.texels_per_tex + pool.level_offsets[level] + iy * s + ix
-    return pool.texels[idx]
+    return jnp.take(pool.texels, idx, axis=0)
 
 
 def sample_pool_bilinear_level(pool: TexturePoolGPU, tex: jax.Array,
@@ -96,26 +96,62 @@ def sample_pool_bilinear_level(pool: TexturePoolGPU, tex: jax.Array,
             + (c01 * (1 - fx) + c11 * fx) * fy)
 
 
+def _sample_bilinear_dynamic_level(pool: TexturePoolGPU, tex: jax.Array,
+                                   uv: jax.Array, level_i: jax.Array,
+                                   wrap: bool) -> jax.Array:
+    """Bilinear sample where the mip level is a per-pixel traced int.
+
+    Level sizes/offsets are small static tuples, so the texel address is
+    pure arithmetic on gathered per-pixel (size, offset) pairs — 4 gathers
+    per sample instead of unrolling every level at every call site (which
+    multiplied both compile time and HBM gathers by the level count).
+    """
+    sizes = jnp.take(jnp.asarray(pool.level_sizes, I32), level_i)
+    offs = jnp.take(jnp.asarray(pool.level_offsets, I32), level_i)
+    sf = sizes.astype(F32)
+    u = uv[..., 0] * sf - 0.5
+    v = uv[..., 1] * sf - 0.5
+    if wrap:
+        u = jnp.mod(u, sf)
+        v = jnp.mod(v, sf)
+    x0 = jnp.floor(u)
+    y0 = jnp.floor(v)
+    fx = (u - x0)[..., None]
+    fy = (v - y0)[..., None]
+    x0i = x0.astype(I32)
+    y0i = y0.astype(I32)
+    if wrap:
+        x1i = jnp.mod(x0i + 1, sizes)
+        y1i = jnp.mod(y0i + 1, sizes)
+        x0i = jnp.mod(x0i, sizes)
+        y0i = jnp.mod(y0i, sizes)
+    else:
+        x1i = jnp.minimum(x0i + 1, sizes - 1)
+        y1i = jnp.minimum(y0i + 1, sizes - 1)
+
+    base = tex * pool.texels_per_tex + offs
+
+    def texel(xi, yi):
+        xi = jnp.clip(xi, 0, sizes - 1)
+        yi = jnp.clip(yi, 0, sizes - 1)
+        return jnp.take(pool.texels, base + yi * sizes + xi, axis=0)
+
+    return ((texel(x0i, y0i) * (1 - fx) + texel(x1i, y0i) * fx) * (1 - fy)
+            + (texel(x0i, y1i) * (1 - fx) + texel(x1i, y1i) * fx) * fy)
+
+
 def sample_pool_mip(pool: TexturePoolGPU, tex: jax.Array, uv: jax.Array,
                     level_f: jax.Array, wrap: bool = True) -> jax.Array:
     """Trilinear sample with a per-pixel fractional mip level (the material
     sampler is mipmap_filter: Linear in the reference, src/texture.rs:264-266).
-
-    Computes the bilinear sample at every static level and blends the two
-    adjacent ones — levels are few (<= 8) and each per-level pass is a cheap
-    gather, which XLA fuses; this keeps shapes static.
-    """
+    Two dynamic-level bilinear taps blended by the level fraction."""
     nlev = len(pool.level_sizes)
     lf = jnp.clip(level_f, 0.0, nlev - 1.0)
     lo = jnp.floor(lf).astype(I32)
     frac = (lf - lo.astype(F32))[..., None]
-    out_lo = jnp.zeros((*uv.shape[:-1], 4), F32)
-    out_hi = jnp.zeros((*uv.shape[:-1], 4), F32)
-    for l in range(nlev):
-        sample = sample_pool_bilinear_level(pool, tex, uv, l, wrap)
-        out_lo = jnp.where((lo == l)[..., None], sample, out_lo)
-        out_hi = jnp.where((jnp.minimum(lo + 1, nlev - 1) == l)[..., None],
-                           sample, out_hi)
+    out_lo = _sample_bilinear_dynamic_level(pool, tex, uv, lo, wrap)
+    out_hi = _sample_bilinear_dynamic_level(pool, tex, uv,
+                                            jnp.minimum(lo + 1, nlev - 1), wrap)
     return out_lo * (1.0 - frac) + out_hi * frac
 
 
@@ -201,7 +237,7 @@ def sample_cubemap(cube: jax.Array, d: jax.Array) -> jax.Array:
     flat = cube.reshape(6 * S * S, cube.shape[-1])
 
     def tex(xi, yi):
-        return flat[(face * S + yi) * S + xi]
+        return jnp.take(flat, (face * S + yi) * S + xi, axis=0)
 
     return ((tex(x0, y0) * (1 - fx) + tex(x1, y0) * fx) * (1 - fy)
             + (tex(x0, y1) * (1 - fx) + tex(x1, y1) * fx) * fy)

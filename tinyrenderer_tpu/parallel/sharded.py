@@ -79,7 +79,7 @@ def _render_band(scene: SceneGPU, pool, lights: LightsGPU, atlas,
 
     world, clip = raster.transform_vertices(
         scene.vert_pos, scene.vert_instance, scene.inst_model, cam["view_proj"])
-    nm = scene.inst_normal_mat[scene.vert_instance]
+    nm = jnp.take(scene.inst_normal_mat, scene.vert_instance, axis=0)
     n_w = jnp.einsum("vij,vj->vi", nm, scene.vert_normal, preferred_element_type=F32)
     t_w = jnp.einsum("vij,vj->vi", nm, scene.vert_tangent, preferred_element_type=F32)
     b_w = jnp.einsum("vij,vj->vi", nm, scene.vert_bitangent, preferred_element_type=F32)
@@ -135,10 +135,10 @@ def _render_band(scene: SceneGPU, pool, lights: LightsGPU, atlas,
     f_attrs, f_valid = resolve.interpolate(
         f_id, f_setup.rows, scene.fwd_tri_vidx, scene.vert_uv)
     f_tid = jnp.maximum(f_id, 0)
-    f_inst = scene.fwd_tri_instance[f_tid]
-    f_mat = scene.inst_material[f_inst]
-    f_flat = scene.mat_flat[f_mat]
-    f_slots = scene.mat_tex_slots[f_mat]
+    f_inst = jnp.take(scene.fwd_tri_instance, f_tid)
+    f_mat = jnp.take(scene.inst_material, f_inst)
+    f_flat = jnp.take(scene.mat_flat, f_mat, axis=0)
+    f_slots = jnp.take(scene.mat_tex_slots, f_mat, axis=0)
     f_uv = f_attrs[..., 0:2]
     lvl = sampling.mip_level_from_uv(f_uv, pool.level_sizes[0])
     f_tex = sampling.sample_pool_mip(pool, f_slots[..., 0], f_uv, lvl)
@@ -147,7 +147,7 @@ def _render_band(scene: SceneGPU, pool, lights: LightsGPU, atlas,
     f_alpha = jnp.where(use_tex, f_tex[..., 3], 1.0) * f_valid.astype(F32)
     hdr = hdr * (1.0 - f_alpha[..., None]) + f_color * f_alpha[..., None]
     pick = jnp.where(f_valid & (f_alpha > 0.5),
-                     scene.inst_object_id[f_inst], g.object_id)
+                     jnp.take(scene.inst_object_id, f_inst), g.object_id)
 
     sdr = post.tone_map(hdr, params[framelib.PARAM_TONE_TYPE],
                         params[framelib.PARAM_EXPOSURE])

@@ -78,7 +78,7 @@ def render_frame_forward(scene: SceneGPU, pool: sampling.TexturePoolGPU,
 
     world, clip = raster.transform_vertices(
         scene.vert_pos, scene.vert_instance, scene.inst_model, cam["view_proj"])
-    nm = scene.inst_normal_mat[scene.vert_instance]
+    nm = jnp.take(scene.inst_normal_mat, scene.vert_instance, axis=0)
     n_w = jnp.einsum("vij,vj->vi", nm, scene.vert_normal, preferred_element_type=F32)
 
     tri_id, depth, setup, overflow = raster.rasterize(
@@ -94,10 +94,10 @@ def render_frame_forward(scene: SceneGPU, pool: sampling.TexturePoolGPU,
         jnp.linalg.norm(normal, axis=-1, keepdims=True), 1e-8)
 
     tid = jnp.maximum(tri_id, 0)
-    inst = scene.tri_instance[tid]
-    mat = scene.inst_material[inst]
-    flat = scene.mat_flat[mat]
-    slots = scene.mat_tex_slots[mat]
+    inst = jnp.take(scene.tri_instance, tid)
+    mat = jnp.take(scene.inst_material, inst)
+    flat = jnp.take(scene.mat_flat, mat, axis=0)
+    slots = jnp.take(scene.mat_tex_slots, mat, axis=0)
     lvl = sampling.mip_level_from_uv(uv, pool.level_sizes[0])
     tex = sampling.sample_pool_mip(pool, slots[..., 0], uv, lvl)[..., :3]
     use_tex = flat[..., 5] > 0.5
@@ -117,7 +117,7 @@ def render_frame_forward(scene: SceneGPU, pool: sampling.TexturePoolGPU,
         hdr = jnp.where(valid[..., None], hdr, sky)
 
     sdr = post.tone_map(hdr, params[PARAM_TONE_TYPE], params[PARAM_EXPOSURE])
-    pick = jnp.where(valid, scene.inst_object_id[inst], 0)
+    pick = jnp.where(valid, jnp.take(scene.inst_object_id, inst), 0)
     return FrameOutput(sdr=sdr[:H, :W], pick_id=pick[:H, :W],
                        depth=depth[:H, :W], hdr=hdr[:H, :W],
                        bin_overflow=overflow)
@@ -137,7 +137,7 @@ def render_frame(scene: SceneGPU, pool: sampling.TexturePoolGPU,
     # ---- geometry stage: world/clip transforms for the whole vertex pool ----
     world, clip = raster.transform_vertices(
         scene.vert_pos, scene.vert_instance, scene.inst_model, cam["view_proj"])
-    nm = scene.inst_normal_mat[scene.vert_instance]
+    nm = jnp.take(scene.inst_normal_mat, scene.vert_instance, axis=0)
     n_w = jnp.einsum("vij,vj->vi", nm, scene.vert_normal, preferred_element_type=F32)
     t_w = jnp.einsum("vij,vj->vi", nm, scene.vert_tangent, preferred_element_type=F32)
     b_w = jnp.einsum("vij,vj->vi", nm, scene.vert_bitangent, preferred_element_type=F32)
@@ -206,10 +206,10 @@ def render_frame(scene: SceneGPU, pool: sampling.TexturePoolGPU,
         f_attrs, f_valid = resolve.interpolate(
             f_id, f_setup.rows, scene.fwd_tri_vidx, scene.vert_uv)
         f_tid = jnp.maximum(f_id, 0)
-        f_inst = scene.fwd_tri_instance[f_tid]
-        f_mat = scene.inst_material[f_inst]
-        f_flat = scene.mat_flat[f_mat]
-        f_slots = scene.mat_tex_slots[f_mat]
+        f_inst = jnp.take(scene.fwd_tri_instance, f_tid)
+        f_mat = jnp.take(scene.inst_material, f_inst)
+        f_flat = jnp.take(scene.mat_flat, f_mat, axis=0)
+        f_slots = jnp.take(scene.mat_tex_slots, f_mat, axis=0)
         f_uv = f_attrs[..., 0:2]
         lvl = sampling.mip_level_from_uv(f_uv, pool.level_sizes[0])
         f_tex = sampling.sample_pool_mip(pool, f_slots[..., 0], f_uv, lvl)
@@ -219,7 +219,8 @@ def render_frame(scene: SceneGPU, pool: sampling.TexturePoolGPU,
         hdr = hdr * (1.0 - f_alpha[..., None]) + f_color * f_alpha[..., None]
         # pick: forward (non-depth-tested) objects override, like the second
         # object-picker pipeline (src/pipelines/object_picker_rp.rs:151-178)
-        pick = jnp.where(f_valid & (f_alpha > 0.5), scene.inst_object_id[f_inst], pick)
+        pick = jnp.where(f_valid & (f_alpha > 0.5),
+                         jnp.take(scene.inst_object_id, f_inst), pick)
 
     # ---- SSR (reference ships an effective pass-through; strength=0) ----
     if cfg.enable_ssr:
