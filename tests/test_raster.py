@@ -27,10 +27,10 @@ def test_single_triangle_coverage(use_pallas):
     # CCW triangle in NDC covering the lower-left half of the screen
     clip = _clip_from_ndc([[-1, -1, 0.5], [1, -1, 0.5], [-1, 1, 0.5]])
     tri = [[0, 1, 2]]
-    tri_id, depth, setup, overflow = _full_raster(clip, tri, 128, 64, use_pallas=use_pallas)
+    tri_id, depth, setup, bins = _full_raster(clip, tri, 128, 64, use_pallas=use_pallas)
     tri_id = np.asarray(tri_id)
     depth = np.asarray(depth)
-    assert int(overflow) == 1
+    assert int(bins.overflow) == 1
     # pixel inside triangle (near lower-left in screen coords = bottom of image)
     assert tri_id[60, 5] == 0
     assert np.isclose(depth[60, 5], 0.5, atol=1e-4)
@@ -88,7 +88,7 @@ def test_perspective_camera_cube_visibility():
     wh = np.concatenate([m.positions, np.ones((m.num_vertices, 1), np.float32)], axis=1)
     clip = jnp.asarray(wh @ vp.T)
     tri = m.indices.reshape(-1, 3)
-    tri_id, depth, setup, overflow = _full_raster(clip, tri, 256, 128, use_pallas=False)
+    tri_id, depth, setup, bins = _full_raster(clip, tri, 256, 128, use_pallas=False)
     tri_id = np.asarray(tri_id)
     center = tri_id[64, 128]
     assert center >= 0

@@ -119,6 +119,62 @@ def bake_irradiance(env_cube: jax.Array, size: int, chunk: int = 128) -> jax.Arr
     return irr.reshape(6, size, size, 3)
 
 
+# ---------------------------------------------------------------------------
+# Spherical-harmonics irradiance (TPU-native replacement for the per-pixel
+# irradiance-cubemap gather: random gathers cost ~9 ns/element on TPU, while
+# an SH-9 evaluation is pure VPU math. Diffuse irradiance is low-frequency —
+# 9 coefficients capture >99% of it (Ramamoorthi & Hanrahan 2001).
+# ---------------------------------------------------------------------------
+
+# Y_lm basis constants
+_SH_C = (
+    0.282095,                      # Y00
+    0.488603,                      # Y1m1 (y), Y10 (z), Y11 (x)
+    1.092548,                      # Y2m2 (xy), Y2m1 (yz), Y21 (xz)
+    0.315392,                      # Y20 (3z^2 - 1)
+    0.546274,                      # Y22 (x^2 - y^2)
+)
+
+
+def _sh_basis(d: jax.Array) -> jax.Array:
+    """(..., 3) unit dirs -> (..., 9) SH basis values."""
+    x, y, z = d[..., 0], d[..., 1], d[..., 2]
+    return jnp.stack([
+        jnp.full_like(x, _SH_C[0]),
+        _SH_C[1] * y, _SH_C[1] * z, _SH_C[1] * x,
+        _SH_C[2] * x * y, _SH_C[2] * y * z,
+        _SH_C[3] * (3.0 * z * z - 1.0),
+        _SH_C[2] * x * z,
+        _SH_C[4] * (x * x - y * y),
+    ], axis=-1)
+
+
+def sh_project_cubemap(cube: jax.Array) -> jax.Array:
+    """Project a (6, S, S, 3) cubemap onto SH-9 -> (9, 3) coefficients.
+
+    Texel solid angles weight the sum (cube texels near corners cover less
+    of the sphere)."""
+    size = cube.shape[1]
+    dirs = sampling.face_texel_dirs(size)               # (6, S, S, 3)
+    t = (jnp.arange(size, dtype=F32) + 0.5) / size * 2.0 - 1.0
+    v, u = jnp.meshgrid(t, t, indexing="ij")
+    r2 = 1.0 + u * u + v * v
+    domega = 4.0 / (jnp.sqrt(r2) * r2)                  # per-texel solid angle
+    w = jnp.broadcast_to(domega, (6, size, size))
+    basis = _sh_basis(dirs)                             # (6, S, S, 9)
+    coeffs = jnp.einsum("fijk,fijc,fij->kc", basis, cube, w,
+                        preferred_element_type=F32)
+    total = jnp.sum(w)
+    return coeffs * (4.0 * jnp.pi / total)
+
+
+def sh_eval_irradiance(sh: jax.Array, n: jax.Array) -> jax.Array:
+    """Evaluate SH-9 coefficients of an *irradiance* signal at normals
+    ``n`` (..., 3) -> (..., 3). Pure elementwise math — no gathers."""
+    return jnp.einsum("...k,kc->...c", _sh_basis(n), sh,
+                      preferred_element_type=F32)
+
+
 @jax.named_scope("skybox")
 def skybox_colors(env_cube: jax.Array, proj_inv: jax.Array,
                   view_rot_inv: jax.Array, width: int, height: int,

@@ -366,12 +366,13 @@ def _rasterize_binned_jnp(bins: Bins, tile_h: int, tile_w: int
 def rasterize(clip: jax.Array, tri_vidx: jax.Array, tri_mask: jax.Array,
               width: int, height: int, tile_h: int, tile_w: int,
               bin_capacity: int, cull: str = "back", use_pallas: bool = True
-              ) -> tuple[jax.Array, jax.Array, TriangleSetup, jax.Array]:
+              ) -> tuple[jax.Array, jax.Array, TriangleSetup, "Bins"]:
     """Full raster: setup -> bin -> tile kernel.
 
-    Returns (tri_id, depth, setup, bin_overflow).
+    Returns (tri_id, depth, setup, bins) — bins.overflow is the capacity
+    monitor; bins.ids feed the one-hot resolve.
     """
     setup = triangle_setup(clip, tri_vidx, tri_mask, width, height, cull)
     bins = bin_triangles(setup, width, height, tile_h, tile_w, bin_capacity)
     tri_id, depth = rasterize_binned(bins, tile_h, tile_w, use_pallas=use_pallas)
-    return tri_id, depth, setup, bins.overflow
+    return tri_id, depth, setup, bins

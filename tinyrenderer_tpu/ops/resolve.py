@@ -138,6 +138,171 @@ def resolve_gbuffer(tri_id: jax.Array, depth: jax.Array, setup_rows: jax.Array,
     )
 
 
+# ---------------------------------------------------------------------------
+# One-hot tile resolve: TPU gathers cost ~5-10 ns *per element* regardless of
+# table size, so per-pixel id-indexed gathers (setup rows, vertex attrs,
+# materials) dominated the frame. Instead: fold every per-triangle quantity
+# into ONE table row — attribute numerator planes (affine in screen space:
+# P_c = sum_i a_ci * inv_w_i * E_i), the 1/w denominator plane, and flat
+# per-triangle constants — then select each pixel's row with a per-tile
+# one-hot matmul against the (K, D) binned table on the MXU. Zero per-pixel
+# gathers; everything else is plane evaluation on the VPU.
+# ---------------------------------------------------------------------------
+
+# constant-channel layout appended after the planes
+_N_ATTR = 14          # world3 uv2 normal3 tangent3 bitangent3
+_PLANES = 3 * (_N_ATTR + 1)   # + the 1/w denominator plane
+CONST_FLAT = _PLANES          # mat_flat: 6
+CONST_REC = _PLANES + 6       # composite material record index
+CONST_OBJ = _PLANES + 7       # object id
+ROW_D = _PLANES + 8
+
+
+def build_gbuffer_table(setup, tri_vidx: jax.Array, attrs: "VertexAttrs",
+                        tri_instance: jax.Array, inst_object_id: jax.Array,
+                        inst_material: jax.Array, mat_record: jax.Array,
+                        mat_flat: jax.Array) -> jax.Array:
+    """(T, ROW_D) per-triangle resolve table (triangle-level gathers only)."""
+    T = tri_vidx.shape[0]
+    corner = jnp.take(attrs.rows(), tri_vidx, axis=0)        # (T, 3, C)
+    aw = corner * setup.inv_w[..., None]                     # a_ci / w_i
+    E = setup.rows[:, 0:9].reshape(T, 3, 3)                  # corner edge planes
+    p_attr = jnp.einsum("tic,tij->tcj", aw, E,
+                        preferred_element_type=F32)          # (T, C, 3)
+    p_w = jnp.einsum("ti,tij->tj", setup.inv_w, E,
+                     preferred_element_type=F32)             # (T, 3)
+    mat = jnp.take(inst_material, tri_instance)
+    consts = jnp.concatenate([
+        jnp.take(mat_flat, mat, axis=0),                     # (T, 6)
+        jnp.take(mat_record, mat).astype(F32)[:, None],      # (T, 1)
+        jnp.take(inst_object_id, tri_instance).astype(F32)[:, None],  # (T, 1)
+    ], axis=1)
+    rows = jnp.concatenate([p_w, p_attr.reshape(T, -1), consts], axis=1)
+    return jnp.where(setup.valid[:, None], rows, 0.0)
+
+
+def select_rows_onehot(tri_id: jax.Array, bin_ids: jax.Array,
+                       table: jax.Array, tile_h: int, tile_w: int
+                       ) -> jax.Array:
+    """Per-pixel row selection: (H, W) winner ids + (ty, tx, K) bin lists +
+    (T, D) table -> (H, W, D), via one MXU einsum per frame."""
+    H, W = tri_id.shape
+    ty, tx, K = bin_ids.shape
+    T = table.shape[0]
+    tiles = tri_id.reshape(ty, tile_h, tx, tile_w).transpose(0, 2, 1, 3)
+    tiles = tiles.reshape(ty, tx, tile_h * tile_w)           # (ty, tx, P)
+    onehot = (tiles[..., None] == bin_ids[:, :, None, :]).astype(jnp.bfloat16)
+    rows_tile = jnp.take(table, jnp.clip(bin_ids, 0, T - 1), axis=0)
+    rows_tile = jnp.where((bin_ids >= 0)[..., None], rows_tile, 0.0)
+    # onehot is exact in bf16 (0/1); rows stay f32 for plane precision
+    sel = jnp.einsum("typk,tykd->typd", onehot, rows_tile,
+                     preferred_element_type=F32)             # MXU
+    sel = sel.reshape(ty, tx, tile_h, tile_w, -1).transpose(0, 2, 1, 3, 4)
+    return sel.reshape(H, W, -1)
+
+
+class ResolvedAttrs(NamedTuple):
+    """Per-pixel interpolated attributes + per-triangle constants."""
+
+    world: jax.Array       # (H, W, 3)
+    uv: jax.Array          # (H, W, 2)
+    normal: jax.Array      # (H, W, 3) geometric (normalized)
+    tangent: jax.Array     # (H, W, 3)
+    bitangent: jax.Array   # (H, W, 3)
+    flat: jax.Array        # (H, W, 6) material flat params
+    record: jax.Array      # (H, W) i32 composite material record
+    object_id: jax.Array   # (H, W) i32 (0 = none)
+    valid: jax.Array       # (H, W) bool
+
+
+def resolve_attrs_onehot(tri_id: jax.Array, setup, bin_ids: jax.Array,
+                         tri_vidx: jax.Array, tri_instance: jax.Array,
+                         attrs: "VertexAttrs", inst_object_id: jax.Array,
+                         inst_material: jax.Array, mat_record: jax.Array,
+                         mat_flat: jax.Array,
+                         tile_h: int, tile_w: int) -> ResolvedAttrs:
+    """Gather-free per-pixel attribute resolve."""
+    H, W = tri_id.shape
+    table = build_gbuffer_table(setup, tri_vidx, attrs, tri_instance,
+                                inst_object_id, inst_material,
+                                mat_record, mat_flat)
+    sel = select_rows_onehot(tri_id, bin_ids, table, tile_h, tile_w)
+
+    px = (jnp.arange(W, dtype=F32) + 0.5)[None, :, None]
+    py = (jnp.arange(H, dtype=F32) + 0.5)[:, None, None]
+
+    def plane_eval(block):  # (..., 3k) -> (..., k)
+        k = block.shape[-1] // 3
+        b = block.reshape(*block.shape[:-1], k, 3)
+        return b[..., 0] * px + b[..., 1] * py + b[..., 2]
+
+    denom = plane_eval(sel[..., 0:3])                        # (H, W, 1)
+    denom = jnp.where(jnp.abs(denom) > 1e-20, denom, 1.0)
+    a = plane_eval(sel[..., 3:_PLANES]) / denom              # (H, W, 14)
+
+    valid = tri_id >= 0
+    return ResolvedAttrs(
+        world=a[..., 0:3],
+        uv=a[..., 3:5],
+        normal=_safe_normalize(a[..., 5:8]),
+        tangent=_safe_normalize(a[..., 8:11]),
+        bitangent=_safe_normalize(a[..., 11:14]),
+        flat=sel[..., CONST_FLAT:CONST_FLAT + 6],
+        record=jnp.round(sel[..., CONST_REC]).astype(I32),
+        object_id=jnp.where(valid, jnp.round(sel[..., CONST_OBJ]).astype(I32), 0),
+        valid=valid,
+    )
+
+
+def resolve_gbuffer_onehot(tri_id: jax.Array, depth: jax.Array, setup,
+                           bin_ids: jax.Array, tri_vidx: jax.Array,
+                           tri_instance: jax.Array, attrs: "VertexAttrs",
+                           inst_object_id: jax.Array, inst_material: jax.Array,
+                           mat_record: jax.Array, mat_flat: jax.Array,
+                           pool: sampling.TexturePoolGPU,
+                           tile_h: int, tile_w: int) -> GBuffer:
+    """Gather-free GBuffer resolve (the fast path of resolve_gbuffer).
+
+    ``pool`` is the composite material-record pool: each texel carries
+    [albedo rgba | normal rgb | rough | metal], so the whole material reads
+    in ONE trilinear sample."""
+    r = resolve_attrs_onehot(tri_id, setup, bin_ids, tri_vidx, tri_instance,
+                             attrs, inst_object_id, inst_material,
+                             mat_record, mat_flat, tile_h, tile_w)
+    world, uv = r.world, r.uv
+    n_geom, tangent, bitangent = r.normal, r.tangent, r.bitangent
+    flat, object_id, valid = r.flat, r.object_id, r.valid
+    use_tex = flat[..., 5] > 0.5
+
+    level = sampling.mip_level_from_uv(uv, pool.level_sizes[0])
+    rec = sampling.sample_pool_mip(pool, r.record, uv, level)   # (H, W, 9)
+    albedo_t = rec[..., 0:3]
+    normal_t = rec[..., 4:7]
+    rough_t = rec[..., 7]
+    metal_t = rec[..., 8]
+
+    nt = normal_t * 2.0 - 1.0
+    n_mapped = _safe_normalize(
+        nt[..., 0:1] * tangent + nt[..., 1:2] * bitangent + nt[..., 2:3] * n_geom)
+
+    albedo = jnp.where(use_tex[..., None], albedo_t, flat[..., 0:3])
+    normal = jnp.where(use_tex[..., None], n_mapped, n_geom)
+    rough = jnp.where(use_tex, rough_t, flat[..., 3])
+    metal = jnp.where(use_tex, metal_t, flat[..., 4])
+
+    vm = valid[..., None]
+    return GBuffer(
+        position=jnp.where(vm, world, 0.0),
+        normal=jnp.where(vm, normal, 0.0),
+        albedo=jnp.where(vm, albedo, 0.0),
+        rough_metal_ao=jnp.where(
+            vm, jnp.stack([rough, metal, jnp.ones_like(rough)], axis=-1), 0.0),
+        depth=depth,
+        object_id=object_id,
+        mask=valid,
+    )
+
+
 def _safe_normalize(v: jax.Array) -> jax.Array:
     n = jnp.linalg.norm(v, axis=-1, keepdims=True)
     return v / jnp.maximum(n, 1e-12)

@@ -35,18 +35,19 @@ class TexturePoolGPU(NamedTuple):
 
 
 def pack_texture_pool(mips: list[np.ndarray]) -> TexturePoolGPU:
-    """Flatten host mip arrays [(N, s, s, 4) per level] into one pool."""
+    """Flatten host mip arrays [(N, s, s, C) per level] into one pool."""
     n = mips[0].shape[0]
+    channels = mips[0].shape[-1]
     level_sizes = tuple(int(m.shape[1]) for m in mips)
     offsets, off = [], 0
     for s in level_sizes:
         offsets.append(off)
         off += s * s
     texels_per_tex = off
-    flat = np.zeros((n * texels_per_tex, 4), np.float32)
+    flat = np.zeros((n * texels_per_tex, channels), np.float32)
     for l, m in enumerate(mips):
         s = level_sizes[l]
-        region = m.reshape(n, s * s, 4)
+        region = m.reshape(n, s * s, channels)
         for_all = np.arange(n) * texels_per_tex + offsets[l]
         for t in range(n):
             flat[for_all[t]:for_all[t] + s * s] = region[t]

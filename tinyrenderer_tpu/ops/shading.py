@@ -82,12 +82,17 @@ def light_contribution(pixel_to_light, light_color, attenuation,
 
 
 def diffuse_irradiance_ambient(normal, view, roughness, albedo, metalness,
-                               irradiance_cube):
-    """main.wgsl:191-200 get_diffuse_irradiance."""
+                               irradiance_sh):
+    """main.wgsl:191-200 get_diffuse_irradiance.
+
+    The irradiance signal arrives as SH-9 coefficients (projected from the
+    baked irradiance cubemap, env.sh_project_cubemap) so the per-pixel
+    lookup is a polynomial evaluation instead of a TPU-hostile gather."""
+    from . import env as envops
     f0 = jnp.full_like(albedo, F0_NON_METALLIC) * (1.0 - metalness) + albedo * metalness
     ks = fresnel_schlick_roughness(jnp.maximum(_dot(normal, view), 0.0), f0, roughness)
     kd = 1.0 - ks
-    irr = sampling.sample_cubemap(irradiance_cube, normal)
+    irr = jnp.maximum(envops.sh_eval_irradiance(irradiance_sh, normal), 0.0)
     return kd * irr * albedo
 
 
@@ -104,7 +109,7 @@ class ShadingLights(NamedTuple):
 @jax.named_scope("deferred_shading")
 def shade_deferred(g: GBuffer, camera_pos: jax.Array, lights: ShadingLights,
                    num_point: int, num_directional: int,
-                   irradiance_cube: jax.Array | None,
+                   irradiance_sh: jax.Array | None,
                    point_shadow_fn=None, dir_shadow_fn=None) -> jax.Array:
     """Deferred shading compute pass (main.wgsl:202-259) -> HDR (H, W, 3).
 
@@ -143,9 +148,9 @@ def shade_deferred(g: GBuffer, camera_pos: jax.Array, lights: ShadingLights,
             to_cam, normal, albedo, metal, rough)
         hdr = hdr + contrib * (shadow > 0.0).astype(F32)[..., None]
 
-    if irradiance_cube is not None:
+    if irradiance_sh is not None:
         ambient = diffuse_irradiance_ambient(normal, to_cam, rough, albedo,
-                                             metal, irradiance_cube) * ao
+                                             metal, irradiance_sh) * ao
         hdr = hdr + ambient
 
     return jnp.where(g.mask[..., None], hdr, 0.0)

@@ -38,7 +38,7 @@ def render_shadow_views(clip_per_view: jax.Array, tri_vidx: jax.Array,
     """
     views = []
     for v in range(clip_per_view.shape[0]):
-        _, depth, _, _ = raster.rasterize(
+        _, depth, _, _bins = raster.rasterize(
             clip_per_view[v], tri_vidx, tri_mask, size, size, tile, tile,
             bin_capacity, cull="front", use_pallas=use_pallas)
         views.append(depth)

@@ -93,14 +93,14 @@ def _render_band(scene: SceneGPU, pool, lights: LightsGPU, atlas,
                                     cfg.bin_capacity)
         tri_id, depth = raster.rasterize_binned(bins, cfg.tile_h, cfg.tile_w,
                                                 use_pallas=cfg.use_pallas)
-        return tri_id, depth, setup
+        return tri_id, depth, setup, bins
 
-    tri_id, depth, setup = band_raster(scene.tri_vidx, scene.tri_deferred,
-                                       "back")
-    g = resolve.resolve_gbuffer(
-        tri_id, depth, setup.rows, scene.tri_vidx, scene.tri_instance, attrs,
-        scene.inst_object_id, scene.inst_material,
-        scene.mat_tex_slots, scene.mat_flat, pool)
+    tri_id, depth, setup, bins = band_raster(scene.tri_vidx,
+                                             scene.tri_deferred, "back")
+    g = resolve.resolve_gbuffer_onehot(
+        tri_id, depth, setup, bins.ids, scene.tri_vidx, scene.tri_instance,
+        attrs, scene.inst_object_id, scene.inst_material,
+        scene.mat_record, scene.mat_flat, pool, cfg.tile_h, cfg.tile_w)
 
     Pn, D = cfg.num_point_lights, cfg.num_directional_lights
     point_shadow_fn = dir_shadow_fn = None
@@ -119,7 +119,7 @@ def _render_band(scene: SceneGPU, pool, lights: LightsGPU, atlas,
         point_position=lights.point_position, point_color=lights.point_color,
         dir_direction=lights.dir_direction, dir_color=lights.dir_color,
         dir_viewproj=lights.dir_viewproj)
-    irradiance = env.irradiance if (env is not None and cfg.enable_ibl) else None
+    irradiance = env.irradiance_sh if (env is not None and cfg.enable_ibl) else None
     hdr = shading.shade_deferred(g, cam["position"], slights, Pn, D, irradiance,
                                  point_shadow_fn, dir_shadow_fn)
 
@@ -130,24 +130,21 @@ def _render_band(scene: SceneGPU, pool, lights: LightsGPU, atlas,
         hdr = jnp.where(g.mask[..., None], hdr, sky)
 
     # forward pass (gizmos/billboards), band-local, own small triangle pool
-    f_id, _, f_setup = band_raster(scene.fwd_tri_vidx, scene.fwd_tri_mask,
-                                   "none")
-    f_attrs, f_valid = resolve.interpolate(
-        f_id, f_setup.rows, scene.fwd_tri_vidx, scene.vert_uv)
-    f_tid = jnp.maximum(f_id, 0)
-    f_inst = jnp.take(scene.fwd_tri_instance, f_tid)
-    f_mat = jnp.take(scene.inst_material, f_inst)
-    f_flat = jnp.take(scene.mat_flat, f_mat, axis=0)
-    f_slots = jnp.take(scene.mat_tex_slots, f_mat, axis=0)
-    f_uv = f_attrs[..., 0:2]
-    lvl = sampling.mip_level_from_uv(f_uv, pool.level_sizes[0])
-    f_tex = sampling.sample_pool_mip(pool, f_slots[..., 0], f_uv, lvl)
-    use_tex = f_flat[..., 5] > 0.5
-    f_color = jnp.where(use_tex[..., None], f_tex[..., :3], f_flat[..., 0:3])
+    f_id, _, f_setup, f_bins = band_raster(scene.fwd_tri_vidx,
+                                           scene.fwd_tri_mask, "none")
+    fr = resolve.resolve_attrs_onehot(
+        f_id, f_setup, f_bins.ids, scene.fwd_tri_vidx,
+        scene.fwd_tri_instance, attrs, scene.inst_object_id,
+        scene.inst_material, scene.mat_record, scene.mat_flat,
+        cfg.tile_h, cfg.tile_w)
+    f_valid = fr.valid
+    lvl = sampling.mip_level_from_uv(fr.uv, pool.level_sizes[0])
+    f_tex = sampling.sample_pool_mip(pool, fr.record, fr.uv, lvl)
+    use_tex = fr.flat[..., 5] > 0.5
+    f_color = jnp.where(use_tex[..., None], f_tex[..., :3], fr.flat[..., 0:3])
     f_alpha = jnp.where(use_tex, f_tex[..., 3], 1.0) * f_valid.astype(F32)
     hdr = hdr * (1.0 - f_alpha[..., None]) + f_color * f_alpha[..., None]
-    pick = jnp.where(f_valid & (f_alpha > 0.5),
-                     jnp.take(scene.inst_object_id, f_inst), g.object_id)
+    pick = jnp.where(f_valid & (f_alpha > 0.5), fr.object_id, g.object_id)
 
     sdr = post.tone_map(hdr, params[framelib.PARAM_TONE_TYPE],
                         params[framelib.PARAM_EXPOSURE])

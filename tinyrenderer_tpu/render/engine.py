@@ -147,7 +147,8 @@ class Engine:
             cube = framelib.bake_env_cubemap(eq, self.cfg.env_size,
                                              gamma_decode=self._equirect_is_file)
             irr = self._load_or_bake_irradiance(cube)
-            self._env = framelib.EnvGPU(env_cube=cube, irradiance=irr)
+            self._env = framelib.EnvGPU(env_cube=cube, irradiance=irr,
+                                        irradiance_sh=framelib.project_irradiance_sh(irr))
         return self._env
 
     def _load_or_bake_irradiance(self, cube) -> jnp.ndarray:
@@ -198,7 +199,9 @@ class Engine:
                 if self._env is not None:
                     irr = framelib.bake_irradiance(self._env.env_cube,
                                                    self.cfg.irradiance_size)
-                    self._env = framelib.EnvGPU(self._env.env_cube, irr)
+                    self._env = framelib.EnvGPU(
+                        self._env.env_cube, irr,
+                        framelib.project_irradiance_sh(irr))
             elif action == RenderingAction.SAVE_IRRADIANCE:
                 self.write_ibl_to_file(self._ibl_cache_path or "output_ibl.data")
         self._actions.clear()

@@ -43,7 +43,8 @@ def default_params() -> jnp.ndarray:
 
 class EnvGPU(NamedTuple):
     env_cube: jax.Array      # (6, E, E, 3) environment cubemap
-    irradiance: jax.Array    # (6, I, I, 3) diffuse irradiance
+    irradiance: jax.Array    # (6, I, I, 3) diffuse irradiance (bake/cache)
+    irradiance_sh: jax.Array  # (9, 3) SH projection used by shading
 
 
 class FrameOutput(NamedTuple):
@@ -81,25 +82,22 @@ def render_frame_forward(scene: SceneGPU, pool: sampling.TexturePoolGPU,
     nm = jnp.take(scene.inst_normal_mat, scene.vert_instance, axis=0)
     n_w = jnp.einsum("vij,vj->vi", nm, scene.vert_normal, preferred_element_type=F32)
 
-    tri_id, depth, setup, overflow = raster.rasterize(
+    tri_id, depth, setup, bins = raster.rasterize(
         clip, scene.tri_vidx, scene.tri_deferred, PW, PH,
         cfg.tile_h, cfg.tile_w, cfg.bin_capacity, cull="back",
         use_pallas=cfg.use_pallas)
+    overflow = bins.overflow
 
-    attrs = jnp.concatenate([scene.vert_uv, n_w], axis=1)
-    interp, valid = resolve.interpolate(tri_id, setup.rows, scene.tri_vidx, attrs)
-    uv = interp[..., 0:2]
-    normal = interp[..., 2:5]
-    normal = normal / jnp.maximum(
-        jnp.linalg.norm(normal, axis=-1, keepdims=True), 1e-8)
-
-    tid = jnp.maximum(tri_id, 0)
-    inst = jnp.take(scene.tri_instance, tid)
-    mat = jnp.take(scene.inst_material, inst)
-    flat = jnp.take(scene.mat_flat, mat, axis=0)
-    slots = jnp.take(scene.mat_tex_slots, mat, axis=0)
+    vattrs = resolve.VertexAttrs(world=world, uv=scene.vert_uv,
+                                 normal=n_w, tangent=n_w, bitangent=n_w)
+    r = resolve.resolve_attrs_onehot(
+        tri_id, setup, bins.ids, scene.tri_vidx, scene.tri_instance, vattrs,
+        scene.inst_object_id, scene.inst_material, scene.mat_record,
+        scene.mat_flat, cfg.tile_h, cfg.tile_w)
+    valid = r.valid
+    uv, normal, flat = r.uv, r.normal, r.flat
     lvl = sampling.mip_level_from_uv(uv, pool.level_sizes[0])
-    tex = sampling.sample_pool_mip(pool, slots[..., 0], uv, lvl)[..., :3]
+    tex = sampling.sample_pool_mip(pool, r.record, uv, lvl)[..., :3]
     use_tex = flat[..., 5] > 0.5
     albedo = jnp.where(use_tex[..., None], tex, flat[..., 0:3])
 
@@ -117,8 +115,7 @@ def render_frame_forward(scene: SceneGPU, pool: sampling.TexturePoolGPU,
         hdr = jnp.where(valid[..., None], hdr, sky)
 
     sdr = post.tone_map(hdr, params[PARAM_TONE_TYPE], params[PARAM_EXPOSURE])
-    pick = jnp.where(valid, jnp.take(scene.inst_object_id, inst), 0)
-    return FrameOutput(sdr=sdr[:H, :W], pick_id=pick[:H, :W],
+    return FrameOutput(sdr=sdr[:H, :W], pick_id=r.object_id[:H, :W],
                        depth=depth[:H, :W], hdr=hdr[:H, :W],
                        bin_overflow=overflow)
 
@@ -145,15 +142,16 @@ def render_frame(scene: SceneGPU, pool: sampling.TexturePoolGPU,
                                 normal=n_w, tangent=t_w, bitangent=b_w)
 
     # ---- main visibility raster (GBuffer geometry pass) ----
-    tri_id, depth, setup, ovf_main = raster.rasterize(
+    tri_id, depth, setup, bins = raster.rasterize(
         clip, scene.tri_vidx, scene.tri_deferred, PW, PH,
         cfg.tile_h, cfg.tile_w, cfg.bin_capacity, cull="back",
         use_pallas=cfg.use_pallas)
+    ovf_main = bins.overflow
 
-    g = resolve.resolve_gbuffer(
-        tri_id, depth, setup.rows, scene.tri_vidx, scene.tri_instance, attrs,
-        scene.inst_object_id, scene.inst_material,
-        scene.mat_tex_slots, scene.mat_flat, pool)
+    g = resolve.resolve_gbuffer_onehot(
+        tri_id, depth, setup, bins.ids, scene.tri_vidx, scene.tri_instance,
+        attrs, scene.inst_object_id, scene.inst_material,
+        scene.mat_record, scene.mat_flat, pool, cfg.tile_h, cfg.tile_w)
 
     # ---- shadow atlas ----
     overflow = ovf_main
@@ -182,7 +180,7 @@ def render_frame(scene: SceneGPU, pool: sampling.TexturePoolGPU,
         point_position=lights.point_position, point_color=lights.point_color,
         dir_direction=lights.dir_direction, dir_color=lights.dir_color,
         dir_viewproj=lights.dir_viewproj)
-    irradiance = env.irradiance if (env is not None and cfg.enable_ibl) else None
+    irradiance = env.irradiance_sh if (env is not None and cfg.enable_ibl) else None
     hdr = shading.shade_deferred(g, cam["position"], slights, P, D, irradiance,
                                  point_shadow_fn, dir_shadow_fn)
 
@@ -198,29 +196,26 @@ def render_frame(scene: SceneGPU, pool: sampling.TexturePoolGPU,
     pick = g.object_id
     has_forward = True
     if has_forward:
-        f_id, f_depth, f_setup, ovf_f = raster.rasterize(
+        f_id, f_depth, f_setup, f_bins = raster.rasterize(
             clip, scene.fwd_tri_vidx, scene.fwd_tri_mask, PW, PH,
             cfg.tile_h, cfg.tile_w, cfg.bin_capacity, cull="none",
             use_pallas=cfg.use_pallas)
-        overflow = jnp.maximum(overflow, ovf_f)
-        f_attrs, f_valid = resolve.interpolate(
-            f_id, f_setup.rows, scene.fwd_tri_vidx, scene.vert_uv)
-        f_tid = jnp.maximum(f_id, 0)
-        f_inst = jnp.take(scene.fwd_tri_instance, f_tid)
-        f_mat = jnp.take(scene.inst_material, f_inst)
-        f_flat = jnp.take(scene.mat_flat, f_mat, axis=0)
-        f_slots = jnp.take(scene.mat_tex_slots, f_mat, axis=0)
-        f_uv = f_attrs[..., 0:2]
-        lvl = sampling.mip_level_from_uv(f_uv, pool.level_sizes[0])
-        f_tex = sampling.sample_pool_mip(pool, f_slots[..., 0], f_uv, lvl)
-        use_tex = f_flat[..., 5] > 0.5
-        f_color = jnp.where(use_tex[..., None], f_tex[..., :3], f_flat[..., 0:3])
+        overflow = jnp.maximum(overflow, f_bins.overflow)
+        fr = resolve.resolve_attrs_onehot(
+            f_id, f_setup, f_bins.ids, scene.fwd_tri_vidx,
+            scene.fwd_tri_instance, attrs, scene.inst_object_id,
+            scene.inst_material, scene.mat_record, scene.mat_flat,
+            cfg.tile_h, cfg.tile_w)
+        f_valid = fr.valid
+        lvl = sampling.mip_level_from_uv(fr.uv, pool.level_sizes[0])
+        f_tex = sampling.sample_pool_mip(pool, fr.record, fr.uv, lvl)
+        use_tex = fr.flat[..., 5] > 0.5
+        f_color = jnp.where(use_tex[..., None], f_tex[..., :3], fr.flat[..., 0:3])
         f_alpha = jnp.where(use_tex, f_tex[..., 3], 1.0) * f_valid.astype(F32)
         hdr = hdr * (1.0 - f_alpha[..., None]) + f_color * f_alpha[..., None]
         # pick: forward (non-depth-tested) objects override, like the second
         # object-picker pipeline (src/pipelines/object_picker_rp.rs:151-178)
-        pick = jnp.where(f_valid & (f_alpha > 0.5),
-                         jnp.take(scene.inst_object_id, f_inst), pick)
+        pick = jnp.where(f_valid & (f_alpha > 0.5), fr.object_id, pick)
 
     # ---- SSR (reference ships an effective pass-through; strength=0) ----
     if cfg.enable_ssr:
@@ -258,3 +253,10 @@ def bake_env_cubemap(equirect: jax.Array, size: int, gamma_decode: bool = True):
 @functools.partial(jax.jit, static_argnames=("size",))
 def bake_irradiance(env_cube: jax.Array, size: int):
     return envops.bake_irradiance(env_cube, size)
+
+
+@jax.jit
+def project_irradiance_sh(irradiance_cube: jax.Array) -> jax.Array:
+    """SH-9 projection of the baked irradiance cubemap (shading evaluates
+    the polynomial instead of gathering from the map)."""
+    return envops.sh_project_cubemap(irradiance_cube)

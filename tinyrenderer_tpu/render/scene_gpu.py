@@ -65,6 +65,7 @@ class SceneGPU(NamedTuple):
     inst_material: jax.Array   # (Ic,) i32
     mat_tex_slots: jax.Array   # (Mc, 4) i32
     mat_flat: jax.Array        # (Mc, 6) f32: albedo rgb, rough, metal, use_tex
+    mat_record: jax.Array      # (Mc,) i32 composite-record index
 
 
 class LightsGPU(NamedTuple):
@@ -135,7 +136,7 @@ class ScenePacker:
                           texlib.DEFAULT_ROUGHNESS_SLOT, texlib.DEFAULT_METALNESS_SLOT],
                          I32)
         flat = np.array([1.0, 1.0, 1.0, 1.0, 0.0, 1.0], F32)  # textured default
-        self._materials.append((slots, flat))
+        self._materials.append((slots, flat, 0))  # record 0 = default combo
         return 0
 
     def material_index(self, desc: comp.PbrMaterialDescriptor) -> int:
@@ -147,6 +148,7 @@ class ScenePacker:
             p = desc.flat
             flat = np.array([p.albedo[0], p.albedo[1], p.albedo[2],
                              p.roughness, p.metalness, 0.0], F32)
+            record = 0
         else:
             by_usage = {t.usage: t for t in desc.textures}
             slots = np.zeros(4, I32)
@@ -164,16 +166,24 @@ class ScenePacker:
                         slots[i] = self.pool.get_or_load(path, usage.value)
                         self._pool_dirty = True
             flat = np.array([1.0, 1.0, 1.0, 1.0, 0.0, 1.0], F32)
+            record = self.pool.get_or_make_record(tuple(slots))
+            self._pool_dirty = True
         idx = len(self._materials)
-        self._materials.append((slots, flat))
+        self._materials.append((slots, flat, record))
         self._material_cache[key] = idx
         return idx
 
     def texture_pool_gpu(self) -> sampling.TexturePoolGPU:
+        """Composite material-record pool (9ch texels) — the pool the
+        jitted frame samples; one gather fetches a material's whole texel."""
         if self._pool_gpu is None or self._pool_dirty:
-            self._pool_gpu = sampling.pack_texture_pool(self.pool.device_arrays())
+            self._pool_gpu = sampling.pack_texture_pool(self.pool.record_arrays())
             self._pool_dirty = False
         return self._pool_gpu
+
+    def scalar_pool_gpu(self) -> sampling.TexturePoolGPU:
+        """Per-texture 4ch pool (tests / tooling)."""
+        return sampling.pack_texture_pool(self.pool.device_arrays())
 
     # -- packing -----------------------------------------------------------------
 
@@ -299,6 +309,7 @@ class ScenePacker:
             inst_material=jnp.asarray(cat(i_mat, (Ic,), I32)),
             mat_tex_slots=jnp.asarray(cat([m[0] for m in self._materials], (Mc, 4), I32)),
             mat_flat=jnp.asarray(cat([m[1] for m in self._materials], (Mc, 6), F32)),
+            mat_record=jnp.asarray(cat([m[2] for m in self._materials], (Mc,), I32)),
         )
 
         packed = lightslib.pack_lights(point_lights, dir_lights)
