@@ -94,6 +94,18 @@ class RenderConfig:
     # the reference approximates with its forward renderer.
     forward_only: bool = False
 
+    # Reduced-rate lookups (TPU gathers cost ~9 ns/element; these signals
+    # are low-frequency). shadow_lookup_scale=2 computes shadow visibility
+    # on a half-res grid and bilinearly upsamples (PCF is already soft);
+    # sky_scale=4 evaluates the skybox at quarter res (the env map through
+    # a smooth unprojection). 1 = full rate.
+    shadow_lookup_scale: int = 2
+    sky_scale: int = 4
+    # Material filtering: 'trilinear' (reference parity, 8 gathers),
+    # 'dithered' (Bayer-dithered trilinear, 4 gathers — default),
+    # 'bilinear' (nearest mip, 4 gathers).
+    texture_filter: str = "dithered"
+
     @property
     def tiles_y(self) -> int:
         return _round_up(self.height, self.tile_h) // self.tile_h

@@ -260,7 +260,8 @@ def resolve_gbuffer_onehot(tri_id: jax.Array, depth: jax.Array, setup,
                            inst_object_id: jax.Array, inst_material: jax.Array,
                            mat_record: jax.Array, mat_flat: jax.Array,
                            pool: sampling.TexturePoolGPU,
-                           tile_h: int, tile_w: int) -> GBuffer:
+                           tile_h: int, tile_w: int,
+                           texture_filter: str = "dithered") -> GBuffer:
     """Gather-free GBuffer resolve (the fast path of resolve_gbuffer).
 
     ``pool`` is the composite material-record pool: each texel carries
@@ -275,7 +276,8 @@ def resolve_gbuffer_onehot(tri_id: jax.Array, depth: jax.Array, setup,
     use_tex = flat[..., 5] > 0.5
 
     level = sampling.mip_level_from_uv(uv, pool.level_sizes[0])
-    rec = sampling.sample_pool_mip(pool, r.record, uv, level)   # (H, W, 9)
+    rec = sampling.sample_pool_mip(pool, r.record, uv, level,
+                                   filter=texture_filter)       # (H, W, 9)
     albedo_t = rec[..., 0:3]
     normal_t = rec[..., 4:7]
     rough_t = rec[..., 7]

@@ -142,18 +142,43 @@ def _sample_bilinear_dynamic_level(pool: TexturePoolGPU, tex: jax.Array,
 
 
 def sample_pool_mip(pool: TexturePoolGPU, tex: jax.Array, uv: jax.Array,
-                    level_f: jax.Array, wrap: bool = True) -> jax.Array:
-    """Trilinear sample with a per-pixel fractional mip level (the material
-    sampler is mipmap_filter: Linear in the reference, src/texture.rs:264-266).
-    Two dynamic-level bilinear taps blended by the level fraction."""
+                    level_f: jax.Array, wrap: bool = True,
+                    filter: str = "dithered") -> jax.Array:
+    """Mipmapped bilinear sample with a per-pixel fractional level.
+
+    filter:
+    - 'trilinear': two bilinear taps blended by the level fraction (the
+      reference's mipmap_filter: Linear, src/texture.rs:264-266) — 8 gathers.
+    - 'dithered' (default): one bilinear tap at lo or lo+1 chosen by a 4x4
+      Bayer threshold on the level fraction — 4 gathers. Deterministic and
+      visually equivalent to trilinear (the dither averages the blend over
+      the pixel neighborhood); the industry-standard gather-halving trick.
+    - 'bilinear': nearest mip level — 4 gathers, visible mip seams.
+    """
     nlev = len(pool.level_sizes)
     lf = jnp.clip(level_f, 0.0, nlev - 1.0)
-    lo = jnp.floor(lf).astype(I32)
-    frac = (lf - lo.astype(F32))[..., None]
-    out_lo = _sample_bilinear_dynamic_level(pool, tex, uv, lo, wrap)
-    out_hi = _sample_bilinear_dynamic_level(pool, tex, uv,
-                                            jnp.minimum(lo + 1, nlev - 1), wrap)
-    return out_lo * (1.0 - frac) + out_hi * frac
+    if filter == "trilinear":
+        lo = jnp.floor(lf).astype(I32)
+        frac = (lf - lo.astype(F32))[..., None]
+        out_lo = _sample_bilinear_dynamic_level(pool, tex, uv, lo, wrap)
+        out_hi = _sample_bilinear_dynamic_level(
+            pool, tex, uv, jnp.minimum(lo + 1, nlev - 1), wrap)
+        return out_lo * (1.0 - frac) + out_hi * frac
+    if filter == "dithered":
+        lo = jnp.floor(lf).astype(I32)
+        frac = lf - lo.astype(F32)
+        h, w = lf.shape[-2], lf.shape[-1]
+        bayer = jnp.asarray(np.array(
+            [[0, 8, 2, 10], [12, 4, 14, 6],
+             [3, 11, 1, 9], [15, 7, 13, 5]], np.float32) / 16.0 + 1.0 / 32.0)
+        ty = jnp.arange(h) % 4
+        tx = jnp.arange(w) % 4
+        thresh = bayer[ty[:, None], tx[None, :]]
+        level = jnp.minimum(lo + (frac > thresh).astype(I32), nlev - 1)
+        return _sample_bilinear_dynamic_level(pool, tex, uv, level, wrap)
+    # 'bilinear'
+    level = jnp.clip(jnp.round(lf), 0, nlev - 1).astype(I32)
+    return _sample_bilinear_dynamic_level(pool, tex, uv, level, wrap)
 
 
 def mip_level_from_uv(uv: jax.Array, base_size: int) -> jax.Array:

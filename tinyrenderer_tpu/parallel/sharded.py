@@ -100,20 +100,25 @@ def _render_band(scene: SceneGPU, pool, lights: LightsGPU, atlas,
     g = resolve.resolve_gbuffer_onehot(
         tri_id, depth, setup, bins.ids, scene.tri_vidx, scene.tri_instance,
         attrs, scene.inst_object_id, scene.inst_material,
-        scene.mat_record, scene.mat_flat, pool, cfg.tile_h, cfg.tile_w)
+        scene.mat_record, scene.mat_flat, pool, cfg.tile_h, cfg.tile_w,
+        texture_filter=cfg.texture_filter)
 
     Pn, D = cfg.num_point_lights, cfg.num_directional_lights
     point_shadow_fn = dir_shadow_fn = None
     if cfg.enable_shadows and (Pn + D) > 0 and atlas is not None:
         def point_shadow_fn(i, pos):  # noqa: E306
-            return shadows.point_shadow(
-                pos, lights.point_position[i],
-                lights.shadow_viewprojs[6 * i:6 * i + 6],
-                atlas[6 * i:6 * i + 6])
+            return framelib._lowres_vis(
+                lambda p: shadows.point_shadow(
+                    p, lights.point_position[i],
+                    lights.shadow_viewprojs[6 * i:6 * i + 6],
+                    atlas[6 * i:6 * i + 6]),
+                pos, cfg.shadow_lookup_scale)
 
         def dir_shadow_fn(i, pos):
-            return shadows.directional_shadow(
-                pos, lights.dir_viewproj[i], atlas[6 * Pn + i])
+            return framelib._lowres_vis(
+                lambda p: shadows.directional_shadow(
+                    p, lights.dir_viewproj[i], atlas[6 * Pn + i]),
+                pos, cfg.shadow_lookup_scale)
 
     slights = shading.ShadingLights(
         point_position=lights.point_position, point_color=lights.point_color,
@@ -124,9 +129,13 @@ def _render_band(scene: SceneGPU, pool, lights: LightsGPU, atlas,
                                  point_shadow_fn, dir_shadow_fn)
 
     if env is not None:
+        s = cfg.sky_scale
         sky = envops.skybox_colors(env.env_cube, cam["proj_inv"],
-                                   cam["view_inv"][:3, :3], PW, band_h,
-                                   y0=y0, full_height=PH)
+                                   cam["view_inv"][:3, :3], PW // s,
+                                   band_h // s, y0=y0 / s,
+                                   full_height=PH // s)
+        if s > 1:
+            sky = framelib._upsample_bilinear(sky, (band_h, PW, 3))
         hdr = jnp.where(g.mask[..., None], hdr, sky)
 
     # forward pass (gizmos/billboards), band-local, own small triangle pool
@@ -139,7 +148,8 @@ def _render_band(scene: SceneGPU, pool, lights: LightsGPU, atlas,
         cfg.tile_h, cfg.tile_w)
     f_valid = fr.valid
     lvl = sampling.mip_level_from_uv(fr.uv, pool.level_sizes[0])
-    f_tex = sampling.sample_pool_mip(pool, fr.record, fr.uv, lvl)
+    f_tex = sampling.sample_pool_mip(pool, fr.record, fr.uv, lvl,
+                                     filter=cfg.texture_filter)
     use_tex = fr.flat[..., 5] > 0.5
     f_color = jnp.where(use_tex[..., None], f_tex[..., :3], fr.flat[..., 0:3])
     f_alpha = jnp.where(use_tex, f_tex[..., 3], 1.0) * f_valid.astype(F32)

@@ -55,6 +55,20 @@ class FrameOutput(NamedTuple):
     bin_overflow: jax.Array  # () i32 max bin occupancy across passes
 
 
+def _upsample_bilinear(img: jax.Array, shape: tuple) -> jax.Array:
+    return jax.image.resize(img, shape, method="bilinear")
+
+
+def _lowres_vis(fn, pos: jax.Array, scale: int) -> jax.Array:
+    """Evaluate a (H, W)-visibility function on a strided position grid and
+    bilinearly upsample — shadow visibility is PCF-soft, so quarter the
+    gathers cost ~nothing visually (cfg.shadow_lookup_scale)."""
+    if scale == 1:
+        return fn(pos)
+    lo = fn(pos[::scale, ::scale])
+    return _upsample_bilinear(lo, pos.shape[:2])
+
+
 def _unpack_camera(camera_raw: jax.Array) -> dict:
     return dict(
         view_proj=camera_raw[0:16].reshape(4, 4),
@@ -97,7 +111,8 @@ def render_frame_forward(scene: SceneGPU, pool: sampling.TexturePoolGPU,
     valid = r.valid
     uv, normal, flat = r.uv, r.normal, r.flat
     lvl = sampling.mip_level_from_uv(uv, pool.level_sizes[0])
-    tex = sampling.sample_pool_mip(pool, r.record, uv, lvl)[..., :3]
+    tex = sampling.sample_pool_mip(pool, r.record, uv, lvl,
+                                   filter=cfg.texture_filter)[..., :3]
     use_tex = flat[..., 5] > 0.5
     albedo = jnp.where(use_tex[..., None], tex, flat[..., 0:3])
 
@@ -110,8 +125,11 @@ def render_frame_forward(scene: SceneGPU, pool: sampling.TexturePoolGPU,
     hdr = albedo * shade * valid[..., None].astype(F32)
 
     if env is not None:
+        s = cfg.sky_scale
         sky = envops.skybox_colors(env.env_cube, cam["proj_inv"],
-                                   cam["view_inv"][:3, :3], PW, PH)
+                                   cam["view_inv"][:3, :3], PW // s, PH // s)
+        if s > 1:
+            sky = _upsample_bilinear(sky, (PH, PW, 3))
         hdr = jnp.where(valid[..., None], hdr, sky)
 
     sdr = post.tone_map(hdr, params[PARAM_TONE_TYPE], params[PARAM_EXPOSURE])
@@ -151,7 +169,8 @@ def render_frame(scene: SceneGPU, pool: sampling.TexturePoolGPU,
     g = resolve.resolve_gbuffer_onehot(
         tri_id, depth, setup, bins.ids, scene.tri_vidx, scene.tri_instance,
         attrs, scene.inst_object_id, scene.inst_material,
-        scene.mat_record, scene.mat_flat, pool, cfg.tile_h, cfg.tile_w)
+        scene.mat_record, scene.mat_flat, pool, cfg.tile_h, cfg.tile_w,
+        texture_filter=cfg.texture_filter)
 
     # ---- shadow atlas ----
     overflow = ovf_main
@@ -166,14 +185,18 @@ def render_frame(scene: SceneGPU, pool: sampling.TexturePoolGPU,
             cfg.shadow_tile, cfg.shadow_bin_capacity, use_pallas=cfg.use_pallas)
 
         def point_shadow_fn(i, pos):  # noqa: E306
-            return shadows.point_shadow(
-                pos, lights.point_position[i],
-                lights.shadow_viewprojs[6 * i:6 * i + 6],
-                atlas[6 * i:6 * i + 6])
+            return _lowres_vis(
+                lambda p: shadows.point_shadow(
+                    p, lights.point_position[i],
+                    lights.shadow_viewprojs[6 * i:6 * i + 6],
+                    atlas[6 * i:6 * i + 6]),
+                pos, cfg.shadow_lookup_scale)
 
         def dir_shadow_fn(i, pos):
-            return shadows.directional_shadow(
-                pos, lights.dir_viewproj[i], atlas[6 * P + i])
+            return _lowres_vis(
+                lambda p: shadows.directional_shadow(
+                    p, lights.dir_viewproj[i], atlas[6 * P + i]),
+                pos, cfg.shadow_lookup_scale)
 
     # ---- deferred shading ----
     slights = shading.ShadingLights(
@@ -186,8 +209,11 @@ def render_frame(scene: SceneGPU, pool: sampling.TexturePoolGPU,
 
     # ---- skybox (background pixels, depth GreaterEqual at far plane) ----
     if env is not None:
+        s = cfg.sky_scale
         sky = envops.skybox_colors(env.env_cube, cam["proj_inv"],
-                                   cam["view_inv"][:3, :3], PW, PH)
+                                   cam["view_inv"][:3, :3], PW // s, PH // s)
+        if s > 1:
+            sky = _upsample_bilinear(sky, (PH, PW, 3))
         hdr = jnp.where(g.mask[..., None], hdr, sky)
 
     # ---- forward pass (gizmos/billboards: depth Always, drawn on top) ----
@@ -208,7 +234,8 @@ def render_frame(scene: SceneGPU, pool: sampling.TexturePoolGPU,
             cfg.tile_h, cfg.tile_w)
         f_valid = fr.valid
         lvl = sampling.mip_level_from_uv(fr.uv, pool.level_sizes[0])
-        f_tex = sampling.sample_pool_mip(pool, fr.record, fr.uv, lvl)
+        f_tex = sampling.sample_pool_mip(pool, fr.record, fr.uv, lvl,
+                                         filter=cfg.texture_filter)
         use_tex = fr.flat[..., 5] > 0.5
         f_color = jnp.where(use_tex[..., None], f_tex[..., :3], fr.flat[..., 0:3])
         f_alpha = jnp.where(use_tex, f_tex[..., 3], 1.0) * f_valid.astype(F32)
