@@ -172,3 +172,34 @@ def test_mip_level_from_uv_monotonic():
     l_fine = float(np.asarray(sampling.mip_level_from_uv(uv_fine, 256)).mean())
     l_coarse = float(np.asarray(sampling.mip_level_from_uv(uv_coarse, 256)).mean())
     assert l_coarse > l_fine
+
+
+def test_texture_filter_modes_agree():
+    """Dithered/trilinear/bilinear agree exactly when the mip level is
+    integral, and dithered stays between the two adjacent level samples."""
+    from tinyrenderer_tpu.assets import textures as texlib
+    base = np.zeros((64, 64, 4), F32)
+    base[::2] = 1.0
+    chain = texlib.build_mip_chain(base, 4)
+    pool = sampling.pack_texture_pool([m[None] for m in chain])
+    uv = jnp.stack(jnp.meshgrid(jnp.linspace(0.1, 0.9, 16),
+                                jnp.linspace(0.1, 0.9, 16), indexing="xy"),
+                   axis=-1)
+    tex = jnp.zeros((16, 16), jnp.int32)
+    lvl_int = jnp.full((16, 16), 1.0)
+    a = sampling.sample_pool_mip(pool, tex, uv, lvl_int, filter="trilinear")
+    b = sampling.sample_pool_mip(pool, tex, uv, lvl_int, filter="dithered")
+    c = sampling.sample_pool_mip(pool, tex, uv, lvl_int, filter="bilinear")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=1e-6)
+    # fractional level: dithered picks one of the two adjacent-level samples
+    lvl = jnp.full((16, 16), 1.4)
+    lo = sampling.sample_pool_mip(pool, tex, uv, jnp.full((16, 16), 1.0),
+                                  filter="bilinear")
+    hi = sampling.sample_pool_mip(pool, tex, uv, jnp.full((16, 16), 2.0),
+                                  filter="bilinear")
+    d = np.asarray(sampling.sample_pool_mip(pool, tex, uv, lvl, filter="dithered"))
+    eq_lo = np.isclose(d, np.asarray(lo), atol=1e-6).all(axis=-1)
+    eq_hi = np.isclose(d, np.asarray(hi), atol=1e-6).all(axis=-1)
+    assert (eq_lo | eq_hi).all()
+    assert eq_lo.any() and eq_hi.any()  # the dither actually mixes levels

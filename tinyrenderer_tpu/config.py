@@ -105,6 +105,9 @@ class RenderConfig:
     # 'dithered' (Bayer-dithered trilinear, 4 gathers — default),
     # 'bilinear' (nearest mip, 4 gathers).
     texture_filter: str = "dithered"
+    # Statically skip the forward overlay (set by the engine when the scene
+    # has no gizmos/billboards — saves a raster + resolve + texture taps).
+    has_forward: bool = True
 
     @property
     def tiles_y(self) -> int:

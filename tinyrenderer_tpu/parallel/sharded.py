@@ -139,22 +139,25 @@ def _render_band(scene: SceneGPU, pool, lights: LightsGPU, atlas,
         hdr = jnp.where(g.mask[..., None], hdr, sky)
 
     # forward pass (gizmos/billboards), band-local, own small triangle pool
-    f_id, _, f_setup, f_bins = band_raster(scene.fwd_tri_vidx,
-                                           scene.fwd_tri_mask, "none")
-    fr = resolve.resolve_attrs_onehot(
-        f_id, f_setup, f_bins.ids, scene.fwd_tri_vidx,
-        scene.fwd_tri_instance, attrs, scene.inst_object_id,
-        scene.inst_material, scene.mat_record, scene.mat_flat,
-        cfg.tile_h, cfg.tile_w)
-    f_valid = fr.valid
-    lvl = sampling.mip_level_from_uv(fr.uv, pool.level_sizes[0])
-    f_tex = sampling.sample_pool_mip(pool, fr.record, fr.uv, lvl,
-                                     filter=cfg.texture_filter)
-    use_tex = fr.flat[..., 5] > 0.5
-    f_color = jnp.where(use_tex[..., None], f_tex[..., :3], fr.flat[..., 0:3])
-    f_alpha = jnp.where(use_tex, f_tex[..., 3], 1.0) * f_valid.astype(F32)
-    hdr = hdr * (1.0 - f_alpha[..., None]) + f_color * f_alpha[..., None]
-    pick = jnp.where(f_valid & (f_alpha > 0.5), fr.object_id, g.object_id)
+    pick = g.object_id
+    if cfg.has_forward:
+        f_id, _, f_setup, f_bins = band_raster(scene.fwd_tri_vidx,
+                                               scene.fwd_tri_mask, "none")
+        fr = resolve.resolve_attrs_onehot(
+            f_id, f_setup, f_bins.ids, scene.fwd_tri_vidx,
+            scene.fwd_tri_instance, attrs, scene.inst_object_id,
+            scene.inst_material, scene.mat_record, scene.mat_flat,
+            cfg.tile_h, cfg.tile_w)
+        f_valid = fr.valid
+        lvl = sampling.mip_level_from_uv(fr.uv, pool.level_sizes[0])
+        f_tex = sampling.sample_pool_mip(pool, fr.record, fr.uv, lvl,
+                                         filter=cfg.texture_filter)
+        use_tex = fr.flat[..., 5] > 0.5
+        f_color = jnp.where(use_tex[..., None], f_tex[..., :3],
+                            fr.flat[..., 0:3])
+        f_alpha = jnp.where(use_tex, f_tex[..., 3], 1.0) * f_valid.astype(F32)
+        hdr = hdr * (1.0 - f_alpha[..., None]) + f_color * f_alpha[..., None]
+        pick = jnp.where(f_valid & (f_alpha > 0.5), fr.object_id, pick)
 
     sdr = post.tone_map(hdr, params[framelib.PARAM_TONE_TYPE],
                         params[framelib.PARAM_EXPOSURE])

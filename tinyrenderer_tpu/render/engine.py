@@ -254,13 +254,17 @@ class Engine:
                 c.get("forward_triangles", 0))
             self._packer = ScenePacker(self.cfg, self.asset_search_paths)
             self._pack = self._packer.pack(self.world)
-        # light-count changes alter the static shadow-view count
+        # light-count changes alter the static shadow-view count;
+        # forward-triangle presence toggles the overlay pass
         c = self._pack.counts
+        has_fwd = c.get("forward_triangles", 0) > 0
         if (c["point_lights"] != self.cfg.num_point_lights
-                or c["directional_lights"] != self.cfg.num_directional_lights):
+                or c["directional_lights"] != self.cfg.num_directional_lights
+                or has_fwd != self.cfg.has_forward):
             self.cfg = replace(self.cfg,
                                num_point_lights=c["point_lights"],
-                               num_directional_lights=c["directional_lights"])
+                               num_directional_lights=c["directional_lights"],
+                               has_forward=has_fwd)
             self._pack = None
             self._repack()
             return

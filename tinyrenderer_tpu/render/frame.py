@@ -220,8 +220,7 @@ def render_frame(scene: SceneGPU, pool: sampling.TexturePoolGPU,
     # Forward triangles live in their own small pack-time pool, so this
     # raster bins Fc triangles (hundreds), not the whole scene pool.
     pick = g.object_id
-    has_forward = True
-    if has_forward:
+    if cfg.has_forward:
         f_id, f_depth, f_setup, f_bins = raster.rasterize(
             clip, scene.fwd_tri_vidx, scene.fwd_tri_mask, PW, PH,
             cfg.tile_h, cfg.tile_w, cfg.bin_capacity, cull="none",
