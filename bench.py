@@ -112,6 +112,8 @@ def main() -> None:
                     help="500-draw 1440p 2K-shadow stress config")
     ap.add_argument("--forward", action="store_true",
                     help="forward-only 800x600 config (BASELINE config 1)")
+    ap.add_argument("--fast", action="store_true",
+                    help="apply the gather-minimizing performance preset")
     ap.add_argument("--trace-dir", default="",
                     help="write a jax.profiler trace of one frame")
     args = ap.parse_args()
@@ -119,6 +121,8 @@ def main() -> None:
     import jax
 
     eng = build_engine(stress=args.stress, forward=args.forward)
+    if args.fast:
+        eng.cfg = eng.cfg.performance_preset()
     times = time_engine(eng, args.trace_dir)
     p50 = times[len(times) // 2]
     tris = int(eng._pack.counts["triangles"])

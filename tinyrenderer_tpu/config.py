@@ -108,6 +108,17 @@ class RenderConfig:
     # Statically skip the forward overlay (set by the engine when the scene
     # has no gizmos/billboards — saves a raster + resolve + texture taps).
     has_forward: bool = True
+    # Material sampling rate: 1 = per pixel; 2 = sample the composite
+    # record on a half-res grid and bilinearly upsample (4x fewer texture
+    # gathers, softens texture detail — a speed preset option).
+    texture_scale: int = 1
+
+    def performance_preset(self) -> "RenderConfig":
+        """Gather-minimizing settings for speed-first rendering: bilinear
+        filtering, half-rate texturing, quarter-rate shadow lookups,
+        eighth-rate sky."""
+        return replace(self, texture_filter="bilinear", texture_scale=2,
+                       shadow_lookup_scale=4, sky_scale=8)
 
     @property
     def tiles_y(self) -> int:

@@ -261,7 +261,8 @@ def resolve_gbuffer_onehot(tri_id: jax.Array, depth: jax.Array, setup,
                            mat_record: jax.Array, mat_flat: jax.Array,
                            pool: sampling.TexturePoolGPU,
                            tile_h: int, tile_w: int,
-                           texture_filter: str = "dithered") -> GBuffer:
+                           texture_filter: str = "dithered",
+                           texture_scale: int = 1) -> GBuffer:
     """Gather-free GBuffer resolve (the fast path of resolve_gbuffer).
 
     ``pool`` is the composite material-record pool: each texel carries
@@ -275,9 +276,18 @@ def resolve_gbuffer_onehot(tri_id: jax.Array, depth: jax.Array, setup,
     flat, object_id, valid = r.flat, r.object_id, r.valid
     use_tex = flat[..., 5] > 0.5
 
-    level = sampling.mip_level_from_uv(uv, pool.level_sizes[0])
-    rec = sampling.sample_pool_mip(pool, r.record, uv, level,
-                                   filter=texture_filter)       # (H, W, 9)
+    if texture_scale > 1:
+        s = texture_scale
+        uv_lo, rec_lo = uv[::s, ::s], r.record[::s, ::s]
+        level = sampling.mip_level_from_uv(uv_lo, pool.level_sizes[0])
+        rec = sampling.sample_pool_mip(pool, rec_lo, uv_lo, level,
+                                       filter=texture_filter)
+        rec = jax.image.resize(rec, (*uv.shape[:2], rec.shape[-1]),
+                               method="bilinear")               # (H, W, 9)
+    else:
+        level = sampling.mip_level_from_uv(uv, pool.level_sizes[0])
+        rec = sampling.sample_pool_mip(pool, r.record, uv, level,
+                                       filter=texture_filter)   # (H, W, 9)
     albedo_t = rec[..., 0:3]
     normal_t = rec[..., 4:7]
     rough_t = rec[..., 7]

@@ -101,7 +101,7 @@ def _render_band(scene: SceneGPU, pool, lights: LightsGPU, atlas,
         tri_id, depth, setup, bins.ids, scene.tri_vidx, scene.tri_instance,
         attrs, scene.inst_object_id, scene.inst_material,
         scene.mat_record, scene.mat_flat, pool, cfg.tile_h, cfg.tile_w,
-        texture_filter=cfg.texture_filter)
+        texture_filter=cfg.texture_filter, texture_scale=cfg.texture_scale)
 
     Pn, D = cfg.num_point_lights, cfg.num_directional_lights
     point_shadow_fn = dir_shadow_fn = None

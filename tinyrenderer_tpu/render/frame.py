@@ -170,7 +170,7 @@ def render_frame(scene: SceneGPU, pool: sampling.TexturePoolGPU,
         tri_id, depth, setup, bins.ids, scene.tri_vidx, scene.tri_instance,
         attrs, scene.inst_object_id, scene.inst_material,
         scene.mat_record, scene.mat_flat, pool, cfg.tile_h, cfg.tile_w,
-        texture_filter=cfg.texture_filter)
+        texture_filter=cfg.texture_filter, texture_scale=cfg.texture_scale)
 
     # ---- shadow atlas ----
     overflow = ovf_main
