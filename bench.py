@@ -91,7 +91,7 @@ def time_engine(eng, trace_dir: str = ""):
     cfgc = eng.cfg
 
     @jax.jit
-    def loop(cam):
+    def loop(cam, scene, pool, lights, params, env):
         def step(c, _):
             out = framelib.render_frame(scene, pool, lights, c, params, env,
                                         cfgc)
@@ -99,9 +99,10 @@ def time_engine(eng, trace_dir: str = ""):
         _, outs = jax.lax.scan(step, cam, None, length=ITERS)
         return outs.sum()
 
-    float(loop(cam0))  # compile + warm
+    state = (scene, pool, lights, params, env)
+    float(loop(cam0, *state))  # compile + warm
     t0 = time.perf_counter()
-    float(loop(cam0))
+    float(loop(cam0, *state))
     per_frame = (time.perf_counter() - t0) * 1e3 / ITERS
     return [per_frame] * ITERS
 

@@ -25,18 +25,61 @@ F32 = jnp.float32
 I32 = jnp.int32
 
 
-class TexturePoolGPU(NamedTuple):
-    """Flattened mip pyramid pool on device."""
+@jax.tree_util.register_pytree_node_class
+class TexturePoolGPU:
+    """Flattened mip pyramid pool on device.
 
-    texels: jax.Array        # (num_tex * texels_per_tex, 4) f32
-    level_offsets: tuple     # static: offset of each level within one texture
-    level_sizes: tuple       # static: edge length per level
-    texels_per_tex: int      # static
+    The texel array is the only traced leaf; layout metadata (level sizes/
+    offsets, window flag) is static pytree aux data so samplers can branch
+    on it at trace time.
+
+    When ``windowed`` is True each row stores the texel together with its
+    +x, +y and +x+y neighbors (4C channels): a full bilinear tap is then
+    ONE gather instead of four — TPU gathers pay per ROW (~4-13 ms per
+    full-res tap), so row width is nearly free while tap count is the
+    dominant frame cost.
+    """
+
+    def __init__(self, texels, level_offsets, level_sizes, texels_per_tex,
+                 windowed=False, base_channels=4):
+        self.texels = texels              # (num_tex * texels_per_tex, C|4C)
+        self.level_offsets = tuple(level_offsets)
+        self.level_sizes = tuple(level_sizes)
+        self.texels_per_tex = int(texels_per_tex)
+        self.windowed = bool(windowed)
+        self.base_channels = int(base_channels)
+
+    def tree_flatten(self):
+        return (self.texels,), (self.level_offsets, self.level_sizes,
+                                self.texels_per_tex, self.windowed,
+                                self.base_channels)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], *aux)
 
 
-def pack_texture_pool(mips: list[np.ndarray]) -> TexturePoolGPU:
+def window_rows(img: np.ndarray, wrap: bool = True) -> np.ndarray:
+    """(s, s, C) -> (s, s, 4C): [self | +x | +y | +x+y] neighbors."""
+    if wrap:
+        right = np.roll(img, -1, axis=-2)
+        down = np.roll(img, -1, axis=-3)
+        diag = np.roll(down, -1, axis=-2)
+    else:
+        right = np.concatenate([img[..., :, 1:, :], img[..., :, -1:, :]], axis=-2)
+        down = np.concatenate([img[..., 1:, :, :], img[..., -1:, :, :]], axis=-3)
+        diag = np.concatenate([down[..., :, 1:, :], down[..., :, -1:, :]], axis=-2)
+    return np.concatenate([img, right, down, diag], axis=-1)
+
+
+def pack_texture_pool(mips: list[np.ndarray],
+                      windowed: bool = False,
+                      wrap: bool = True) -> TexturePoolGPU:
     """Flatten host mip arrays [(N, s, s, C) per level] into one pool."""
     n = mips[0].shape[0]
+    base_channels = mips[0].shape[-1]
+    if windowed:
+        mips = [window_rows(m, wrap) for m in mips]
     channels = mips[0].shape[-1]
     level_sizes = tuple(int(m.shape[1]) for m in mips)
     offsets, off = [], 0
@@ -51,10 +94,8 @@ def pack_texture_pool(mips: list[np.ndarray]) -> TexturePoolGPU:
         for_all = np.arange(n) * texels_per_tex + offsets[l]
         for t in range(n):
             flat[for_all[t]:for_all[t] + s * s] = region[t]
-    return TexturePoolGPU(texels=jnp.asarray(flat),
-                          level_offsets=tuple(offsets),
-                          level_sizes=level_sizes,
-                          texels_per_tex=texels_per_tex)
+    return TexturePoolGPU(jnp.asarray(flat), tuple(offsets), level_sizes,
+                          texels_per_tex, windowed, base_channels)
 
 
 def _gather_texel(pool: TexturePoolGPU, tex: jax.Array, level: int,
@@ -131,6 +172,19 @@ def _sample_bilinear_dynamic_level(pool: TexturePoolGPU, tex: jax.Array,
         y1i = jnp.minimum(y0i + 1, sizes - 1)
 
     base = tex * pool.texels_per_tex + offs
+
+    if pool.windowed:
+        # one gather fetches all 4 bilinear corners (window layout)
+        x0c = jnp.clip(x0i, 0, sizes - 1)
+        y0c = jnp.clip(y0i, 0, sizes - 1)
+        row = jnp.take(pool.texels, base + y0c * sizes + x0c, axis=0)
+        C = pool.base_channels
+        c00 = row[..., 0:C]
+        c10 = row[..., C:2 * C]
+        c01 = row[..., 2 * C:3 * C]
+        c11 = row[..., 3 * C:4 * C]
+        return ((c00 * (1 - fx) + c10 * fx) * (1 - fy)
+                + (c01 * (1 - fx) + c11 * fx) * fy)
 
     def texel(xi, yi):
         xi = jnp.clip(xi, 0, sizes - 1)

@@ -45,6 +45,16 @@ def render_shadow_views(clip_per_view: jax.Array, tri_vidx: jax.Array,
     return jnp.stack(views, axis=0)
 
 
+def window_depth_maps(atlas: jax.Array) -> jax.Array:
+    """(V, S, S) depth atlas -> (V, S, S, 4) windows [self|+x|+y|+x+y]
+    with clamp-at-edge semantics, so a 2x2 PCF costs ONE gather (TPU
+    gathers pay per row; see sampling.TexturePoolGPU)."""
+    right = jnp.concatenate([atlas[:, :, 1:], atlas[:, :, -1:]], axis=2)
+    down = jnp.concatenate([atlas[:, 1:, :], atlas[:, -1:, :]], axis=1)
+    diag = jnp.concatenate([down[:, :, 1:], down[:, :, -1:]], axis=2)
+    return jnp.stack([atlas, right, down, diag], axis=-1)
+
+
 def _project(world_pos: jax.Array, viewproj: jax.Array) -> tuple[jax.Array, ...]:
     """world (H, W, 3) -> (u, v, z_ndc, w) under a light viewproj."""
     ph = jnp.concatenate([world_pos, jnp.ones_like(world_pos[..., :1])], axis=-1)
@@ -63,11 +73,12 @@ def _compare_pcf(shadow_map: jax.Array, u: jax.Array, v: jax.Array,
     textureSampleCompareLevel with a linear comparison sampler
     (light_render_data.rs:49-58). Returns visibility in [0, 1].
 
-    ``shadow_map`` may be a multi-layer atlas (..., S, S); ``base`` is a
-    per-pixel flat offset (layer * S * S) selecting the layer, letting a
-    cube lookup cost 4 gathers instead of 4 per face.
+    ``shadow_map`` is a windowed multi-layer atlas (..., S, S, 4) from
+    :func:`window_depth_maps`; ``base`` is a per-pixel flat offset
+    (layer * S * S) selecting the layer. The whole 2x2 PCF footprint
+    arrives in ONE gather.
     """
-    S = shadow_map.shape[-1]
+    S = shadow_map.shape[-2]
     fu = u * S - 0.5
     fv = v * S - 0.5
     x0 = jnp.floor(fu)
@@ -76,18 +87,11 @@ def _compare_pcf(shadow_map: jax.Array, u: jax.Array, v: jax.Array,
     fy = fv - y0
     x0 = jnp.clip(x0.astype(I32), 0, S - 1)
     y0 = jnp.clip(y0.astype(I32), 0, S - 1)
-    x1 = jnp.clip(x0 + 1, 0, S - 1)
-    y1 = jnp.clip(y0 + 1, 0, S - 1)
-    flat = shadow_map.reshape(-1)
-
-    def lit(xi, yi):
-        # jnp.take lowers to a fast TPU gather; plain fancy indexing lowers
-        # to a pathologically slow bounds-checked gather (~5000x slower).
-        stored = jnp.take(flat, base + yi * S + xi)
-        return (ref_z > stored).astype(F32)
-
-    return ((lit(x0, y0) * (1 - fx) + lit(x1, y0) * fx) * (1 - fy)
-            + (lit(x0, y1) * (1 - fx) + lit(x1, y1) * fx) * fy)
+    flat = shadow_map.reshape(-1, 4)
+    win = jnp.take(flat, base + y0 * S + x0, axis=0)   # (..., 4)
+    lit = (ref_z[..., None] > win).astype(F32)
+    return ((lit[..., 0] * (1 - fx) + lit[..., 1] * fx) * (1 - fy)
+            + (lit[..., 2] * (1 - fx) + lit[..., 3] * fx) * fy)
 
 
 def directional_shadow(world_pos: jax.Array, viewproj: jax.Array,
@@ -106,7 +110,7 @@ def point_shadow(world_pos: jax.Array, light_pos: jax.Array,
     axis of (fragment - light), then compare through that face's own
     viewproj — bake/lookup exactness by construction.
 
-    face_viewprojs: (6, 4, 4); face_maps: (6, S, S).
+    face_viewprojs: (6, 4, 4); face_maps: (6, S, S, 4) windowed.
     """
     d = world_pos - light_pos[None, None, :]
     ax = jnp.abs(d)
@@ -119,7 +123,7 @@ def point_shadow(world_pos: jax.Array, light_pos: jax.Array,
     # Project through every face's viewproj (pure ALU, no memory traffic),
     # select the owning face's (u, v, z, w) by mask, then do ONE 4-tap PCF
     # against the flattened face atlas with a per-pixel layer offset.
-    S = face_maps.shape[-1]
+    S = face_maps.shape[-2]
     u = v = z = w = None
     for f in range(6):
         uf, vf, zf, wf = _project(world_pos, face_viewprojs[f])

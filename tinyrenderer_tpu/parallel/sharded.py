@@ -149,9 +149,13 @@ def _render_band(scene: SceneGPU, pool, lights: LightsGPU, atlas,
             scene.inst_material, scene.mat_record, scene.mat_flat,
             cfg.tile_h, cfg.tile_w)
         f_valid = fr.valid
-        lvl = sampling.mip_level_from_uv(fr.uv, pool.level_sizes[0])
-        f_tex = sampling.sample_pool_mip(pool, fr.record, fr.uv, lvl,
+        fs = max(cfg.texture_scale, 2)
+        lvl = sampling.mip_level_from_uv(fr.uv[::fs, ::fs], pool.level_sizes[0])
+        f_tex = sampling.sample_pool_mip(pool, fr.record[::fs, ::fs],
+                                         fr.uv[::fs, ::fs], lvl,
                                          filter=cfg.texture_filter)
+        f_tex = framelib._upsample_bilinear(
+            f_tex, (*fr.uv.shape[:2], f_tex.shape[-1]))
         use_tex = fr.flat[..., 5] > 0.5
         f_color = jnp.where(use_tex[..., None], f_tex[..., :3],
                             fr.flat[..., 0:3])
@@ -211,6 +215,7 @@ def render_frame_sharded(scene: SceneGPU, pool, lights: LightsGPU,
                 use_pallas=cfg.use_pallas)
             atlas = jax.lax.all_gather(atlas_local, ("dp", "sp"),
                                        axis=0, tiled=True)[:n_views]
+            atlas = shadows.window_depth_maps(atlas)
 
         y0 = (sp_i * band_h).astype(F32)
         band = functools.partial(_render_band, scene, pool, lights, atlas,

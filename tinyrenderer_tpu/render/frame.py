@@ -183,6 +183,7 @@ def render_frame(scene: SceneGPU, pool: sampling.TexturePoolGPU,
         atlas = shadows.render_shadow_views(
             clip_views, scene.tri_vidx, scene.tri_shadow, cfg.shadow_size,
             cfg.shadow_tile, cfg.shadow_bin_capacity, use_pallas=cfg.use_pallas)
+        atlas = shadows.window_depth_maps(atlas)
 
         def point_shadow_fn(i, pos):  # noqa: E306
             return _lowres_vis(
@@ -232,9 +233,14 @@ def render_frame(scene: SceneGPU, pool: sampling.TexturePoolGPU,
             scene.inst_material, scene.mat_record, scene.mat_flat,
             cfg.tile_h, cfg.tile_w)
         f_valid = fr.valid
-        lvl = sampling.mip_level_from_uv(fr.uv, pool.level_sizes[0])
-        f_tex = sampling.sample_pool_mip(pool, fr.record, fr.uv, lvl,
+        # overlay sprites (billboards) sample at half rate: their alpha
+        # edges are soft anyway and texture taps dominate the frame cost
+        fs = max(cfg.texture_scale, 2)
+        lvl = sampling.mip_level_from_uv(fr.uv[::fs, ::fs], pool.level_sizes[0])
+        f_tex = sampling.sample_pool_mip(pool, fr.record[::fs, ::fs],
+                                         fr.uv[::fs, ::fs], lvl,
                                          filter=cfg.texture_filter)
+        f_tex = _upsample_bilinear(f_tex, (*fr.uv.shape[:2], f_tex.shape[-1]))
         use_tex = fr.flat[..., 5] > 0.5
         f_color = jnp.where(use_tex[..., None], f_tex[..., :3], fr.flat[..., 0:3])
         f_alpha = jnp.where(use_tex, f_tex[..., 3], 1.0) * f_valid.astype(F32)

@@ -177,7 +177,12 @@ class ScenePacker:
         """Composite material-record pool (9ch texels) — the pool the
         jitted frame samples; one gather fetches a material's whole texel."""
         if self._pool_gpu is None or self._pool_dirty:
-            self._pool_gpu = sampling.pack_texture_pool(self.pool.record_arrays())
+            # NOT windowed: 36-float record rows already saturate the
+            # gather unit's per-row transaction budget — windowing to 144B
+            # rows measured 70% slower than 4 narrow taps. (Shadow maps ARE
+            # windowed: 16B rows, ops/shadows.py.)
+            self._pool_gpu = sampling.pack_texture_pool(
+                self.pool.record_arrays(), windowed=False)
             self._pool_dirty = False
         return self._pool_gpu
 

@@ -61,7 +61,7 @@ def main() -> None:
     for name, cfg in variants.items():
         def make(cfg):
             @jax.jit
-            def loop(cam):
+            def loop(cam, scene, pool, lights, params, env):
                 def step(c, _):
                     out = framelib.render_frame(scene, pool, lights, c,
                                                 params, env, cfg)
@@ -71,13 +71,13 @@ def main() -> None:
             return loop
         loops[name] = make(cfg)
         print(f"compiling {name}...", flush=True)
-        float(loops[name](cam0))
+        float(loops[name](cam0, scene, pool, lights, params, env))
 
     samples = collections.defaultdict(list)
     for r in range(args.rounds):
         for name, loop in loops.items():
             t0 = time.perf_counter()
-            float(loop(cam0))
+            float(loop(cam0, scene, pool, lights, params, env))
             samples[name].append((time.perf_counter() - t0) * 1e3 / N)
 
     print(f"\n{'variant':18s} {'median':>9s} {'min':>9s}   (ms/frame, "
