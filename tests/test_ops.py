@@ -203,3 +203,58 @@ def test_texture_filter_modes_agree():
     eq_hi = np.isclose(d, np.asarray(hi), atol=1e-6).all(axis=-1)
     assert (eq_lo | eq_hi).all()
     assert eq_lo.any() and eq_hi.any()  # the dither actually mixes levels
+
+
+def test_windowed_pool_matches_linear():
+    """Windowed (1-gather) bilinear must equal the 4-gather linear path."""
+    from tinyrenderer_tpu.assets import textures as texlib
+    rng = np.random.default_rng(7)
+    base = rng.random((32, 32, 9)).astype(F32)
+    chain = texlib.build_mip_chain(base, 3)
+    lin = sampling.pack_texture_pool([m[None] for m in chain], windowed=False)
+    win = sampling.pack_texture_pool([m[None] for m in chain], windowed=True)
+    uv = jnp.asarray(rng.random((8, 8, 2)).astype(F32))
+    tex = jnp.zeros((8, 8), jnp.int32)
+    for lvl in (0.0, 0.7, 1.3):
+        lf = jnp.full((8, 8), lvl)
+        a = sampling.sample_pool_mip(lin, tex, uv, lf, filter="trilinear")
+        b = sampling.sample_pool_mip(win, tex, uv, lf, filter="trilinear")
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6)
+
+
+def test_window_rows_layout():
+    img = np.arange(16, dtype=F32).reshape(4, 4, 1)
+    w = sampling.window_rows(img, wrap=True)
+    assert w.shape == (4, 4, 4)
+    # window at (y=1, x=2): self=6, +x=7, +y=10, diag=11
+    np.testing.assert_array_equal(w[1, 2], [6, 7, 10, 11])
+    # wrap at the right edge: +x of (0,3) is (0,0)
+    np.testing.assert_array_equal(w[0, 3], [3, 0, 7, 4])
+    wc = sampling.window_rows(img, wrap=False)
+    # clamp at the right edge: +x of (0,3) is itself
+    np.testing.assert_array_equal(wc[0, 3], [3, 3, 7, 7])
+
+
+def test_shadow_window_pcf_matches_manual():
+    from tinyrenderer_tpu.ops import shadows as sh
+    rng = np.random.default_rng(9)
+    atlas = jnp.asarray(rng.random((2, 8, 8)).astype(F32))
+    win = sh.window_depth_maps(atlas)
+    assert win.shape == (2, 8, 8, 4)
+    # compare against a manual 4-tap PCF
+    u = jnp.asarray(rng.random((4, 4)).astype(F32))
+    v = jnp.asarray(rng.random((4, 4)).astype(F32))
+    z = jnp.full((4, 4), 0.5, F32)
+    got = sh._compare_pcf(win[0], u, v, z)
+    S = 8
+    fu, fv = u * S - 0.5, v * S - 0.5
+    x0 = np.clip(np.floor(np.asarray(fu)).astype(int), 0, S - 1)
+    y0 = np.clip(np.floor(np.asarray(fv)).astype(int), 0, S - 1)
+    fx, fy = np.asarray(fu) - np.floor(np.asarray(fu)), np.asarray(fv) - np.floor(np.asarray(fv))
+    a = np.asarray(atlas[0])
+    x1, y1 = np.minimum(x0 + 1, S - 1), np.minimum(y0 + 1, S - 1)
+    lit = lambda xi, yi: (0.5 > a[yi, xi]).astype(np.float32)
+    want = ((lit(x0, y0) * (1 - fx) + lit(x1, y0) * fx) * (1 - fy)
+            + (lit(x0, y1) * (1 - fx) + lit(x1, y1) * fx) * fy)
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-6)
