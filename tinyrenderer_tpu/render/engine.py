@@ -94,6 +94,7 @@ class Engine:
         self._reloader = reloadlib.KernelReloader()
         self.last_frame_ms = 0.0
         self._overflow_inflight: list = []
+        self._atlas = None  # cached shadow atlas (scene/light-dependent)
 
         if level_path is not None:
             self.load_level(level_path)
@@ -243,6 +244,7 @@ class Engine:
             self._repack()
 
     def _repack(self) -> None:
+        self._atlas = None  # scene/lights changed -> shadow maps stale
         try:
             self._pack = self._packer.pack(self.world)
         except CapacityError as e:
@@ -278,8 +280,14 @@ class Engine:
         fn = framelib.compiled_frame(self.cfg)
         cam_raw = jnp.asarray(self.camera.to_raw())
         t0 = time.perf_counter()
+        if (self._atlas is None and self.cfg.enable_shadows
+                and self.cfg.num_shadow_views > 0):
+            # shadow maps depend only on scene+lights: render once, reuse
+            # every frame until the next scene edit
+            self._atlas = framelib.compiled_shadow_atlas(self.cfg)(
+                self._pack.scene, self._pack.lights)
         out = fn(self._pack.scene, self._packer.texture_pool_gpu(),
-                 self._pack.lights, cam_raw, self.params, env)
+                 self._pack.lights, cam_raw, self.params, env, self._atlas)
         # dispatch wall time; the FPS-label analog (src/gui.rs:513-516)
         self.last_frame_ms = (time.perf_counter() - t0) * 1e3
         self.last_output = out

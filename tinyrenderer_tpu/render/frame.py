@@ -138,10 +138,40 @@ def render_frame_forward(scene: SceneGPU, pool: sampling.TexturePoolGPU,
                        bin_overflow=overflow)
 
 
+def render_shadow_atlas(scene: SceneGPU, lights: LightsGPU,
+                        cfg: config.RenderConfig) -> jax.Array:
+    """Windowed shadow atlas (6P+D, S, S, 4). Depends only on scene +
+    lights — the engine caches it across frames and re-renders only on
+    scene/light edits (shadow maps are camera-independent, so a fly-around
+    over a static scene never re-renders them; the reference re-records its
+    shadow passes every frame, src/light_controller.rs:187)."""
+    world, _ = raster.transform_vertices(
+        scene.vert_pos, scene.vert_instance, scene.inst_model,
+        jnp.eye(4, dtype=F32))
+    wh = jnp.concatenate([world, jnp.ones_like(world[:, :1])], axis=1)
+    clip_views = jnp.einsum("vj,sij->svi", wh, lights.shadow_viewprojs,
+                            preferred_element_type=F32)
+    atlas = shadows.render_shadow_views(
+        clip_views, scene.tri_vidx, scene.tri_shadow, cfg.shadow_size,
+        cfg.shadow_tile, cfg.shadow_bin_capacity, use_pallas=cfg.use_pallas)
+    return shadows.window_depth_maps(atlas)
+
+
+@functools.lru_cache(maxsize=8)
+def compiled_shadow_atlas(cfg: config.RenderConfig):
+    def fn(scene, lights):
+        return render_shadow_atlas(scene, lights, cfg)
+    return jax.jit(fn)
+
+
 def render_frame(scene: SceneGPU, pool: sampling.TexturePoolGPU,
                  lights: LightsGPU, camera_raw: jax.Array,
                  params: jax.Array, env: Optional[EnvGPU],
-                 cfg: config.RenderConfig) -> FrameOutput:
+                 cfg: config.RenderConfig,
+                 atlas: Optional[jax.Array] = None) -> FrameOutput:
+    """One camera frame. ``atlas``: precomputed shadow atlas from
+    :func:`render_shadow_atlas`; None renders it inline (self-contained
+    jit, used by the sharded dryrun and tests)."""
     if cfg.forward_only:
         return render_frame_forward(scene, pool, lights, camera_raw, params,
                                     env, cfg)
@@ -172,18 +202,13 @@ def render_frame(scene: SceneGPU, pool: sampling.TexturePoolGPU,
         scene.mat_record, scene.mat_flat, pool, cfg.tile_h, cfg.tile_w,
         texture_filter=cfg.texture_filter, texture_scale=cfg.texture_scale)
 
-    # ---- shadow atlas ----
+    # ---- shadow atlas (cached across frames when precomputed) ----
     overflow = ovf_main
     P, D = cfg.num_point_lights, cfg.num_directional_lights
     point_shadow_fn = dir_shadow_fn = None
     if cfg.enable_shadows and (P + D) > 0:
-        wh = jnp.concatenate([world, jnp.ones_like(world[:, :1])], axis=1)
-        clip_views = jnp.einsum("vj,sij->svi", wh, lights.shadow_viewprojs,
-                                preferred_element_type=F32)
-        atlas = shadows.render_shadow_views(
-            clip_views, scene.tri_vidx, scene.tri_shadow, cfg.shadow_size,
-            cfg.shadow_tile, cfg.shadow_bin_capacity, use_pallas=cfg.use_pallas)
-        atlas = shadows.window_depth_maps(atlas)
+        if atlas is None:
+            atlas = render_shadow_atlas(scene, lights, cfg)
 
         def point_shadow_fn(i, pos):  # noqa: E306
             return _lowres_vis(
@@ -265,10 +290,12 @@ def render_frame(scene: SceneGPU, pool: sampling.TexturePoolGPU,
 @functools.lru_cache(maxsize=8)
 def compiled_frame(cfg: config.RenderConfig):
     """Jitted render_frame for a given static config (cached per config,
-    the analog of the reference's pipeline cache)."""
+    the analog of the reference's pipeline cache). ``atlas`` may be None
+    (inline shadow render) or a cached atlas array."""
 
-    def fn(scene, pool, lights, camera_raw, params, env):
-        return render_frame(scene, pool, lights, camera_raw, params, env, cfg)
+    def fn(scene, pool, lights, camera_raw, params, env, atlas=None):
+        return render_frame(scene, pool, lights, camera_raw, params, env,
+                            cfg, atlas)
 
     return jax.jit(fn)
 
