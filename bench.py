@@ -148,7 +148,15 @@ def main() -> None:
         eng.cfg = eng.cfg.performance_preset()
     times = time_engine(eng, args.trace_dir)
     p50 = times[len(times) // 2]
+    atlas_ms = getattr(time_engine, "last_atlas_ms", 0.0)
     tris = int(eng._pack.counts["triangles"])
+
+    # also measure the gather-minimizing preset for the default config
+    fast_ms = None
+    if not (args.fast or args.stress or args.forward):
+        eng.cfg = eng.cfg.performance_preset()
+        fast = time_engine(eng)
+        fast_ms = fast[len(fast) // 2]
 
     name = ("ms/frame p50, 1440p 500-draw stress, 2K shadows" if args.stress
             else "ms/frame p50, 800x600 forward-only (test.lvl)" if args.forward
@@ -165,7 +173,9 @@ def main() -> None:
             "triangles": tris,
             "mtris_per_s": round(tris / (p50 * 1e-3) / 1e6, 2),
             "shadow_views": int(eng.cfg.num_shadow_views),
-            "shadow_atlas_ms": round(getattr(time_engine, "last_atlas_ms", 0.0), 3),
+            "shadow_atlas_ms": round(atlas_ms, 3),
+            "performance_preset_ms": (round(fast_ms, 3)
+                                      if fast_ms is not None else None),
         },
     }))
 

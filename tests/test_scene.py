@@ -91,3 +91,29 @@ def test_camera_matrices_shapes_and_forward():
     # the horizontal direction still points towards the origin's azimuth
     to_origin = np.array([12.0, 0.0, 0.0]) / 12.0
     assert np.dot(f, to_origin) > 0.7
+
+
+def test_save_semantically_equals_reference_file(reference_level_path, tmp_path):
+    """Loading the reference's own .lvl and saving produces a semantically
+    identical document (same keys/values up to float formatting) — the
+    byte-compatibility contract with src/world_loader.rs."""
+    import json
+
+    from tinyrenderer_tpu.scene import level_io
+
+    lvl = level_io.load_level(reference_level_path)
+    out = tmp_path / "resave.lvl"
+    level_io.save_level(str(out), lvl.world, lvl.camera)
+
+    def canon(x):
+        if isinstance(x, dict):
+            return {k: canon(v) for k, v in sorted(x.items())}
+        if isinstance(x, list):
+            return [canon(v) for v in x]
+        if isinstance(x, float):
+            return round(x, 5)
+        return x
+
+    a = json.load(open(reference_level_path))
+    b = json.load(open(out))
+    assert canon(a) == canon(b)
