@@ -112,3 +112,15 @@ def test_bad_requests_surface_cleanly(server):
         assert e.code == 400
     # still serving frames
     assert _get(server, "/frame.png")[:4] == b"\x89PNG"
+
+
+def test_set_config_action(server):
+    _post(server, "/action", {"action": "set_config",
+                              "values": {"texture_filter": "bilinear"}})
+    assert server.app.engine.cfg.texture_filter == "bilinear"
+    # frame still renders after the pipeline switch
+    assert _get(server, "/frame.png")[:4] == b"\x89PNG"
+    _post(server, "/action", {"action": "set_config",
+                              "preset": "performance"})
+    assert server.app.engine.cfg.texture_scale == 2
+    assert _get(server, "/frame.png")[:4] == b"\x89PNG"

@@ -174,6 +174,27 @@ class ViewerServer:
             elif act == "set_skybox":
                 eng.set_skybox(payload.get("path") or None)
                 eng.notifier.push("Environment re-baked")
+            elif act == "set_config":
+                # switch static pipeline settings (texture_filter, scales,
+                # feature toggles, resolution) — recompiles, like swapping
+                # pipelines in the reference's cache
+                from dataclasses import fields, replace
+                allowed = {f.name for f in fields(eng.cfg)}
+                changes = {k: v for k, v in payload.get("values", {}).items()
+                           if k in allowed}
+                if "preset" in payload:
+                    eng.cfg = (eng.cfg.performance_preset()
+                               if payload["preset"] == "performance"
+                               else eng.cfg)
+                if changes:
+                    eng.cfg = replace(eng.cfg, **changes)
+                eng._needs_pack = True
+                eng._atlas = None
+                self.app.controller.width = eng.cfg.width
+                self.app.controller.height = eng.cfg.height
+                eng.notifier.push(f"Config updated: "
+                                  f"{', '.join(changes) or payload.get('preset', '')}"
+                                  " (recompiling)")
             else:
                 raise ValueError(f"unknown action {act!r}")
 
@@ -219,6 +240,10 @@ PAGE_HTML = """<!DOCTYPE html>
   <button onclick="act('save_level')">Save level</button>
   <button onclick="act('bake_irradiance')">Bake IBL</button>
   <button onclick="act('save_ibl')">Save IBL</button>
+  <button onclick="fetch('/action',{method:'POST',body:JSON.stringify({action:'set_config',preset:'performance'})})">Fast preset</button>
+  <select onchange="fetch('/action',{method:'POST',body:JSON.stringify({action:'set_config',values:{texture_filter:this.value}})})">
+    <option value="dithered">dithered</option><option value="trilinear">trilinear</option><option value="bilinear">bilinear</option>
+  </select>
  </div>
  <div id="params"></div>
 </div>
