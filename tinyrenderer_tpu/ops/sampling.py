@@ -41,18 +41,25 @@ class TexturePoolGPU:
     """
 
     def __init__(self, texels, level_offsets, level_sizes, texels_per_tex,
-                 windowed=False, base_channels=4):
+                 windowed=False, base_channels=4, u8=False):
         self.texels = texels              # (num_tex * texels_per_tex, C|4C)
         self.level_offsets = tuple(level_offsets)
         self.level_sizes = tuple(level_sizes)
         self.texels_per_tex = int(texels_per_tex)
         self.windowed = bool(windowed)
         self.base_channels = int(base_channels)
+        self.u8 = bool(u8)
+
+    def _decode(self, rows):
+        """u8-quantized pools decode to [0,1] floats after the gather."""
+        if self.u8:
+            return rows.astype(jnp.float32) * (1.0 / 255.0)
+        return rows
 
     def tree_flatten(self):
         return (self.texels,), (self.level_offsets, self.level_sizes,
                                 self.texels_per_tex, self.windowed,
-                                self.base_channels)
+                                self.base_channels, self.u8)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -74,8 +81,13 @@ def window_rows(img: np.ndarray, wrap: bool = True) -> np.ndarray:
 
 def pack_texture_pool(mips: list[np.ndarray],
                       windowed: bool = False,
-                      wrap: bool = True) -> TexturePoolGPU:
-    """Flatten host mip arrays [(N, s, s, C) per level] into one pool."""
+                      wrap: bool = True,
+                      u8: bool = False) -> TexturePoolGPU:
+    """Flatten host mip arrays [(N, s, s, C) per level] into one pool.
+
+    ``u8`` stores texels as uint8 (values must be in [0,1]) — matches the
+    reference's RGBA8 texture storage AND gathers ~3x faster than f32 rows
+    (9B vs 36B per row)."""
     n = mips[0].shape[0]
     base_channels = mips[0].shape[-1]
     if windowed:
@@ -94,8 +106,10 @@ def pack_texture_pool(mips: list[np.ndarray],
         for_all = np.arange(n) * texels_per_tex + offsets[l]
         for t in range(n):
             flat[for_all[t]:for_all[t] + s * s] = region[t]
+    if u8:
+        flat = np.clip(flat * 255.0 + 0.5, 0, 255).astype(np.uint8)
     return TexturePoolGPU(jnp.asarray(flat), tuple(offsets), level_sizes,
-                          texels_per_tex, windowed, base_channels)
+                          texels_per_tex, windowed, base_channels, u8)
 
 
 def _gather_texel(pool: TexturePoolGPU, tex: jax.Array, level: int,
@@ -130,10 +144,10 @@ def sample_pool_bilinear_level(pool: TexturePoolGPU, tex: jax.Array,
         y0i = jnp.mod(y0i, s)
     else:
         x1i, y1i = x0i + 1, y0i + 1
-    c00 = _gather_texel(pool, tex, level, x0i, y0i)
-    c10 = _gather_texel(pool, tex, level, x1i, y0i)
-    c01 = _gather_texel(pool, tex, level, x0i, y1i)
-    c11 = _gather_texel(pool, tex, level, x1i, y1i)
+    c00 = pool._decode(_gather_texel(pool, tex, level, x0i, y0i))
+    c10 = pool._decode(_gather_texel(pool, tex, level, x1i, y0i))
+    c01 = pool._decode(_gather_texel(pool, tex, level, x0i, y1i))
+    c11 = pool._decode(_gather_texel(pool, tex, level, x1i, y1i))
     return ((c00 * (1 - fx) + c10 * fx) * (1 - fy)
             + (c01 * (1 - fx) + c11 * fx) * fy)
 
@@ -177,7 +191,8 @@ def _sample_bilinear_dynamic_level(pool: TexturePoolGPU, tex: jax.Array,
         # one gather fetches all 4 bilinear corners (window layout)
         x0c = jnp.clip(x0i, 0, sizes - 1)
         y0c = jnp.clip(y0i, 0, sizes - 1)
-        row = jnp.take(pool.texels, base + y0c * sizes + x0c, axis=0)
+        row = pool._decode(jnp.take(pool.texels, base + y0c * sizes + x0c,
+                                    axis=0))
         C = pool.base_channels
         c00 = row[..., 0:C]
         c10 = row[..., C:2 * C]
@@ -189,7 +204,8 @@ def _sample_bilinear_dynamic_level(pool: TexturePoolGPU, tex: jax.Array,
     def texel(xi, yi):
         xi = jnp.clip(xi, 0, sizes - 1)
         yi = jnp.clip(yi, 0, sizes - 1)
-        return jnp.take(pool.texels, base + yi * sizes + xi, axis=0)
+        return pool._decode(jnp.take(pool.texels, base + yi * sizes + xi,
+                                     axis=0))
 
     return ((texel(x0i, y0i) * (1 - fx) + texel(x1i, y0i) * fx) * (1 - fy)
             + (texel(x0i, y1i) * (1 - fx) + texel(x1i, y1i) * fx) * fy)

@@ -177,12 +177,12 @@ class ScenePacker:
         """Composite material-record pool (9ch texels) — the pool the
         jitted frame samples; one gather fetches a material's whole texel."""
         if self._pool_gpu is None or self._pool_dirty:
-            # NOT windowed: 36-float record rows already saturate the
-            # gather unit's per-row transaction budget — windowing to 144B
-            # rows measured 70% slower than 4 narrow taps. (Shadow maps ARE
-            # windowed: 16B rows, ops/shadows.py.)
+            # u8 storage matches the reference's RGBA8 textures and
+            # gathers ~3x faster (9B rows vs 36B). NOT windowed: wide rows
+            # measured slower than 4 narrow taps (shadow maps ARE windowed:
+            # 16B rows, ops/shadows.py).
             self._pool_gpu = sampling.pack_texture_pool(
-                self.pool.record_arrays(), windowed=False)
+                self.pool.record_arrays(), windowed=False, u8=True)
             self._pool_dirty = False
         return self._pool_gpu
 
