@@ -162,8 +162,19 @@ def _sample_bilinear_dynamic_level(pool: TexturePoolGPU, tex: jax.Array,
     per sample instead of unrolling every level at every call site (which
     multiplied both compile time and HBM gathers by the level count).
     """
-    sizes = jnp.take(jnp.asarray(pool.level_sizes, I32), level_i)
-    offs = jnp.take(jnp.asarray(pool.level_offsets, I32), level_i)
+    S0 = pool.level_sizes[0]
+    is_pow2_chain = all(
+        pool.level_sizes[i] == S0 >> i and
+        pool.level_offsets[i] == (S0 * S0 - (S0 >> i) ** 2) * 4 // 3
+        for i in range(len(pool.level_sizes)))
+    if is_pow2_chain:
+        # closed-form level addressing (no per-pixel table gathers):
+        # size(l) = S0 >> l; offset(l) = (S0^2 - size^2) * 4/3
+        sizes = jnp.right_shift(jnp.int32(S0), level_i)
+        offs = (S0 * S0 - sizes * sizes) * jnp.int32(4) // jnp.int32(3)
+    else:
+        sizes = jnp.take(jnp.asarray(pool.level_sizes, I32), level_i)
+        offs = jnp.take(jnp.asarray(pool.level_offsets, I32), level_i)
     sf = sizes.astype(F32)
     u = uv[..., 0] * sf - 0.5
     v = uv[..., 1] * sf - 0.5
