@@ -102,3 +102,30 @@ def test_perspective_camera_cube_visibility():
     r = 100.0 / (0.1 - 100.0)
     expected_ndc = -(r * -4.0 + r * 0.1) / w + 1.0
     assert np.isclose(np.asarray(depth)[64, 128], expected_ndc, atol=1e-3)
+
+
+def test_fused_resolve_kernel_matches_two_pass():
+    """rasterize_resolve_binned (fused Pallas kernel, interpret mode on CPU)
+    must match rasterize_binned + select_rows_onehot exactly."""
+    import jax.numpy as jnp
+
+    from tinyrenderer_tpu.ops import resolve
+
+    rng = np.random.default_rng(11)
+    V, T = 48, 24
+    clip = jnp.asarray(np.concatenate(
+        [rng.uniform(-1, 1, (V, 2)), rng.uniform(0.2, 0.9, (V, 1)),
+         np.ones((V, 1))], axis=1).astype(np.float32))
+    tri = jnp.asarray(rng.integers(0, V, (T, 3)).astype(np.int32))
+    mask = jnp.ones((T,), bool)
+    setup = raster.triangle_setup(clip, tri, mask, 256, 64, "none")
+    bins = raster.bin_triangles(setup, 256, 64, 8, 128, 16)
+    table = jnp.asarray(rng.random((T, 64)).astype(np.float32))
+    table = jnp.where(setup.valid[:, None], table, 0.0)
+
+    tid2, z2 = raster.rasterize_binned(bins, 8, 128, use_pallas=False)
+    sel2 = resolve.select_rows_onehot(tid2, bins.ids, table, 8, 128)
+    tid1, z1, sel1 = raster.rasterize_resolve_binned(bins, table, 8, 128)
+    np.testing.assert_array_equal(np.asarray(tid1), np.asarray(tid2))
+    np.testing.assert_allclose(np.asarray(z1), np.asarray(z2), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(sel1), np.asarray(sel2), atol=1e-5)

@@ -108,6 +108,11 @@ class RenderConfig:
     # Statically skip the forward overlay (set by the engine when the scene
     # has no gizmos/billboards — saves a raster + resolve + texture taps).
     has_forward: bool = True
+    # Select resolve rows inside the Pallas raster kernel (fused) vs a
+    # separate per-tile one-hot matmul pass. Two-pass measured ~5% faster
+    # at 1080p (the fused kernel's (D, P) VMEM carry serializes against its
+    # MXU selects), so it is the default; the fused kernel remains available.
+    fused_resolve: bool = False
     # Material sampling rate: 1 = per pixel; 2 = sample the composite
     # record on a half-res grid and bilinearly upsample (4x fewer texture
     # gathers, softens texture detail — a speed preset option).

@@ -274,6 +274,126 @@ def _raster_kernel(counts_ref, rows_ref, id_out_ref, z_out_ref,
     z_out_ref[0, 0] = best_z.reshape(tile_h, tile_w)
 
 
+def _raster_resolve_kernel(counts_ref, rows_ref, table_ref,
+                           id_out_ref, z_out_ref, sel_out_ref,
+                           *, tile_h: int, tile_w: int, chunk: int):
+    """Fused raster + row selection: alongside the depth race, carry the
+    winning triangle's resolve-table row, selected per chunk with a
+    one-hot MXU matmul (onehot^T (P, chunk) @ table (chunk, D)) — the
+    standalone one-hot select pass and its HBM onehot tensor disappear."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    count = counts_ref[i, j]
+
+    P = tile_h * tile_w
+    D = table_ref.shape[-1]          # table block: (1, 1, K, D)
+    ox = (j * tile_w).astype(F32) + 0.5
+    oy = (i * tile_h).astype(F32) + 0.5
+    xs = jax.lax.broadcasted_iota(I32, (1, P), 1).astype(F32)
+    pixx = jnp.remainder(xs, float(tile_w)) + ox
+    pixy = jnp.floor_divide(xs, float(tile_w)) + oy
+    basis = jnp.concatenate([pixx, pixy, jnp.ones_like(pixx)], axis=0)
+
+    nchunks = pl.cdiv(count, chunk)
+
+    def body(c, carry):
+        best_z, best_id, best_sel = carry
+        s = rows_ref[0, 0, pl.ds(c * chunk, chunk), :]      # (chunk, 16)
+        t = table_ref[0, 0, pl.ds(c * chunk, chunk), :]     # (chunk, D)
+
+        def plane_dot(lo):
+            return jax.lax.dot_general(
+                s[:, lo:lo + 3], basis, (((1,), (0,)), ((), ())),
+                preferred_element_type=F32,
+                precision=jax.lax.Precision.HIGHEST)
+
+        l0 = plane_dot(_E0X)
+        l1 = plane_dot(_E1X)
+        l2 = plane_dot(_E2X)
+        z = plane_dot(_ZX)
+        idf = s[:, _IDF][:, None]
+
+        covered = (l0 >= 0.0) & (l1 >= 0.0) & (l2 >= 0.0) & (idf > 0.0)
+        cand = jnp.where(covered, z, -1.0)
+        chunk_z = jnp.max(cand, axis=0)
+        chunk_id = jnp.max(jnp.where(cand >= chunk_z[None], idf, 0.0), axis=0)
+        # exact one-hot: idf values are unique per triangle
+        onehot = ((idf == chunk_id[None]) & covered).astype(F32)  # (chunk, P)
+        chunk_sel = jax.lax.dot_general(
+            t, onehot, (((0,), (0,)), ((), ())),
+            preferred_element_type=F32)                      # (D, P) on MXU
+        upd = chunk_z > best_z
+        # bool minor-dim broadcast is unsupported by Mosaic: use f32 lerp
+        updf = upd.astype(F32)[None, :]
+        return (jnp.where(upd, chunk_z, best_z),
+                jnp.where(upd, chunk_id, best_id),
+                chunk_sel * updf + best_sel * (1.0 - updf))
+
+    init = (jnp.zeros((P,), F32), jnp.zeros((P,), F32),
+            jnp.zeros((D, P), F32))
+    best_z, best_id, best_sel = jax.lax.fori_loop(0, nchunks, body, init)
+
+    id_out_ref[0, 0] = best_id.reshape(tile_h, tile_w).astype(I32) - 1
+    z_out_ref[0, 0] = best_z.reshape(tile_h, tile_w)
+    sel_out_ref[0, 0] = best_sel
+
+
+def rasterize_resolve_binned(bins: Bins, table: jax.Array,
+                             tile_h: int, tile_w: int, chunk: int = 32
+                             ) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Fused visibility raster + per-pixel table-row selection.
+
+    table: (T, D) per-triangle resolve rows (D padded to a lane multiple
+    by the caller if needed). Returns (tri_id (H', W'), depth (H', W'),
+    sel (H', W', D))."""
+    tiles_y, tiles_x, K, _ = bins.rows.shape
+    T, D = table.shape
+    table_tiles = jnp.take(table, jnp.clip(bins.ids, 0, T - 1), axis=0)
+    table_tiles = jnp.where((bins.ids >= 0)[..., None], table_tiles, 0.0)
+
+    chunk = min(chunk, K)
+    grid = (tiles_y, tiles_x)
+    P = tile_h * tile_w
+    kernel = functools.partial(_raster_resolve_kernel, tile_h=tile_h,
+                               tile_w=tile_w, chunk=chunk)
+    interpret = jax.default_backend() != "tpu"
+    id_tiles, z_tiles, sel_tiles = pl.pallas_call(
+        kernel,
+        grid=grid,
+        interpret=interpret,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, K, SETUP_COLS), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, K, D), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, tile_h, tile_w), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tile_h, tile_w), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, D, P), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((tiles_y, tiles_x, tile_h, tile_w), I32),
+            jax.ShapeDtypeStruct((tiles_y, tiles_x, tile_h, tile_w), F32),
+            jax.ShapeDtypeStruct((tiles_y, tiles_x, D, P), F32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=int(K * P * (16 + 2 * D)) * tiles_y * tiles_x,
+            bytes_accessed=table_tiles.size * 4 + bins.rows.size * 4
+            + tiles_y * tiles_x * P * (D + 2) * 4,
+            transcendentals=0),
+    )(bins.counts, bins.rows, table_tiles)
+
+    sel = sel_tiles.reshape(tiles_y, tiles_x, D, tile_h, tile_w)
+    sel = sel.transpose(0, 3, 1, 4, 2).reshape(tiles_y * tile_h,
+                                               tiles_x * tile_w, D)
+    return _untile(id_tiles), _untile(z_tiles), sel
+
+
 def rasterize_binned(bins: Bins, tile_h: int, tile_w: int,
                      chunk: int = 32, use_pallas: bool = True
                      ) -> tuple[jax.Array, jax.Array]:

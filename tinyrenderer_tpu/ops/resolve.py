@@ -215,19 +215,10 @@ class ResolvedAttrs(NamedTuple):
     valid: jax.Array       # (H, W) bool
 
 
-def resolve_attrs_onehot(tri_id: jax.Array, setup, bin_ids: jax.Array,
-                         tri_vidx: jax.Array, tri_instance: jax.Array,
-                         attrs: "VertexAttrs", inst_object_id: jax.Array,
-                         inst_material: jax.Array, mat_record: jax.Array,
-                         mat_flat: jax.Array,
-                         tile_h: int, tile_w: int) -> ResolvedAttrs:
-    """Gather-free per-pixel attribute resolve."""
+def resolve_attrs_from_sel(tri_id: jax.Array, sel: jax.Array) -> ResolvedAttrs:
+    """Evaluate the selected per-pixel table rows -> interpolated attributes
+    (the shared epilogue of the two-pass and fused-kernel resolve paths)."""
     H, W = tri_id.shape
-    table = build_gbuffer_table(setup, tri_vidx, attrs, tri_instance,
-                                inst_object_id, inst_material,
-                                mat_record, mat_flat)
-    sel = select_rows_onehot(tri_id, bin_ids, table, tile_h, tile_w)
-
     px = (jnp.arange(W, dtype=F32) + 0.5)[None, :, None]
     py = (jnp.arange(H, dtype=F32) + 0.5)[:, None, None]
 
@@ -254,23 +245,31 @@ def resolve_attrs_onehot(tri_id: jax.Array, setup, bin_ids: jax.Array,
     )
 
 
-def resolve_gbuffer_onehot(tri_id: jax.Array, depth: jax.Array, setup,
-                           bin_ids: jax.Array, tri_vidx: jax.Array,
-                           tri_instance: jax.Array, attrs: "VertexAttrs",
-                           inst_object_id: jax.Array, inst_material: jax.Array,
-                           mat_record: jax.Array, mat_flat: jax.Array,
-                           pool: sampling.TexturePoolGPU,
-                           tile_h: int, tile_w: int,
-                           texture_filter: str = "dithered",
-                           texture_scale: int = 1) -> GBuffer:
-    """Gather-free GBuffer resolve (the fast path of resolve_gbuffer).
+def resolve_attrs_onehot(tri_id: jax.Array, setup, bin_ids: jax.Array,
+                         tri_vidx: jax.Array, tri_instance: jax.Array,
+                         attrs: "VertexAttrs", inst_object_id: jax.Array,
+                         inst_material: jax.Array, mat_record: jax.Array,
+                         mat_flat: jax.Array,
+                         tile_h: int, tile_w: int) -> ResolvedAttrs:
+    """Gather-free per-pixel attribute resolve (two-pass variant: the fused
+    Pallas path selects rows inside the raster kernel instead)."""
+    table = build_gbuffer_table(setup, tri_vidx, attrs, tri_instance,
+                                inst_object_id, inst_material,
+                                mat_record, mat_flat)
+    sel = select_rows_onehot(tri_id, bin_ids, table, tile_h, tile_w)
+    return resolve_attrs_from_sel(tri_id, sel)
+
+
+def resolve_gbuffer_from_attrs(r: "ResolvedAttrs", tri_id: jax.Array,
+                               depth: jax.Array,
+                               pool: sampling.TexturePoolGPU,
+                               texture_filter: str = "dithered",
+                               texture_scale: int = 1) -> GBuffer:
+    """Material evaluation + GBuffer assembly from resolved attributes.
 
     ``pool`` is the composite material-record pool: each texel carries
     [albedo rgba | normal rgb | rough | metal], so the whole material reads
-    in ONE trilinear sample."""
-    r = resolve_attrs_onehot(tri_id, setup, bin_ids, tri_vidx, tri_instance,
-                             attrs, inst_object_id, inst_material,
-                             mat_record, mat_flat, tile_h, tile_w)
+    in ONE mip-filtered sample."""
     world, uv = r.world, r.uv
     n_geom, tangent, bitangent = r.normal, r.tangent, r.bitangent
     flat, object_id, valid = r.flat, r.object_id, r.valid
@@ -313,6 +312,23 @@ def resolve_gbuffer_onehot(tri_id: jax.Array, depth: jax.Array, setup,
         object_id=object_id,
         mask=valid,
     )
+
+
+def resolve_gbuffer_onehot(tri_id: jax.Array, depth: jax.Array, setup,
+                           bin_ids: jax.Array, tri_vidx: jax.Array,
+                           tri_instance: jax.Array, attrs: "VertexAttrs",
+                           inst_object_id: jax.Array, inst_material: jax.Array,
+                           mat_record: jax.Array, mat_flat: jax.Array,
+                           pool: sampling.TexturePoolGPU,
+                           tile_h: int, tile_w: int,
+                           texture_filter: str = "dithered",
+                           texture_scale: int = 1) -> GBuffer:
+    """Two-pass gather-free GBuffer resolve (select pass + epilogue)."""
+    r = resolve_attrs_onehot(tri_id, setup, bin_ids, tri_vidx, tri_instance,
+                             attrs, inst_object_id, inst_material,
+                             mat_record, mat_flat, tile_h, tile_w)
+    return resolve_gbuffer_from_attrs(r, tri_id, depth, pool,
+                                      texture_filter, texture_scale)
 
 
 def _safe_normalize(v: jax.Array) -> jax.Array:

@@ -69,6 +69,43 @@ def _lowres_vis(fn, pos: jax.Array, scale: int) -> jax.Array:
     return _upsample_bilinear(lo, pos.shape[:2])
 
 
+def _raster_resolve(clip, tri_vidx, tri_mask, tri_instance, vattrs, scene,
+                    cfg: config.RenderConfig, cull: str):
+    """Raster + per-pixel resolve-row selection.
+
+    Pallas path: the fused kernel selects the winner's table row during the
+    depth race (raster.rasterize_resolve_binned). Fallback: two-pass
+    (visibility buffer, then a per-tile one-hot select).
+    Returns (tri_id, depth, ResolvedAttrs, overflow)."""
+    PW, PH = cfg.padded_width, cfg.padded_height
+    setup = raster.triangle_setup(clip, tri_vidx, tri_mask, PW, PH, cull)
+    bins = raster.bin_triangles(setup, PW, PH, cfg.tile_h, cfg.tile_w,
+                                cfg.bin_capacity)
+    table = resolve.build_gbuffer_table(
+        setup, tri_vidx, vattrs, tri_instance, scene.inst_object_id,
+        scene.inst_material, scene.mat_record, scene.mat_flat)
+    if cfg.use_pallas and cfg.fused_resolve:
+        D = table.shape[1]
+        pad = (-D) % 64
+        table_p = jnp.pad(table, ((0, 0), (0, pad))) if pad else table
+        tri_id, depth, sel = raster.rasterize_resolve_binned(
+            bins, table_p, cfg.tile_h, cfg.tile_w)
+        r = resolve.resolve_attrs_from_sel(tri_id, sel[..., :D])
+    elif cfg.use_pallas:
+        tri_id, depth = raster.rasterize_binned(bins, cfg.tile_h, cfg.tile_w,
+                                                use_pallas=True)
+        sel = resolve.select_rows_onehot(tri_id, bins.ids, table,
+                                         cfg.tile_h, cfg.tile_w)
+        r = resolve.resolve_attrs_from_sel(tri_id, sel)
+    else:
+        tri_id, depth = raster.rasterize_binned(bins, cfg.tile_h, cfg.tile_w,
+                                                use_pallas=False)
+        sel = resolve.select_rows_onehot(tri_id, bins.ids, table,
+                                         cfg.tile_h, cfg.tile_w)
+        r = resolve.resolve_attrs_from_sel(tri_id, sel)
+    return tri_id, depth, r, bins.overflow
+
+
 def _unpack_camera(camera_raw: jax.Array) -> dict:
     return dict(
         view_proj=camera_raw[0:16].reshape(4, 4),
@@ -96,18 +133,11 @@ def render_frame_forward(scene: SceneGPU, pool: sampling.TexturePoolGPU,
     nm = jnp.take(scene.inst_normal_mat, scene.vert_instance, axis=0)
     n_w = jnp.einsum("vij,vj->vi", nm, scene.vert_normal, preferred_element_type=F32)
 
-    tri_id, depth, setup, bins = raster.rasterize(
-        clip, scene.tri_vidx, scene.tri_deferred, PW, PH,
-        cfg.tile_h, cfg.tile_w, cfg.bin_capacity, cull="back",
-        use_pallas=cfg.use_pallas)
-    overflow = bins.overflow
-
     vattrs = resolve.VertexAttrs(world=world, uv=scene.vert_uv,
                                  normal=n_w, tangent=n_w, bitangent=n_w)
-    r = resolve.resolve_attrs_onehot(
-        tri_id, setup, bins.ids, scene.tri_vidx, scene.tri_instance, vattrs,
-        scene.inst_object_id, scene.inst_material, scene.mat_record,
-        scene.mat_flat, cfg.tile_h, cfg.tile_w)
+    tri_id, depth, r, overflow = _raster_resolve(
+        clip, scene.tri_vidx, scene.tri_deferred, scene.tri_instance,
+        vattrs, scene, cfg, "back")
     valid = r.valid
     uv, normal, flat = r.uv, r.normal, r.flat
     lvl = sampling.mip_level_from_uv(uv, pool.level_sizes[0])
@@ -190,16 +220,11 @@ def render_frame(scene: SceneGPU, pool: sampling.TexturePoolGPU,
                                 normal=n_w, tangent=t_w, bitangent=b_w)
 
     # ---- main visibility raster (GBuffer geometry pass) ----
-    tri_id, depth, setup, bins = raster.rasterize(
-        clip, scene.tri_vidx, scene.tri_deferred, PW, PH,
-        cfg.tile_h, cfg.tile_w, cfg.bin_capacity, cull="back",
-        use_pallas=cfg.use_pallas)
-    ovf_main = bins.overflow
-
-    g = resolve.resolve_gbuffer_onehot(
-        tri_id, depth, setup, bins.ids, scene.tri_vidx, scene.tri_instance,
-        attrs, scene.inst_object_id, scene.inst_material,
-        scene.mat_record, scene.mat_flat, pool, cfg.tile_h, cfg.tile_w,
+    tri_id, depth, r_main, ovf_main = _raster_resolve(
+        clip, scene.tri_vidx, scene.tri_deferred, scene.tri_instance,
+        attrs, scene, cfg, "back")
+    g = resolve.resolve_gbuffer_from_attrs(
+        r_main, tri_id, depth, pool,
         texture_filter=cfg.texture_filter, texture_scale=cfg.texture_scale)
 
     # ---- shadow atlas (cached across frames when precomputed) ----
@@ -247,16 +272,10 @@ def render_frame(scene: SceneGPU, pool: sampling.TexturePoolGPU,
     # raster bins Fc triangles (hundreds), not the whole scene pool.
     pick = g.object_id
     if cfg.has_forward:
-        f_id, f_depth, f_setup, f_bins = raster.rasterize(
-            clip, scene.fwd_tri_vidx, scene.fwd_tri_mask, PW, PH,
-            cfg.tile_h, cfg.tile_w, cfg.bin_capacity, cull="none",
-            use_pallas=cfg.use_pallas)
-        overflow = jnp.maximum(overflow, f_bins.overflow)
-        fr = resolve.resolve_attrs_onehot(
-            f_id, f_setup, f_bins.ids, scene.fwd_tri_vidx,
-            scene.fwd_tri_instance, attrs, scene.inst_object_id,
-            scene.inst_material, scene.mat_record, scene.mat_flat,
-            cfg.tile_h, cfg.tile_w)
+        f_id, f_depth, fr, ovf_f = _raster_resolve(
+            clip, scene.fwd_tri_vidx, scene.fwd_tri_mask,
+            scene.fwd_tri_instance, attrs, scene, cfg, "none")
+        overflow = jnp.maximum(overflow, ovf_f)
         f_valid = fr.valid
         # overlay sprites (billboards) sample at half rate: their alpha
         # edges are soft anyway and texture taps dominate the frame cost
