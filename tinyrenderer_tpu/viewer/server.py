@@ -241,6 +241,9 @@ PAGE_HTML = """<!DOCTYPE html>
   <button onclick="act('bake_irradiance')">Bake IBL</button>
   <button onclick="act('save_ibl')">Save IBL</button>
   <button onclick="fetch('/action',{method:'POST',body:JSON.stringify({action:'set_config',preset:'performance'})})">Fast preset</button>
+  <div class="row"><label>Spawn model (path)</label>
+   <input type="text" id="spawnpath" placeholder="assets/models/cube/cube.obj">
+   <button onclick="send({type:'drop', path:document.getElementById('spawnpath').value})">Add</button></div>
   <select onchange="fetch('/action',{method:'POST',body:JSON.stringify({action:'set_config',values:{texture_filter:this.value}})})">
     <option value="dithered">dithered</option><option value="trilinear">trilinear</option><option value="bilinear">bilinear</option>
   </select>
