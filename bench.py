@@ -7,6 +7,25 @@ Prints exactly one JSON line:
 vs_baseline is measured against the BASELINE.json target of 16 ms/frame
 (<16 ms @1080p full deferred pipeline, single v5e chip); >1.0 means faster
 than the target.
+
+Fault model: the chip is time-shared behind a tunnel and individual device
+fetches can fail with transient ABORTED/UNAVAILABLE errors. Every device
+measurement retries, every secondary metric is failure-isolated (null on
+error), and the JSON line is emitted even on partial failure (with an
+"error" field) — the benchmark's one job is to record a number.
+
+Timing methodology (see CLAUDE.md): block_until_ready does not block over
+the tunnel, so N frames are chained inside one jitted lax.scan, each step's
+camera carrying a non-foldable 1e-30 * depth dependency on the previous
+frame, finished by a host fetch. The scan is timed over several repetitions
+(real p10/p50/p90), and a scan-length-doubling check guards the whole
+methodology against constant folding.
+
+Modes:
+  (default)   1080p deferred headline + preset + raster throughput + TPU
+              golden verification
+  --all       JSON array covering BASELINE.json configs 1-5 + CPU-raster ratio
+  --forward / --stress / --fast: single-config variants
 """
 
 from __future__ import annotations
@@ -18,28 +37,52 @@ import sys
 import time
 
 BASELINE_MS = 16.0
-WARMUP = 3
-ITERS = 30
+WARMUP = 2
+ITERS = 15          # frames per scan
+REPS = 4            # timed scan repetitions (percentiles over these)
+RETRIES = 3
+
+_TRANSIENT = ("ABORTED", "UNAVAILABLE", "DEADLINE", "INTERNAL",
+              "RESOURCE_EXHAUSTED", "Socket closed", "Connection reset")
 
 
-def build_engine(stress: bool = False, forward: bool = False):
+def _retry(fn, attempts: int = RETRIES, label: str = ""):
+    """Run a device computation, retrying on transient tunnel/tenancy errors."""
+    last = None
+    for a in range(attempts):
+        try:
+            return fn()
+        except Exception as e:  # noqa: BLE001 — jax raises various subclasses
+            last = e
+            msg = str(e)
+            if not any(t in msg for t in _TRANSIENT):
+                raise
+            print(f"# transient TPU error on {label or 'op'} "
+                  f"(attempt {a + 1}/{attempts}): {msg.splitlines()[0][:120]}",
+                  file=sys.stderr)
+            time.sleep(2.0 * (a + 1))
+    raise last
+
+
+def build_engine(stress: bool = False, forward: bool = False,
+                 highpoly: bool = False, envpass: bool = False):
     from tinyrenderer_tpu.config import RenderConfig
     from tinyrenderer_tpu.render.engine import Engine
     from tinyrenderer_tpu.scene import demo
 
+    ref_level = "/root/reference/levels/test.lvl"
     if forward:
         # BASELINE config 1: forward pass, one directional light, 800x600
         cfg = RenderConfig(width=800, height=600, forward_only=True,
                            enable_shadows=False, enable_ibl=False,
                            enable_ssr=False)
-        ref_level = "/root/reference/levels/test.lvl"
         if os.path.exists(ref_level):
             return Engine(cfg=cfg, level_path=ref_level)
         return Engine.from_world(
             demo.build_demo_world(n_cubes=50, with_point_light=False),
             camera=demo.build_demo_camera(cfg.width, cfg.height), cfg=cfg)
     if stress:
-        # BASELINE.json config 5: 500+ draws, 2K shadow atlas, 1440p
+        # BASELINE config 5: 500+ draws, 2K shadow atlas, 1440p
         cfg = RenderConfig(width=2560, height=1440, shadow_size=2048,
                            max_instances=1024, max_vertices=16384,
                            max_triangles=8192, max_materials=1024,
@@ -47,8 +90,20 @@ def build_engine(stress: bool = False, forward: bool = False):
         return Engine.from_world(
             demo.build_stress_world(500),
             camera=demo.build_demo_camera(cfg.width, cfg.height), cfg=cfg)
+    if highpoly:
+        # raster-throughput scene: 9 high-poly spheres (~110k triangles)
+        cfg = RenderConfig(width=1920, height=1080, max_instances=64,
+                           max_vertices=131072, max_triangles=131072,
+                           bin_capacity=1024)
+        return Engine.from_world(
+            demo.build_highpoly_world(9),
+            camera=demo.build_demo_camera(cfg.width, cfg.height), cfg=cfg)
     cfg = RenderConfig(width=1920, height=1080)
-    ref_level = "/root/reference/levels/test.lvl"
+    if envpass:
+        # BASELINE config 3 differs from the default only in exercising the
+        # env precompute chain explicitly (equirect->cubemap->irradiance->SH);
+        # its per-frame pipeline is the same full deferred frame.
+        cfg = RenderConfig(width=1920, height=1080)
     if os.path.exists(ref_level):
         return Engine(cfg=cfg, level_path=ref_level)
     return Engine.from_world(
@@ -56,7 +111,36 @@ def build_engine(stress: bool = False, forward: bool = False):
         camera=demo.build_demo_camera(cfg.width, cfg.height), cfg=cfg)
 
 
-def time_engine(eng, trace_dir: str = ""):
+def _frame_loop(eng, n: int):
+    """Jitted scan of n chained frames for the engine's current config."""
+    import jax
+    import jax.numpy as jnp
+
+    from tinyrenderer_tpu.render import frame as framelib
+
+    cfgc = eng.cfg
+
+    @jax.jit
+    def loop(cam, scene, pool, lights, params, env, atlas):
+        def step(c, _):
+            out = framelib.render_frame(scene, pool, lights, c, params, env,
+                                        cfgc, atlas)
+            # non-foldable cross-frame dependency: 1e-30 * depth is far below
+            # f32 epsilon of any camera entry (numerically a no-op) but its
+            # value is unknown at compile time, so XLA cannot hoist the frame
+            # out of the scan (0.0 * x could be folded; this cannot).
+            return c + 1e-30 * out.depth[0, 0], out.sdr[0, 0, 0]
+        _, outs = jax.lax.scan(step, cam, None, length=n)
+        return outs.sum()
+
+    return loop
+
+
+def time_engine(eng, trace_dir: str = "", reps: int = REPS,
+                iters: int = ITERS, scale_check: bool = False):
+    """Measure ms/frame for the engine's current config.
+
+    Returns (times_ms: list over reps, atlas_ms, scale_ok)."""
     import jax
     import jax.numpy as jnp
 
@@ -65,71 +149,281 @@ def time_engine(eng, trace_dir: str = ""):
     eng.update(0.0)
     eng._drain_actions()
     env = eng._ensure_env()
-    cfg = eng.cfg
+    cfgc = eng.cfg
 
-    fn = framelib.compiled_frame(cfg)
-    args = (eng._pack.scene, eng._packer.texture_pool_gpu(), eng._pack.lights,
-            jnp.asarray(eng.camera.to_raw()), eng.params, env)
+    scene = eng._pack.scene
+    pool = eng._packer.texture_pool_gpu()
+    lights = eng._pack.lights
+    cam0 = jnp.asarray(eng.camera.to_raw())
+    params = eng.params
+
+    # shadow atlas: rendered once per scene edit (engine caching); the
+    # steady-state frame consumes the cached atlas (camera-only motion).
+    atlas = None
+    atlas_ms = None
+    if cfgc.enable_shadows and cfgc.num_shadow_views > 0 and not cfgc.forward_only:
+        afn = framelib.compiled_shadow_atlas(cfgc)
+        atlas = _retry(lambda: jax.block_until_ready(afn(scene, lights)),
+                       label="shadow atlas")
+        try:
+            n_atlas = 8
+
+            @jax.jit
+            def aloop(scene, lights):
+                def step(c, _):
+                    a = framelib.render_shadow_atlas(scene, lights, cfgc)
+                    return c + 1e-30 * a[0, 0, 0, 0], a[0, 0, 0, 0]
+                _, outs = jax.lax.scan(step, jnp.float32(0), None,
+                                       length=n_atlas)
+                return outs.sum()
+
+            _retry(lambda: float(aloop(scene, lights)), label="atlas warm")
+            t0 = time.perf_counter()
+            _retry(lambda: float(aloop(scene, lights)), label="atlas timed")
+            atlas_ms = (time.perf_counter() - t0) * 1e3 / n_atlas
+        except Exception as e:  # noqa: BLE001 — secondary metric, never fatal
+            print(f"# atlas timing failed: {e}", file=sys.stderr)
+            atlas_ms = None
+
+    args = (cam0, scene, pool, lights, params, env, atlas)
+    loop = _frame_loop(eng, iters)
 
     for _ in range(WARMUP):
-        out = fn(*args)
-    jax.block_until_ready(out)
+        _retry(lambda: float(loop(*args)), label="warmup")
 
     if trace_dir:  # jax.profiler trace (the RenderDoc-capture analog)
+        fn = framelib.compiled_frame(cfgc)
         with jax.profiler.trace(trace_dir):
-            jax.block_until_ready(fn(*args))
+            jax.block_until_ready(fn(scene, pool, lights, cam0, params, env,
+                                     atlas))
 
-    # Honest device timing: N frames inside one jitted lax.scan, each
-    # chained on the previous frame's output, finished with a host fetch.
-    # (block_until_ready on the remote-TPU tunnel returns before execution
-    # completes, so per-dispatch wall timings are meaningless.)
-    scene, pool, lights, cam0, params, env = args
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        _retry(lambda: float(loop(*args)), label="timed scan")
+        times.append((time.perf_counter() - t0) * 1e3 / iters)
+
+    scale_ok = None
+    if scale_check:
+        # Guard the methodology: a scan of 2N frames must take ~2x a scan of
+        # N frames. If XLA folded the chain (fake-fast numbers), it won't.
+        try:
+            loop2 = _frame_loop(eng, 2 * iters)
+            _retry(lambda: float(loop2(*args)), label="scale warm")
+            t0 = time.perf_counter()
+            _retry(lambda: float(loop2(*args)), label="scale timed")
+            t2 = (time.perf_counter() - t0) * 1e3 / iters  # per-N-frames x2
+            ratio = t2 / max(min(times), 1e-9)
+            scale_ok = bool(1.4 <= ratio <= 3.0)
+            if not scale_ok:
+                print(f"# WARNING: scan-doubling ratio {ratio:.2f} outside "
+                      f"[1.4, 3.0] — timing chain may be folded",
+                      file=sys.stderr)
+        except Exception as e:  # noqa: BLE001
+            print(f"# scale check failed: {e}", file=sys.stderr)
+
+    return times, atlas_ms, scale_ok
+
+
+def percentiles(times: list) -> dict:
+    xs = sorted(times)
+    n = len(xs)
+    return {
+        "p10_ms": round(xs[max(0, int(0.10 * (n - 1)))], 3),
+        "p50_ms": round(xs[n // 2], 3),
+        "p90_ms": round(xs[min(n - 1, int(round(0.90 * (n - 1))))], 3),
+        "min_ms": round(xs[0], 3),
+        "reps": n,
+    }
+
+
+def verify_tpu_goldens() -> dict:
+    """Render the golden scenes on the live backend with the Pallas kernels
+    (both fused and two-pass) and compare against the CPU-rendered goldens
+    (tests/goldens/*.png) with an MXU-tolerant threshold. Records on-chip
+    Mosaic correctness every bench run (VERDICT r1 weak #3)."""
+    from dataclasses import replace
+
+    import numpy as np
+    from PIL import Image
+
+    from tinyrenderer_tpu.config import RenderConfig
+    from tinyrenderer_tpu.render.engine import Engine
+    from tinyrenderer_tpu.scene import demo
+
+    golden_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "tests", "goldens")
+    base = RenderConfig(
+        width=256, height=128, tile_h=16, tile_w=128, bin_capacity=160,
+        shadow_size=128, shadow_tile=128, shadow_bin_capacity=128,
+        env_size=32, irradiance_size=8, texture_size=64, mip_levels=4,
+        max_vertices=8192, max_triangles=4096, max_instances=64,
+        use_pallas=True, enable_ssr=False)
+
+    results = {}
+    for variant, cfg in (("pallas", base),
+                         ("pallas_fused", replace(base, fused_resolve=True))):
+        path = os.path.join(golden_dir, "demo.png")
+        if not os.path.exists(path):
+            results[variant] = {"status": "no-golden"}
+            continue
+        try:
+            eng = Engine.from_world(
+                demo.build_demo_world(n_cubes=9),
+                camera=demo.build_demo_camera(cfg.width, cfg.height), cfg=cfg)
+            img = _retry(lambda: np.asarray(eng.run_frame(0.0).sdr),
+                         label=f"golden {variant}")
+            golden = np.asarray(Image.open(path)).astype(np.int16)
+            d = np.abs(img.astype(np.int16) - golden).max(axis=-1)
+            frac_bad = float((d > 2).mean())
+            results[variant] = {
+                "status": "pass" if frac_bad < 0.02 else "FAIL",
+                "frac_pixels_gt_2lsb": round(frac_bad, 5),
+                "max_diff": int(d.max()),
+            }
+        except Exception as e:  # noqa: BLE001
+            results[variant] = {"status": "error",
+                                "error": str(e).splitlines()[0][:200]}
+    return results
+
+
+def measure_raster_throughput() -> dict:
+    """Mtris/s on the ~110k-triangle high-poly scene (BASELINE's raster
+    metric measured on a scene where triangle count actually matters)."""
+    eng = build_engine(highpoly=True)
+    times, atlas_ms, _ = time_engine(eng, reps=2, iters=8)
+    p50 = sorted(times)[len(times) // 2]
+    tris = int(eng._pack.counts["triangles"])
+    return {
+        "triangles": tris,
+        "ms_per_frame": round(p50, 3),
+        "mtris_per_s": round(tris / (p50 * 1e-3) / 1e6, 2),
+    }
+
+
+def measure_editor_roundtrip() -> dict:
+    """BASELINE config 4: 50 runtime add/deletes + object pick + gizmo drag,
+    measuring the host repack/dispatch cost per edited frame (wall clock,
+    includes any capacity retraces)."""
+    from tinyrenderer_tpu.editor import events as ev
+    from tinyrenderer_tpu.editor.session import EditorApp
+    from tinyrenderer_tpu.config import RenderConfig
+    from tinyrenderer_tpu.render.engine import Engine
+    from tinyrenderer_tpu.scene import demo
+
+    cfg = RenderConfig(width=800, height=600)
+    app = EditorApp(Engine.from_world(
+        demo.build_demo_world(n_cubes=16),
+        camera=demo.build_demo_camera(cfg.width, cfg.height), cfg=cfg))
+    app.run_frame(0.0)  # compile
+
+    added = []
+    t0 = time.perf_counter()
+    for i in range(50):
+        if i % 2 == 0 or not added:
+            w = demo.build_demo_world(n_cubes=1)
+            oid = app.engine.world.add_world_object(
+                next(iter(w.world_objects.values())))
+            added.append(oid)
+        else:
+            app.engine.world.remove_world_object(added.pop())
+        app.run_frame(0.016)
+    edit_ms = (time.perf_counter() - t0) * 1e3 / 50
+
+    # pick + gizmo drag round-trip (select an object, drag along an axis)
+    cx, cy = cfg.width // 2, cfg.height // 2
+    t0 = time.perf_counter()
+    app.handle_event(ev.CursorMoved(x=cx, y=cy))
+    for _ in range(4):  # pick readback is N frames latent
+        app.run_frame(0.016)
+    app.handle_event(ev.MouseInput(button=ev.MouseButton.Left, pressed=True,
+                                   x=cx, y=cy))
+    for _ in range(4):
+        app.handle_event(ev.CursorMoved(x=cx + 10, y=cy))
+        app.run_frame(0.016)
+    app.handle_event(ev.MouseInput(button=ev.MouseButton.Left, pressed=False,
+                                   x=cx + 10, y=cy))
+    app.run_frame(0.016)
+    pick_ms = (time.perf_counter() - t0) * 1e3 / 10
+
+    lvl_path = "/tmp/bench_roundtrip.lvl"
+    app.engine.save_level(lvl_path)
+    ok = os.path.exists(lvl_path)
+    return {"edit_ms_per_frame": round(edit_ms, 2),
+            "pick_gizmo_ms_per_frame": round(pick_ms, 2),
+            "lvl_roundtrip": ok}
+
+
+def measure_cpu_raster_ratio(tpu_ms: float) -> dict:
+    """BASELINE '>=5x vs CPU software raster': the same 1080p deferred frame
+    with use_pallas=False executed on the CPU backend."""
+    from dataclasses import replace
+
+    import jax
     import jax.numpy as jnp
 
     from tinyrenderer_tpu.render import frame as framelib
 
+    eng = build_engine()
+    eng.cfg = replace(eng.cfg, use_pallas=False)
+    eng.update(0.0)
+    eng._drain_actions()
+    env = eng._ensure_env()
     cfgc = eng.cfg
+    cpu = jax.devices("cpu")[0]
 
-    # shadow atlas: rendered once per scene edit (engine caching); the
-    # steady-state frame consumes the cached atlas (camera-only motion)
-    atlas = None
-    atlas_ms = 0.0
-    if cfgc.enable_shadows and cfgc.num_shadow_views > 0 and not cfgc.forward_only:
-        afn = framelib.compiled_shadow_atlas(cfgc)
+    scene = jax.device_put(eng._pack.scene, cpu)
+    pool = jax.device_put(eng._packer.texture_pool_gpu(), cpu)
+    lights = jax.device_put(eng._pack.lights, cpu)
+    cam0 = jax.device_put(jnp.asarray(eng.camera.to_raw()), cpu)
+    params = jax.device_put(eng.params, cpu)
+    envc = jax.device_put(env, cpu)
 
-        @jax.jit
-        def aloop(scene, lights):
-            def step(c, _):
-                a = framelib.render_shadow_atlas(scene, lights, cfgc)
-                return c + a[0, 0, 0, 0], a[0, 0, 0, 0]
-            _, outs = jax.lax.scan(step, jnp.float32(0), None, length=ITERS)
-            return outs.sum()
-
-        float(aloop(scene, lights))
+    with jax.default_device(cpu):
+        fn = jax.jit(lambda *a: framelib.render_frame(*a, cfgc, None))
+        out = fn(scene, pool, lights, cam0, params, envc)
+        jax.block_until_ready(out)
         t0 = time.perf_counter()
-        float(aloop(scene, lights))
-        atlas_ms = (time.perf_counter() - t0) * 1e3 / ITERS
-        atlas = afn(scene, lights)
-
-    @jax.jit
-    def loop(cam, scene, pool, lights, params, env, atlas):
-        def step(c, _):
-            out = framelib.render_frame(scene, pool, lights, c, params, env,
-                                        cfgc, atlas)
-            return cam0 + 0.0 * out.depth[0, 0], out.sdr[0, 0, 0]
-        _, outs = jax.lax.scan(step, cam, None, length=ITERS)
-        return outs.sum()
-
-    state = (scene, pool, lights, params, env, atlas)
-    float(loop(cam0, *state))  # compile + warm
-    t0 = time.perf_counter()
-    float(loop(cam0, *state))
-    per_frame = (time.perf_counter() - t0) * 1e3 / ITERS
-    time_engine.last_atlas_ms = atlas_ms
-    return [per_frame] * ITERS
+        for _ in range(2):
+            jax.block_until_ready(fn(scene, pool, lights, cam0, params, envc))
+        cpu_ms = (time.perf_counter() - t0) * 1e3 / 2
+    return {"cpu_softraster_ms": round(cpu_ms, 1),
+            "speedup_vs_cpu": round(cpu_ms / tpu_ms, 2)}
 
 
-def main() -> None:
+def run_config(label: str, metric: str, reps=REPS, iters=ITERS,
+               scale_check=False, trace_dir="", fast=False, **build_kw):
+    """Measure one config; always returns a result dict (error field on
+    failure)."""
+    import jax
+
+    res = {"metric": metric, "unit": "ms/frame", "value": None}
+    try:
+        eng = build_engine(**build_kw)
+        if fast:
+            eng.cfg = eng.cfg.performance_preset()
+        times, atlas_ms, scale_ok = time_engine(
+            eng, trace_dir=trace_dir, reps=reps, iters=iters,
+            scale_check=scale_check)
+        pct = percentiles(times)
+        res["value"] = pct["p50_ms"]
+        res["vs_baseline"] = round(BASELINE_MS / pct["p50_ms"], 3)
+        res["extra"] = {
+            "backend": jax.default_backend(),
+            **pct,
+            "triangles": int(eng._pack.counts["triangles"]),
+            "shadow_views": int(eng.cfg.num_shadow_views),
+            "shadow_atlas_ms": (round(atlas_ms, 3)
+                                if atlas_ms is not None else None),
+        }
+        if scale_check:
+            res["extra"]["scan_scaling_ok"] = scale_ok
+    except Exception as e:  # noqa: BLE001
+        res["error"] = str(e).splitlines()[0][:300]
+    return res
+
+
+def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--stress", action="store_true",
                     help="500-draw 1440p 2K-shadow stress config")
@@ -137,47 +431,83 @@ def main() -> None:
                     help="forward-only 800x600 config (BASELINE config 1)")
     ap.add_argument("--fast", action="store_true",
                     help="apply the gather-minimizing performance preset")
+    ap.add_argument("--all", action="store_true",
+                    help="measure BASELINE.json configs 1-5; print JSON array")
+    ap.add_argument("--no-verify", action="store_true",
+                    help="skip the TPU golden-image verification")
     ap.add_argument("--trace-dir", default="",
                     help="write a jax.profiler trace of one frame")
     args = ap.parse_args()
 
-    import jax
+    if args.all:
+        results = [
+            run_config("config1", "ms/frame p50, 800x600 forward-only "
+                       "(test.lvl)", forward=True),
+            run_config("config2+3", "ms/frame p50, 1080p deferred "
+                       "PBR+shadows+IBL+env (test.lvl)", envpass=True,
+                       scale_check=True),
+            run_config("config5", "ms/frame p50, 1440p 500-draw stress, "
+                       "2K shadows", reps=2, iters=8, stress=True),
+        ]
+        try:
+            results.append({"metric": "raster throughput, 110k-tri scene",
+                            "unit": "mtris/s",
+                            **measure_raster_throughput()})
+        except Exception as e:  # noqa: BLE001
+            results.append({"metric": "raster throughput",
+                            "error": str(e).splitlines()[0][:300]})
+        try:
+            results.append({"metric": "editor round-trip (config 4)",
+                            **measure_editor_roundtrip()})
+        except Exception as e:  # noqa: BLE001
+            results.append({"metric": "editor round-trip (config 4)",
+                            "error": str(e).splitlines()[0][:300]})
+        try:
+            tpu_ms = results[1].get("value")
+            if tpu_ms:
+                results.append({"metric": "vs CPU software raster",
+                                **measure_cpu_raster_ratio(tpu_ms)})
+        except Exception as e:  # noqa: BLE001
+            results.append({"metric": "vs CPU software raster",
+                            "error": str(e).splitlines()[0][:300]})
+        if not args.no_verify:
+            results.append({"metric": "TPU golden verification",
+                            "tpu_golden": verify_tpu_goldens()})
+        print(json.dumps(results))
+        return 0
 
-    eng = build_engine(stress=args.stress, forward=args.forward)
-    if args.fast:
-        eng.cfg = eng.cfg.performance_preset()
-    times = time_engine(eng, args.trace_dir)
-    p50 = times[len(times) // 2]
-    atlas_ms = getattr(time_engine, "last_atlas_ms", 0.0)
-    tris = int(eng._pack.counts["triangles"])
+    if args.stress:
+        res = run_config("stress", "ms/frame p50, 1440p 500-draw stress, "
+                         "2K shadows", reps=2, iters=8, stress=True,
+                         fast=args.fast, trace_dir=args.trace_dir)
+    elif args.forward:
+        res = run_config("forward", "ms/frame p50, 800x600 forward-only "
+                         "(test.lvl)", forward=True, fast=args.fast,
+                         trace_dir=args.trace_dir)
+    else:
+        res = run_config("default", "ms/frame p50, 1080p deferred "
+                         "PBR+shadows+IBL (test.lvl)", scale_check=True,
+                         fast=args.fast, trace_dir=args.trace_dir)
+        if res.get("value") and not args.fast:
+            # secondary metrics; each failure-isolated
+            try:
+                eng = build_engine()
+                eng.cfg = eng.cfg.performance_preset()
+                times, _, _ = time_engine(eng, reps=2, iters=ITERS)
+                res["extra"]["performance_preset_ms"] = percentiles(times)["p50_ms"]
+            except Exception as e:  # noqa: BLE001
+                res["extra"]["performance_preset_ms"] = None
+                print(f"# preset timing failed: {e}", file=sys.stderr)
+            try:
+                res["extra"]["raster_throughput"] = measure_raster_throughput()
+            except Exception as e:  # noqa: BLE001
+                res["extra"]["raster_throughput"] = None
+                print(f"# throughput failed: {e}", file=sys.stderr)
+            if not args.no_verify:
+                res["extra"]["tpu_golden"] = verify_tpu_goldens()
 
-    # also measure the gather-minimizing preset for the default config
-    fast_ms = None
-    if not (args.fast or args.stress or args.forward):
-        eng.cfg = eng.cfg.performance_preset()
-        fast = time_engine(eng)
-        fast_ms = fast[len(fast) // 2]
-
-    name = ("ms/frame p50, 1440p 500-draw stress, 2K shadows" if args.stress
-            else "ms/frame p50, 800x600 forward-only (test.lvl)" if args.forward
-            else "ms/frame p50, 1080p deferred PBR+shadows+IBL (test.lvl)")
-    print(json.dumps({
-        "metric": name,
-        "value": round(p50, 3),
-        "unit": "ms/frame",
-        "vs_baseline": round(BASELINE_MS / p50, 3),
-        "extra": {
-            "backend": jax.default_backend(),
-            "p10_ms": round(times[len(times) // 10], 3),
-            "p90_ms": round(times[(len(times) * 9) // 10], 3),
-            "triangles": tris,
-            "mtris_per_s": round(tris / (p50 * 1e-3) / 1e6, 2),
-            "shadow_views": int(eng.cfg.num_shadow_views),
-            "shadow_atlas_ms": round(atlas_ms, 3),
-            "performance_preset_ms": (round(fast_ms, 3)
-                                      if fast_ms is not None else None),
-        },
-    }))
+    print(json.dumps(res))
+    return 0 if res.get("value") is not None else 1
 
 
 if __name__ == "__main__":

@@ -86,3 +86,43 @@ def build_demo_camera(width: int, height: int) -> Camera:
 def build_stress_world(n_objects: int = 500, seed: int = 11) -> World:
     """BASELINE.json config 5: 500+ draws."""
     return build_demo_world(n_cubes=n_objects, seed=seed)
+
+
+def build_highpoly_world(n_spheres: int = 9, seed: int = 13) -> World:
+    """Raster-throughput scene: ~12k-triangle spheres (~108k triangles at
+    n_spheres=9) for the BASELINE Mtris/s metric — a scene where triangle
+    count actually dominates, unlike test.lvl's ~600 triangles."""
+    from ..assets import mesh as meshlib
+
+    key = "sphere_hd"
+    if key not in meshlib._PRIMITIVE_CACHE:
+        meshlib._PRIMITIVE_CACHE[key] = meshlib.uv_sphere(stacks=78, slices=78)
+
+    rng = np.random.default_rng(seed)
+    world = World()
+    side = max(1, int(round(n_spheres ** 0.5)))
+    for i in range(n_spheres):
+        gx, gz = i % side, i // side
+        color = rng.uniform(0.2, 0.9, size=3)
+        mat = comp.PbrMaterialDescriptor(flat=comp.PbrParameters(
+            albedo=np.asarray(color, F32),
+            roughness=float(rng.uniform(0.2, 0.8)), metalness=0.1))
+        world.add_world_object(WorldObject(
+            components=[comp.RenderableComponent(
+                model_descriptor=comp.ModelDescriptor(
+                    mesh_descriptor=comp.MeshDescriptor("PrimitiveInCode", key),
+                    material_descriptor=mat),
+                rendering_options=comp.ModelRenderingOptions(
+                    pbr_resource_type=comp.PbrRenderingType.FlatParameters))],
+            transform=comp.TransformComponent(
+                position=np.asarray((3.0 * (gx - side / 2 + 0.5),
+                                     rng.uniform(-0.5, 1.5),
+                                     3.0 * (gz - side / 2 + 0.5)), F32),
+                scale=np.full(3, 1.2, F32)),
+        ))
+
+    world.add_omnipresent_object(OmnipresentObject(components=[
+        comp.DirectionalLight(
+            direction=np.array([-0.5, -1.0, -0.3], F32) / np.linalg.norm([-0.5, -1.0, -0.3]),
+            color=np.array([2.0, 1.9, 1.7], F32))]))
+    return world
