@@ -148,6 +148,11 @@ def time_engine(eng, trace_dir: str = "", reps: int = REPS,
 
     eng.update(0.0)
     eng._drain_actions()
+    # Let the capacity monitors settle (raster-bin / textured-block growth
+    # fetches real counts from the chip) so the scan measures the
+    # steady-state config, not a pre-growth envelope.
+    for _ in range(6):
+        _retry(lambda: eng.run_frame(0.0), label="settle")
     env = eng._ensure_env()
     cfgc = eng.cfg
 
@@ -163,7 +168,7 @@ def time_engine(eng, trace_dir: str = "", reps: int = REPS,
     atlas_ms = None
     if cfgc.enable_shadows and cfgc.num_shadow_views > 0 and not cfgc.forward_only:
         afn = framelib.compiled_shadow_atlas(cfgc)
-        atlas = _retry(lambda: jax.block_until_ready(afn(scene, lights)),
+        atlas = _retry(lambda: jax.block_until_ready(afn(scene, lights)[0]),
                        label="shadow atlas")
         try:
             n_atlas = 8
@@ -171,7 +176,7 @@ def time_engine(eng, trace_dir: str = "", reps: int = REPS,
             @jax.jit
             def aloop(scene, lights):
                 def step(c, _):
-                    a = framelib.render_shadow_atlas(scene, lights, cfgc)
+                    a, _ovf = framelib.render_shadow_atlas(scene, lights, cfgc)
                     return c + 1e-30 * a[0, 0, 0, 0], a[0, 0, 0, 0]
                 _, outs = jax.lax.scan(step, jnp.float32(0), None,
                                        length=n_atlas)

@@ -1,0 +1,141 @@
+"""Block-compacted texture sampling (ops/compact.py): bit-exactness with
+the dense path, overflow accounting, and frame-level equivalence."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from tinyrenderer_tpu.ops import compact, sampling
+
+F32 = np.float32
+
+
+def _pool():
+    from tinyrenderer_tpu.assets import textures as texlib
+    rng = np.random.default_rng(11)
+    base = rng.random((32, 32, 9)).astype(F32)
+    chain = texlib.build_mip_chain(base, 3)
+    return sampling.pack_texture_pool([m[None] for m in chain])
+
+
+def test_plan_blocks_selection_and_inverse():
+    need = jnp.asarray([0, 1, 0, 1, 1, 0, 0, 1], bool)
+    plan = compact.plan_blocks(need, capacity=3)
+    assert int(plan.needed) == 4
+    np.testing.assert_array_equal(np.asarray(plan.slots), [1, 3, 4])
+    inv = np.asarray(plan.inv)
+    np.testing.assert_array_equal(inv, [-1, 0, -1, 1, 2, -1, -1, -1])
+    # enough capacity: all selected, padded with -1
+    plan = compact.plan_blocks(need, capacity=6)
+    np.testing.assert_array_equal(np.asarray(plan.slots),
+                                  [1, 3, 4, 7, -1, -1])
+    assert np.asarray(plan.inv)[7] == 3
+
+
+def test_blocks_round_trip():
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.random((16, 128, 3)).astype(F32))
+    b = compact.to_blocks(img, 8, 64)
+    assert b.shape == (4, 8, 64, 3)
+    np.testing.assert_array_equal(
+        np.asarray(compact.from_blocks(b, 16, 128)), np.asarray(img))
+    # block 1 is rows 0-7, cols 64-127
+    np.testing.assert_array_equal(np.asarray(b[1]), np.asarray(img[:8, 64:]))
+
+
+def test_compacted_sampling_matches_dense():
+    pool = _pool()
+    rng = np.random.default_rng(5)
+    H, W = 16, 128
+    uv = jnp.asarray(rng.random((H, W, 2)).astype(F32))
+    rec = jnp.zeros((H, W), jnp.int32)
+    lvl = jnp.asarray((rng.random((H, W)) * 2).astype(F32))
+    # textured only in the left quarter of the frame
+    need = jnp.zeros((H, W), bool).at[:, :32].set(True)
+    for filt in ("dithered", "trilinear", "stochastic"):
+        dense = sampling.sample_pool_mip(pool, rec, uv, lvl, filter=filt)
+        out, needed = compact.sample_pool_compacted(
+            pool, rec, uv, lvl, need, capacity=2, filter=filt)
+        # blocks are (8, 128)-wide here -> need covers both blocks;
+        # pick dims explicitly instead: use a 64-wide grid
+        assert int(needed) == 2
+        np.testing.assert_allclose(np.asarray(out)[np.asarray(need)],
+                                   np.asarray(dense)[np.asarray(need)],
+                                   rtol=1e-6, atol=1e-6)
+
+
+def test_compacted_sampling_overflow_zeroes_unselected():
+    pool = _pool()
+    rng = np.random.default_rng(6)
+    H, W = 32, 128
+    uv = jnp.asarray(rng.random((H, W, 2)).astype(F32))
+    rec = jnp.zeros((H, W), jnp.int32)
+    lvl = jnp.zeros((H, W), F32)
+    need = jnp.ones((H, W), bool)          # all 4 (8,128) blocks needed
+    out, needed = compact.sample_pool_compacted(
+        pool, rec, uv, lvl, need, capacity=2, filter="dithered")
+    assert int(needed) == 4                 # monitor reports true demand
+    a = np.asarray(out)
+    assert (a[:16] != 0).any()              # first 2 blocks sampled
+    np.testing.assert_array_equal(a[16:], 0.0)  # overflowed blocks zeroed
+
+
+def test_frame_compaction_matches_dense():
+    """Full-frame equivalence: compacted vs dense configs render identical
+    images (texture_scale 1 and 2) on the CPU backend."""
+    from dataclasses import replace
+
+    from tinyrenderer_tpu.config import RenderConfig
+    from tinyrenderer_tpu.render.engine import Engine
+    from tinyrenderer_tpu.scene import demo
+
+    base = RenderConfig(
+        width=256, height=128, tile_h=16, tile_w=128, bin_capacity=160,
+        shadow_size=128, shadow_tile=128, shadow_bin_capacity=128,
+        env_size=32, irradiance_size=8, texture_size=64, mip_levels=4,
+        max_vertices=8192, max_triangles=4096, max_instances=64,
+        use_pallas=False, enable_ssr=False,
+        tex_block_capacity=0, fwd_tile_capacity=0)
+    world = demo.build_demo_world(n_cubes=9, textured_every=2)
+    cam = demo.build_demo_camera(base.width, base.height)
+
+    def render(cfg, ts):
+        eng = Engine.from_world(world, camera=cam, cfg=replace(
+            cfg, texture_scale=ts))
+        return eng.run_frame(0.0)
+
+    for ts in (1, 2):
+        dense = render(base, ts)
+        # the dense path reports true block demand; a capacity that just
+        # fits must reproduce the dense image bit-exactly
+        needed = int(dense.tex_overflow[0])
+        fwd_needed = int(dense.tex_overflow[1])
+        assert needed > 0  # the scene genuinely textures some blocks
+        assert fwd_needed > 0  # the light billboard occupies a tile
+        compacted = render(replace(base, tex_block_capacity=needed,
+                                   fwd_tile_capacity=max(fwd_needed, 1)), ts)
+        np.testing.assert_array_equal(np.asarray(dense.sdr),
+                                      np.asarray(compacted.sdr))
+        assert int(compacted.tex_overflow[0]) == needed
+
+
+def test_tex_block_overflow_grows_capacity():
+    from dataclasses import replace
+
+    from tinyrenderer_tpu.config import RenderConfig
+    from tinyrenderer_tpu.render.engine import Engine
+    from tinyrenderer_tpu.scene import demo
+
+    cfg = RenderConfig(
+        width=256, height=128, tile_h=16, tile_w=128, bin_capacity=256,
+        shadow_size=64, shadow_tile=64, shadow_bin_capacity=256,
+        env_size=16, irradiance_size=8, texture_size=32, mip_levels=3,
+        max_vertices=8192, max_triangles=4096, max_instances=128,
+        use_pallas=False, enable_ssr=False, enable_shadows=False,
+        tex_block_capacity=1, fwd_tile_capacity=4)
+    eng = Engine.from_world(demo.build_demo_world(n_cubes=16,
+                                                  textured_every=1),
+                            camera=demo.build_demo_camera(256, 128), cfg=cfg)
+    assert eng.cfg.tex_block_capacity == 1
+    for _ in range(4):
+        eng.run_frame(0.0)
+    assert eng.cfg.tex_block_capacity > 1

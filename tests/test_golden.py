@@ -33,6 +33,13 @@ def _render(scene_name: str) -> np.ndarray:
         eng = Engine.from_world(demo.build_demo_world(n_cubes=9),
                                 camera=demo.build_demo_camera(CFG.width, CFG.height),
                                 cfg=CFG)
+    elif scene_name == "demo_textured":
+        # exercises the textured-material path (block-compacted sampling,
+        # default texture slots) end to end
+        eng = Engine.from_world(demo.build_demo_world(n_cubes=9,
+                                                      textured_every=2),
+                                camera=demo.build_demo_camera(CFG.width, CFG.height),
+                                cfg=CFG)
     elif scene_name == "test_lvl":
         path = "/root/reference/levels/test.lvl"
         if not os.path.exists(path):
@@ -61,6 +68,6 @@ def _compare_or_regen(name: str, img: np.ndarray, request) -> None:
         f"(max diff {d.max()})")
 
 
-@pytest.mark.parametrize("scene", ["demo", "test_lvl"])
+@pytest.mark.parametrize("scene", ["demo", "demo_textured", "test_lvl"])
 def test_golden(scene, request):
     _compare_or_regen(scene, _render(scene), request)

@@ -205,6 +205,47 @@ def test_texture_filter_modes_agree():
     assert eq_lo.any() and eq_hi.any()  # the dither actually mixes levels
 
 
+def test_stochastic_filter_statistics():
+    """The 1-gather stochastic-bilinear filter must be exact on constant
+    images, pick only actual texel values, and average to the bilinear
+    result over the Bayer neighborhood."""
+    from tinyrenderer_tpu.assets import textures as texlib
+    # constant image: any corner choice returns the constant
+    const = np.full((16, 16, 4), 0.625, F32)
+    chain = texlib.build_mip_chain(const, 2)
+    pool = sampling.pack_texture_pool([m[None] for m in chain])
+    rng = np.random.default_rng(3)
+    uv = jnp.asarray(rng.random((8, 8, 2)).astype(F32))
+    tex = jnp.zeros((8, 8), jnp.int32)
+    s = sampling.sample_pool_mip(pool, tex, uv, jnp.zeros((8, 8)),
+                                 filter="stochastic")
+    np.testing.assert_allclose(np.asarray(s), 0.625, atol=1e-6)
+
+    # random image: every stochastic sample is one of the 4 bilinear corners
+    base = rng.random((16, 16, 4)).astype(F32)
+    chain = texlib.build_mip_chain(base, 2)
+    pool = sampling.pack_texture_pool([m[None] for m in chain])
+    texels = set(np.round(base.reshape(-1, 4)[:, 0], 5).tolist())
+    s = np.asarray(sampling.sample_pool_mip(pool, tex, uv, jnp.zeros((8, 8)),
+                                            filter="stochastic"))
+    for v in np.round(s[..., 0].reshape(-1), 5).tolist():
+        assert v in texels
+
+    # smooth ramp, identical uv everywhere: the Bayer neighborhood average
+    # approaches the bilinear value (ordered dither averages the blend)
+    ramp = np.broadcast_to(np.linspace(0, 1, 16, dtype=F32)[None, :, None],
+                           (16, 16, 4)).copy()
+    chain = texlib.build_mip_chain(ramp, 1)
+    pool = sampling.pack_texture_pool([m[None] for m in chain])
+    uv_c = jnp.broadcast_to(jnp.asarray([0.53, 0.47], F32), (8, 8, 2))
+    bil = sampling.sample_pool_mip(pool, tex, uv_c, jnp.zeros((8, 8)),
+                                   filter="bilinear")
+    sto = sampling.sample_pool_mip(pool, tex, uv_c, jnp.zeros((8, 8)),
+                                   filter="stochastic")
+    np.testing.assert_allclose(np.asarray(sto).mean(axis=(0, 1)),
+                               np.asarray(bil).mean(axis=(0, 1)), atol=0.02)
+
+
 def test_windowed_pool_matches_linear():
     """Windowed (1-gather) bilinear must equal the 4-gather linear path."""
     from tinyrenderer_tpu.assets import textures as texlib
@@ -219,6 +260,26 @@ def test_windowed_pool_matches_linear():
         lf = jnp.full((8, 8), lvl)
         a = sampling.sample_pool_mip(lin, tex, uv, lf, filter="trilinear")
         b = sampling.sample_pool_mip(win, tex, uv, lf, filter="trilinear")
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6)
+
+
+def test_morton_pool_matches_linear():
+    """Z-curve texel layout must be sampling-transparent (same values as
+    row-major) for every filter mode."""
+    from tinyrenderer_tpu.assets import textures as texlib
+    rng = np.random.default_rng(9)
+    base = rng.random((32, 32, 9)).astype(F32)
+    chain = texlib.build_mip_chain(base, 3)
+    lin = sampling.pack_texture_pool([m[None] for m in chain], u8=True)
+    mor = sampling.pack_texture_pool([m[None] for m in chain], u8=True,
+                                     morton=True)
+    uv = jnp.asarray(rng.random((8, 8, 2)).astype(F32))
+    tex = jnp.zeros((8, 8), jnp.int32)
+    for filt in ("trilinear", "dithered", "stochastic", "bilinear"):
+        lf = jnp.asarray((rng.random((8, 8)) * 2).astype(F32))
+        a = sampling.sample_pool_mip(lin, tex, uv, lf, filter=filt)
+        b = sampling.sample_pool_mip(mor, tex, uv, lf, filter=filt)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-6, atol=1e-6)
 

@@ -16,6 +16,36 @@ SMALL_BINS = RenderConfig(
 )
 
 
+SMALL_SHADOW_BINS = RenderConfig(
+    width=128, height=64, tile_h=16, tile_w=128, bin_capacity=256,
+    shadow_size=64, shadow_tile=64, shadow_bin_capacity=8,
+    env_size=16, irradiance_size=8, texture_size=32, mip_levels=3,
+    max_vertices=8192, max_triangles=4096, max_instances=128,
+    use_pallas=False, enable_ssr=False, enable_shadows=True,
+)
+
+
+def test_shadow_bin_overflow_grows_capacity():
+    # 40 shadow-casting cubes over a 64px single-tile shadow view with
+    # shadow_bin_capacity=8 must overflow and grow (ADVICE r1: shadow
+    # casters must not be silently dropped)
+    eng = Engine.from_world(demo.build_demo_world(n_cubes=40),
+                            camera=demo.build_demo_camera(128, 64),
+                            cfg=SMALL_SHADOW_BINS)
+    assert eng.cfg.shadow_bin_capacity == 8
+    toast_seen = False
+    for _ in range(4):
+        eng.run_frame(0.0)
+        toast_seen = toast_seen or any(
+            "Shadow bin overflow" in t.message for t in eng.notifier.active())
+    assert eng.cfg.shadow_bin_capacity > 8
+    assert toast_seen
+    # the grown capacity triggers an atlas re-render; settle and verify
+    for _ in range(4):
+        out = eng.run_frame(0.0)
+    assert int(out.shadow_overflow) <= eng.cfg.shadow_bin_capacity
+
+
 def test_bin_overflow_grows_capacity():
     # 40 overlapping cubes in a 128px frame with bin_capacity=8 must overflow
     eng = Engine.from_world(demo.build_demo_world(n_cubes=40),

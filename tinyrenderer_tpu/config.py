@@ -117,13 +117,43 @@ class RenderConfig:
     # record on a half-res grid and bilinearly upsample (4x fewer texture
     # gathers, softens texture detail — a speed preset option).
     texture_scale: int = 1
+    # Block-compacted texture sampling (ops/compact.py): material gathers
+    # run only on the screen blocks that contain textured pixels, selected
+    # into a static work list of this many blocks (grow-on-overflow like
+    # the raster bins; 0 = always dense). Flat-material and background
+    # blocks issue zero gathers — the TPU analog of the reference's
+    # flat-material shader variant never issuing texture instructions.
+    tex_block_capacity: int = 512
+    # Tile-compacted forward overlay (ops/resolve.py forward_overlay_tiles):
+    # the overlay's one-hot select, plane evaluation and texture taps run
+    # only on the raster tiles that bin a forward triangle. Gizmos and
+    # light billboards cover a handful of tiles; dense-resolving them cost
+    # ~36 ms of a 131 ms 1080p frame. 0 = process every tile (same math).
+    fwd_tile_capacity: int = 16
 
     def performance_preset(self) -> "RenderConfig":
-        """Gather-minimizing settings for speed-first rendering: bilinear
-        filtering, half-rate texturing, quarter-rate shadow lookups,
-        eighth-rate sky."""
-        return replace(self, texture_filter="bilinear", texture_scale=2,
+        """Gather-minimizing settings for speed-first rendering:
+        stochastic-bilinear filtering (1 gather/tap), quarter-rate shadow
+        lookups, eighth-rate sky. texture_scale stays 1: with block
+        compaction the strided-grid resize overhead exceeds what half-rate
+        texturing saves (measured 48 vs 41 ms at 1080p)."""
+        return replace(self, texture_filter="stochastic",
                        shadow_lookup_scale=4, sky_scale=8)
+
+    def reference_parity(self) -> "RenderConfig":
+        """Settings that reproduce the reference's sampling exactly:
+        trilinear mip filtering (src/texture.rs:264-266 mipmap_filter:
+        Linear), full-rate shadow/sky/texture lookups, and a 1024-squared
+        texture pool with a full mip chain (the native-texture-size analog,
+        src/texture.rs:98-252 — material textures upsample losslessly into
+        the pool instead of downsampling to 256). Texel storage stays
+        uint8, which IS the reference's RGBA8 format. The gather-saving
+        approximations of the default config (dithered trilinear, half-rate
+        shadow grid, quarter-rate sky) are all off; block compaction stays
+        on because it is bit-exact."""
+        return replace(self, texture_filter="trilinear",
+                       shadow_lookup_scale=1, sky_scale=1, texture_scale=1,
+                       texture_size=1024, mip_levels=10)
 
     @property
     def tiles_y(self) -> int:

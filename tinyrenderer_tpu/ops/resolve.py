@@ -215,21 +215,21 @@ class ResolvedAttrs(NamedTuple):
     valid: jax.Array       # (H, W) bool
 
 
-def resolve_attrs_from_sel(tri_id: jax.Array, sel: jax.Array) -> ResolvedAttrs:
-    """Evaluate the selected per-pixel table rows -> interpolated attributes
-    (the shared epilogue of the two-pass and fused-kernel resolve paths)."""
-    H, W = tri_id.shape
-    px = (jnp.arange(W, dtype=F32) + 0.5)[None, :, None]
-    py = (jnp.arange(H, dtype=F32) + 0.5)[:, None, None]
+def resolve_attrs_from_sel_at(tri_id: jax.Array, sel: jax.Array,
+                              px: jax.Array, py: jax.Array) -> ResolvedAttrs:
+    """Evaluate selected table rows at explicit pixel centers.
 
+    tri_id: (...); sel: (..., D); px/py: broadcastable to (..., 1) pixel
+    centers — the standard full-screen grid, or per-slot global coordinates
+    for tile-compacted domains."""
     def plane_eval(block):  # (..., 3k) -> (..., k)
         k = block.shape[-1] // 3
         b = block.reshape(*block.shape[:-1], k, 3)
         return b[..., 0] * px + b[..., 1] * py + b[..., 2]
 
-    denom = plane_eval(sel[..., 0:3])                        # (H, W, 1)
+    denom = plane_eval(sel[..., 0:3])                        # (..., 1)
     denom = jnp.where(jnp.abs(denom) > 1e-20, denom, 1.0)
-    a = plane_eval(sel[..., 3:_PLANES]) / denom              # (H, W, 14)
+    a = plane_eval(sel[..., 3:_PLANES]) / denom              # (..., 14)
 
     valid = tri_id >= 0
     return ResolvedAttrs(
@@ -243,6 +243,15 @@ def resolve_attrs_from_sel(tri_id: jax.Array, sel: jax.Array) -> ResolvedAttrs:
         object_id=jnp.where(valid, jnp.round(sel[..., CONST_OBJ]).astype(I32), 0),
         valid=valid,
     )
+
+
+def resolve_attrs_from_sel(tri_id: jax.Array, sel: jax.Array) -> ResolvedAttrs:
+    """Evaluate the selected per-pixel table rows -> interpolated attributes
+    (the shared epilogue of the two-pass and fused-kernel resolve paths)."""
+    H, W = tri_id.shape
+    px = (jnp.arange(W, dtype=F32) + 0.5)[None, :, None]
+    py = (jnp.arange(H, dtype=F32) + 0.5)[:, None, None]
+    return resolve_attrs_from_sel_at(tri_id, sel, px, py)
 
 
 def resolve_attrs_onehot(tri_id: jax.Array, setup, bin_ids: jax.Array,
@@ -264,12 +273,21 @@ def resolve_gbuffer_from_attrs(r: "ResolvedAttrs", tri_id: jax.Array,
                                depth: jax.Array,
                                pool: sampling.TexturePoolGPU,
                                texture_filter: str = "dithered",
-                               texture_scale: int = 1) -> GBuffer:
+                               texture_scale: int = 1,
+                               tex_block_capacity: int = 0
+                               ) -> tuple[GBuffer, jax.Array]:
     """Material evaluation + GBuffer assembly from resolved attributes.
 
     ``pool`` is the composite material-record pool: each texel carries
     [albedo rgba | normal rgb | rough | metal], so the whole material reads
-    in ONE mip-filtered sample."""
+    in ONE mip-filtered sample. ``tex_block_capacity`` > 0 compacts the
+    sample onto the screen blocks that contain textured pixels (see
+    ops/compact.py) — flat-material and background blocks issue no gathers.
+
+    Returns (GBuffer, () i32 needed-block count — the compaction capacity
+    monitor, 0 when dense)."""
+    from . import compact
+
     world, uv = r.world, r.uv
     n_geom, tangent, bitangent = r.normal, r.tangent, r.bitangent
     flat, object_id, valid = r.flat, r.object_id, r.valid
@@ -278,15 +296,22 @@ def resolve_gbuffer_from_attrs(r: "ResolvedAttrs", tri_id: jax.Array,
     if texture_scale > 1:
         s = texture_scale
         uv_lo, rec_lo = uv[::s, ::s], r.record[::s, ::s]
+        # dilate so the full-res bilinear upsample of a textured pixel never
+        # reads a zeroed (unselected) strided neighbor
+        need_lo = compact.dilate_mask(
+            compact.to_blocks((use_tex & valid), s, s).any(axis=(1, 2))
+            .reshape(uv.shape[0] // s, uv.shape[1] // s))
         level = sampling.mip_level_from_uv(uv_lo, pool.level_sizes[0])
-        rec = sampling.sample_pool_mip(pool, rec_lo, uv_lo, level,
-                                       filter=texture_filter)
+        rec, tex_needed = compact.sample_pool_compacted(
+            pool, rec_lo, uv_lo, level, need_lo, tex_block_capacity,
+            filter=texture_filter)
         rec = jax.image.resize(rec, (*uv.shape[:2], rec.shape[-1]),
                                method="bilinear")               # (H, W, 9)
     else:
         level = sampling.mip_level_from_uv(uv, pool.level_sizes[0])
-        rec = sampling.sample_pool_mip(pool, r.record, uv, level,
-                                       filter=texture_filter)   # (H, W, 9)
+        rec, tex_needed = compact.sample_pool_compacted(
+            pool, r.record, uv, level, use_tex & valid, tex_block_capacity,
+            filter=texture_filter)                              # (H, W, 9)
     albedo_t = rec[..., 0:3]
     normal_t = rec[..., 4:7]
     rough_t = rec[..., 7]
@@ -311,7 +336,93 @@ def resolve_gbuffer_from_attrs(r: "ResolvedAttrs", tri_id: jax.Array,
         depth=depth,
         object_id=object_id,
         mask=valid,
-    )
+    ), tex_needed
+
+
+def forward_overlay_tiles(tri_id: jax.Array, bins, table: jax.Array,
+                          pool: sampling.TexturePoolGPU,
+                          tile_h: int, tile_w: int, capacity: int,
+                          texture_filter: str = "dithered", fs: int = 2
+                          ) -> tuple[jax.Array, jax.Array, jax.Array,
+                                     jax.Array, jax.Array]:
+    """Tile-compacted forward-overlay resolve (gizmos / light billboards,
+    src/forward_renderer.rs + forward.wgsl).
+
+    Overlays cover a handful of raster tiles, but a dense resolve pays the
+    full-screen one-hot select (a (pixels, K) tensor), plane evaluation and
+    texture taps — measured ~36 ms of a 131 ms 1080p frame on test.lvl.
+    Here everything per-pixel runs only on the ≤``capacity`` tiles that
+    actually bin a forward triangle (ops/compact.py top-K selection; 0 or
+    >= the tile count processes every tile — same math, so the dense
+    setting is bit-exact with the compacted one).
+
+    The mip level is computed tile-locally (one-sided differences at tile
+    borders), and sprites sample at 1/``fs`` rate with a per-tile bilinear
+    upsample — their alpha edges are soft.
+
+    Returns (f_color (H, W, 3), f_alpha (H, W), object_id (H, W) i32,
+    valid (H, W) bool, needed () i32 occupied-tile monitor).
+    """
+    from . import compact
+
+    H, W = tri_id.shape
+    ty, tx, K = bins.ids.shape
+    T = table.shape[0]
+    n_tiles = ty * tx
+    P = tile_h * tile_w
+    cap = capacity if 0 < capacity < n_tiles else n_tiles
+
+    plan = compact.plan_blocks((bins.counts > 0).reshape(n_tiles), cap)
+    # compacted winner ids + bin lists
+    tid_c = compact.gather_blocks(
+        compact.to_blocks(tri_id, tile_h, tile_w), plan)     # (Kt, th, tw)
+    tid_flat = tid_c.reshape(cap, P)
+    ids_c = compact.gather_blocks(
+        bins.ids.reshape(n_tiles, K), plan)                  # (Kt, K)
+    # empty slots gathered id 0 rows; force no-match
+    ids_c = jnp.where((plan.slots >= 0)[:, None], ids_c, -1)
+
+    onehot = (tid_flat[..., None] == ids_c[:, None, :]) \
+        & (ids_c >= 0)[:, None, :]
+    rows_c = jnp.take(table, jnp.clip(ids_c, 0, T - 1), axis=0)
+    rows_c = jnp.where((ids_c >= 0)[..., None], rows_c, 0.0)
+    sel = jnp.einsum("tpk,tkd->tpd", onehot.astype(jnp.bfloat16), rows_c,
+                     preferred_element_type=F32)             # (Kt, P, D)
+
+    # global pixel centers per compacted tile
+    slot = jnp.maximum(plan.slots, 0)
+    ox = ((slot % tx) * tile_w).astype(F32)                  # (Kt,)
+    oy = ((slot // tx) * tile_h).astype(F32)
+    lx = (jnp.arange(P, dtype=I32) % tile_w).astype(F32) + 0.5
+    ly = (jnp.arange(P, dtype=I32) // tile_w).astype(F32) + 0.5
+    px = (ox[:, None] + lx[None, :])[..., None]              # (Kt, P, 1)
+    py = (oy[:, None] + ly[None, :])[..., None]
+    r = resolve_attrs_from_sel_at(tid_flat, sel, px, py)
+
+    use_tex = r.flat[..., 5] > 0.5
+    uv_t = r.uv.reshape(cap, tile_h, tile_w, 2)[:, ::fs, ::fs]
+    rec_t = r.record.reshape(cap, tile_h, tile_w)[:, ::fs, ::fs]
+    lvl = sampling.mip_level_from_uv(uv_t, pool.level_sizes[0])
+    tex = sampling.sample_pool_mip(pool, rec_t, uv_t, lvl,
+                                   filter=texture_filter)    # (Kt, h, w, C)
+    tex = jax.image.resize(tex, (cap, tile_h, tile_w, tex.shape[-1]),
+                           method="bilinear").reshape(cap, P, -1)
+
+    valid_c = r.valid
+    color_c = jnp.where(use_tex[..., None], tex[..., :3], r.flat[..., 0:3])
+    alpha_c = jnp.where(use_tex, tex[..., 3], 1.0) * valid_c.astype(F32)
+
+    def scatter(x, ch):
+        x = x.reshape(cap, tile_h, tile_w, *((ch,) if ch else ()))
+        return compact.from_blocks(
+            compact.scatter_blocks(x, plan, fill=jnp.zeros((), x.dtype)),
+            H, W)
+
+    f_color = scatter(color_c, 3)
+    f_alpha = scatter(alpha_c, 0)
+    object_id = scatter(jnp.where(valid_c, r.object_id, 0), 0)
+    valid = scatter(valid_c, 0)
+    return f_color, f_alpha, object_id, valid, plan.needed
 
 
 def resolve_gbuffer_onehot(tri_id: jax.Array, depth: jax.Array, setup,
@@ -322,13 +433,16 @@ def resolve_gbuffer_onehot(tri_id: jax.Array, depth: jax.Array, setup,
                            pool: sampling.TexturePoolGPU,
                            tile_h: int, tile_w: int,
                            texture_filter: str = "dithered",
-                           texture_scale: int = 1) -> GBuffer:
+                           texture_scale: int = 1,
+                           tex_block_capacity: int = 0
+                           ) -> tuple[GBuffer, jax.Array]:
     """Two-pass gather-free GBuffer resolve (select pass + epilogue)."""
     r = resolve_attrs_onehot(tri_id, setup, bin_ids, tri_vidx, tri_instance,
                              attrs, inst_object_id, inst_material,
                              mat_record, mat_flat, tile_h, tile_w)
     return resolve_gbuffer_from_attrs(r, tri_id, depth, pool,
-                                      texture_filter, texture_scale)
+                                      texture_filter, texture_scale,
+                                      tex_block_capacity)
 
 
 def _safe_normalize(v: jax.Array) -> jax.Array:

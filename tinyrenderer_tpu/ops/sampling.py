@@ -38,10 +38,15 @@ class TexturePoolGPU:
     ONE gather instead of four — TPU gathers pay per ROW (~4-13 ms per
     full-res tap), so row width is nearly free while tap count is the
     dominant frame cost.
+
+    When ``morton`` is True each level's texels are stored in Morton
+    (Z-curve) order instead of row-major, so screen-coherent uv streams
+    (floors, walls) hit nearby pool rows in both u and v — sequential-ish
+    gathers measured ~5x faster than random on a v5e.
     """
 
     def __init__(self, texels, level_offsets, level_sizes, texels_per_tex,
-                 windowed=False, base_channels=4, u8=False):
+                 windowed=False, base_channels=4, u8=False, morton=False):
         self.texels = texels              # (num_tex * texels_per_tex, C|4C)
         self.level_offsets = tuple(level_offsets)
         self.level_sizes = tuple(level_sizes)
@@ -49,6 +54,7 @@ class TexturePoolGPU:
         self.windowed = bool(windowed)
         self.base_channels = int(base_channels)
         self.u8 = bool(u8)
+        self.morton = bool(morton)
 
     def _decode(self, rows):
         """u8-quantized pools decode to [0,1] floats after the gather."""
@@ -56,14 +62,46 @@ class TexturePoolGPU:
             return rows.astype(jnp.float32) * (1.0 / 255.0)
         return rows
 
+    def _texel_index(self, yi, xi, sizes):
+        """In-level texel index under the pool's layout."""
+        if self.morton:
+            return _morton2(yi, xi)
+        return yi * sizes + xi
+
     def tree_flatten(self):
         return (self.texels,), (self.level_offsets, self.level_sizes,
                                 self.texels_per_tex, self.windowed,
-                                self.base_channels, self.u8)
+                                self.base_channels, self.u8, self.morton)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(children[0], *aux)
+
+
+def _part1by1(v):
+    """Spread the low 16 bits of v to even bit positions (int32 jnp)."""
+    v = v & 0xFFFF
+    v = (v | (v << 8)) & 0x00FF00FF
+    v = (v | (v << 4)) & 0x0F0F0F0F
+    v = (v | (v << 2)) & 0x33333333
+    v = (v | (v << 1)) & 0x55555555
+    return v
+
+
+def _morton2(y, x):
+    """Interleave (y, x) -> Z-curve index (valid for power-of-two sizes)."""
+    return (_part1by1(y) << 1) | _part1by1(x)
+
+
+def _morton2_np(y: np.ndarray, x: np.ndarray) -> np.ndarray:
+    def p(v):
+        v = v.astype(np.int64) & 0xFFFF
+        v = (v | (v << 8)) & 0x00FF00FF
+        v = (v | (v << 4)) & 0x0F0F0F0F
+        v = (v | (v << 2)) & 0x33333333
+        v = (v | (v << 1)) & 0x55555555
+        return v
+    return (p(y) << 1) | p(x)
 
 
 def window_rows(img: np.ndarray, wrap: bool = True) -> np.ndarray:
@@ -82,18 +120,23 @@ def window_rows(img: np.ndarray, wrap: bool = True) -> np.ndarray:
 def pack_texture_pool(mips: list[np.ndarray],
                       windowed: bool = False,
                       wrap: bool = True,
-                      u8: bool = False) -> TexturePoolGPU:
+                      u8: bool = False,
+                      morton: bool = False) -> TexturePoolGPU:
     """Flatten host mip arrays [(N, s, s, C) per level] into one pool.
 
     ``u8`` stores texels as uint8 (values must be in [0,1]) — matches the
     reference's RGBA8 texture storage AND gathers ~3x faster than f32 rows
-    (9B vs 36B per row)."""
+    (9B vs 36B per row). ``morton`` stores each level in Z-curve order
+    (power-of-two sizes only) for 2D gather locality."""
     n = mips[0].shape[0]
     base_channels = mips[0].shape[-1]
     if windowed:
         mips = [window_rows(m, wrap) for m in mips]
     channels = mips[0].shape[-1]
     level_sizes = tuple(int(m.shape[1]) for m in mips)
+    if morton:
+        assert all(s & (s - 1) == 0 for s in level_sizes), \
+            "morton layout needs power-of-two level sizes"
     offsets, off = [], 0
     for s in level_sizes:
         offsets.append(off)
@@ -103,13 +146,20 @@ def pack_texture_pool(mips: list[np.ndarray],
     for l, m in enumerate(mips):
         s = level_sizes[l]
         region = m.reshape(n, s * s, channels)
+        if morton:
+            ys, xs = np.mgrid[0:s, 0:s]
+            z = _morton2_np(ys, xs).reshape(s * s)
+            reordered = np.empty_like(region)
+            reordered[:, z] = region           # row-major texel -> Z slot
+            region = reordered
         for_all = np.arange(n) * texels_per_tex + offsets[l]
         for t in range(n):
             flat[for_all[t]:for_all[t] + s * s] = region[t]
     if u8:
         flat = np.clip(flat * 255.0 + 0.5, 0, 255).astype(np.uint8)
     return TexturePoolGPU(jnp.asarray(flat), tuple(offsets), level_sizes,
-                          texels_per_tex, windowed, base_channels, u8)
+                          texels_per_tex, windowed, base_channels, u8,
+                          morton)
 
 
 def _gather_texel(pool: TexturePoolGPU, tex: jax.Array, level: int,
@@ -117,7 +167,8 @@ def _gather_texel(pool: TexturePoolGPU, tex: jax.Array, level: int,
     s = pool.level_sizes[level]
     ix = jnp.clip(ix, 0, s - 1)
     iy = jnp.clip(iy, 0, s - 1)
-    idx = tex * pool.texels_per_tex + pool.level_offsets[level] + iy * s + ix
+    idx = (tex * pool.texels_per_tex + pool.level_offsets[level]
+           + pool._texel_index(iy, ix, s))
     return jnp.take(pool.texels, idx, axis=0)
 
 
@@ -202,8 +253,8 @@ def _sample_bilinear_dynamic_level(pool: TexturePoolGPU, tex: jax.Array,
         # one gather fetches all 4 bilinear corners (window layout)
         x0c = jnp.clip(x0i, 0, sizes - 1)
         y0c = jnp.clip(y0i, 0, sizes - 1)
-        row = pool._decode(jnp.take(pool.texels, base + y0c * sizes + x0c,
-                                    axis=0))
+        row = pool._decode(jnp.take(
+            pool.texels, base + pool._texel_index(y0c, x0c, sizes), axis=0))
         C = pool.base_channels
         c00 = row[..., 0:C]
         c10 = row[..., C:2 * C]
@@ -215,11 +266,73 @@ def _sample_bilinear_dynamic_level(pool: TexturePoolGPU, tex: jax.Array,
     def texel(xi, yi):
         xi = jnp.clip(xi, 0, sizes - 1)
         yi = jnp.clip(yi, 0, sizes - 1)
-        return pool._decode(jnp.take(pool.texels, base + yi * sizes + xi,
-                                     axis=0))
+        return pool._decode(jnp.take(
+            pool.texels, base + pool._texel_index(yi, xi, sizes), axis=0))
 
     return ((texel(x0i, y0i) * (1 - fx) + texel(x1i, y0i) * fx) * (1 - fy)
             + (texel(x0i, y1i) * (1 - fx) + texel(x1i, y1i) * fx) * fy)
+
+
+_BAYER4 = np.array([[0, 8, 2, 10], [12, 4, 14, 6],
+                    [3, 11, 1, 9], [15, 7, 13, 5]], np.float32) / 16.0 \
+    + 1.0 / 32.0
+
+
+def _bayer_threshold(shape2d: tuple, phase: int = 0) -> jax.Array:
+    """(h, w) tiled 4x4 Bayer thresholds in (0, 1). ``phase`` rotates the
+    pattern so independent stochastic decisions (mip level, u, v) decorrelate
+    instead of reusing one threshold."""
+    h, w = shape2d
+    bayer = jnp.asarray(np.roll(_BAYER4.reshape(-1), 5 * phase).reshape(4, 4))
+    ty = jnp.arange(h) % 4
+    tx = jnp.arange(w) % 4
+    return bayer[ty[:, None], tx[None, :]]
+
+
+def _sample_stochastic_dynamic_level(pool: TexturePoolGPU, tex: jax.Array,
+                                     uv: jax.Array, level_i: jax.Array,
+                                     wrap: bool) -> jax.Array:
+    """Stochastic-bilinear sample: ONE texel gather per pixel, with the
+    bilinear corner chosen by Bayer-threshold tests on the subtexel
+    fractions (P(x0+1) = fx, P(y0+1) = fy). The ordered dither averages the
+    bilinear blend over the pixel neighborhood — the same trick 'dithered'
+    plays on the mip fraction, applied to the footprint. TPU gathers pay per
+    row, so this is the cheapest possible full-rate tap (1 row vs 4)."""
+    S0 = pool.level_sizes[0]
+    is_pow2_chain = all(
+        pool.level_sizes[i] == S0 >> i and
+        pool.level_offsets[i] == (S0 * S0 - (S0 >> i) ** 2) * 4 // 3
+        for i in range(len(pool.level_sizes)))
+    if is_pow2_chain:
+        sizes = jnp.right_shift(jnp.int32(S0), level_i)
+        offs = (S0 * S0 - sizes * sizes) * jnp.int32(4) // jnp.int32(3)
+    else:
+        sizes = jnp.take(jnp.asarray(pool.level_sizes, I32), level_i)
+        offs = jnp.take(jnp.asarray(pool.level_offsets, I32), level_i)
+    sf = sizes.astype(F32)
+    u = uv[..., 0] * sf - 0.5
+    v = uv[..., 1] * sf - 0.5
+    if wrap:
+        u = jnp.mod(u, sf)
+        v = jnp.mod(v, sf)
+    x0 = jnp.floor(u)
+    y0 = jnp.floor(v)
+    tu = _bayer_threshold(u.shape[-2:], phase=1)
+    tv = _bayer_threshold(v.shape[-2:], phase=2)
+    xi = x0.astype(I32) + ((u - x0) > tu).astype(I32)
+    yi = y0.astype(I32) + ((v - y0) > tv).astype(I32)
+    if wrap:
+        xi = jnp.mod(xi, sizes)
+        yi = jnp.mod(yi, sizes)
+    else:
+        xi = jnp.clip(xi, 0, sizes - 1)
+        yi = jnp.clip(yi, 0, sizes - 1)
+    base = tex * pool.texels_per_tex + offs
+    row = pool._decode(jnp.take(
+        pool.texels, base + pool._texel_index(yi, xi, sizes), axis=0))
+    if pool.windowed:
+        row = row[..., :pool.base_channels]
+    return row
 
 
 def sample_pool_mip(pool: TexturePoolGPU, tex: jax.Array, uv: jax.Array,
@@ -235,6 +348,8 @@ def sample_pool_mip(pool: TexturePoolGPU, tex: jax.Array, uv: jax.Array,
       visually equivalent to trilinear (the dither averages the blend over
       the pixel neighborhood); the industry-standard gather-halving trick.
     - 'bilinear': nearest mip level — 4 gathers, visible mip seams.
+    - 'stochastic': dithered mip choice + stochastic-bilinear footprint —
+      1 gather, ordered-dither noise at texel scale (speed preset).
     """
     nlev = len(pool.level_sizes)
     lf = jnp.clip(level_f, 0.0, nlev - 1.0)
@@ -245,17 +360,13 @@ def sample_pool_mip(pool: TexturePoolGPU, tex: jax.Array, uv: jax.Array,
         out_hi = _sample_bilinear_dynamic_level(
             pool, tex, uv, jnp.minimum(lo + 1, nlev - 1), wrap)
         return out_lo * (1.0 - frac) + out_hi * frac
-    if filter == "dithered":
+    if filter in ("dithered", "stochastic"):
         lo = jnp.floor(lf).astype(I32)
         frac = lf - lo.astype(F32)
-        h, w = lf.shape[-2], lf.shape[-1]
-        bayer = jnp.asarray(np.array(
-            [[0, 8, 2, 10], [12, 4, 14, 6],
-             [3, 11, 1, 9], [15, 7, 13, 5]], np.float32) / 16.0 + 1.0 / 32.0)
-        ty = jnp.arange(h) % 4
-        tx = jnp.arange(w) % 4
-        thresh = bayer[ty[:, None], tx[None, :]]
+        thresh = _bayer_threshold((lf.shape[-2], lf.shape[-1]))
         level = jnp.minimum(lo + (frac > thresh).astype(I32), nlev - 1)
+        if filter == "stochastic":
+            return _sample_stochastic_dynamic_level(pool, tex, uv, level, wrap)
         return _sample_bilinear_dynamic_level(pool, tex, uv, level, wrap)
     # 'bilinear'
     level = jnp.clip(jnp.round(lf), 0, nlev - 1).astype(I32)
@@ -264,15 +375,16 @@ def sample_pool_mip(pool: TexturePoolGPU, tex: jax.Array, uv: jax.Array,
 
 def mip_level_from_uv(uv: jax.Array, base_size: int) -> jax.Array:
     """Per-pixel mip level via screen-space finite differences of the
-    resolved UV map (the quad-derivative analog). uv: (H, W, 2).
+    resolved UV map (the quad-derivative analog). uv: (..., H, W, 2) —
+    leading dims (e.g. compacted tile slots) are independent images.
 
     One-sided differences at row/column 0 (a rolled difference would pair
     the first row with the last — wrong for the image edge, and a source of
     band-boundary artifacts in the sharded frame)."""
-    du = uv - jnp.roll(uv, 1, axis=1)
-    dv = uv - jnp.roll(uv, 1, axis=0)
-    du = du.at[:, 0].set(du[:, 1])
-    dv = dv.at[0, :].set(dv[1, :])
+    du = uv - jnp.roll(uv, 1, axis=-2)
+    dv = uv - jnp.roll(uv, 1, axis=-3)
+    du = du.at[..., :, 0, :].set(du[..., :, 1, :])
+    dv = dv.at[..., 0, :, :].set(dv[..., 1, :, :])
     # wrap-aware: texture repeat makes |d| near 1 at seams; take fractional dist
     du = du - jnp.round(du)
     dv = dv - jnp.round(dv)

@@ -30,19 +30,25 @@ I32 = jnp.int32
 @jax.named_scope("shadow_pass")
 def render_shadow_views(clip_per_view: jax.Array, tri_vidx: jax.Array,
                         tri_mask: jax.Array, size: int, tile: int,
-                        bin_capacity: int, use_pallas: bool = True) -> jax.Array:
-    """Rasterize V depth-only views -> (V, S, S) reverse-Z atlas.
+                        bin_capacity: int, use_pallas: bool = True
+                        ) -> tuple[jax.Array, jax.Array]:
+    """Rasterize V depth-only views -> ((V, S, S) reverse-Z atlas, () i32
+    max bin occupancy across views — the shadow capacity monitor, so an
+    overfull shadow tile grows shadow_bin_capacity instead of silently
+    dropping casters).
 
     clip_per_view: (V, Vtx, 4) clip positions per view (static V, unrolled
     at trace time like the reference's per-light pass loop).
     """
     views = []
+    overflow = jnp.int32(0)
     for v in range(clip_per_view.shape[0]):
-        _, depth, _, _bins = raster.rasterize(
+        _, depth, _, bins = raster.rasterize(
             clip_per_view[v], tri_vidx, tri_mask, size, size, tile, tile,
             bin_capacity, cull="front", use_pallas=use_pallas)
         views.append(depth)
-    return jnp.stack(views, axis=0)
+        overflow = jnp.maximum(overflow, bins.overflow)
+    return jnp.stack(views, axis=0), overflow
 
 
 def window_depth_maps(atlas: jax.Array) -> jax.Array:

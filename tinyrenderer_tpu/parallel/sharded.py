@@ -34,7 +34,7 @@ from jax import shard_map
 
 from .. import config
 from ..ops import env as envops
-from ..ops import post, raster, resolve, shading, shadows, sampling
+from ..ops import post, raster, resolve, shading, shadows
 from ..render import frame as framelib
 from ..render.scene_gpu import LightsGPU, SceneGPU
 
@@ -64,6 +64,9 @@ class ShardedFrameOutput(NamedTuple):
     pick_id: jax.Array  # (B, H, W) int32
     depth: jax.Array    # (B, H, W) f32
     hdr: jax.Array      # (B, H, W, 3) f32
+    bin_overflow: jax.Array     # () i32 max bin occupancy across bands
+    shadow_overflow: jax.Array  # () i32 max shadow bin occupancy across views
+    tex_overflow: jax.Array     # (2,) i32 max [main, fwd] textured blocks
 
 
 def _render_band(scene: SceneGPU, pool, lights: LightsGPU, atlas,
@@ -97,11 +100,13 @@ def _render_band(scene: SceneGPU, pool, lights: LightsGPU, atlas,
 
     tri_id, depth, setup, bins = band_raster(scene.tri_vidx,
                                              scene.tri_deferred, "back")
-    g = resolve.resolve_gbuffer_onehot(
+    bin_overflow = bins.overflow
+    g, tex_needed = resolve.resolve_gbuffer_onehot(
         tri_id, depth, setup, bins.ids, scene.tri_vidx, scene.tri_instance,
         attrs, scene.inst_object_id, scene.inst_material,
         scene.mat_record, scene.mat_flat, pool, cfg.tile_h, cfg.tile_w,
-        texture_filter=cfg.texture_filter, texture_scale=cfg.texture_scale)
+        texture_filter=cfg.texture_filter, texture_scale=cfg.texture_scale,
+        tex_block_capacity=cfg.tex_block_capacity)
 
     Pn, D = cfg.num_point_lights, cfg.num_directional_lights
     point_shadow_fn = dir_shadow_fn = None
@@ -138,34 +143,30 @@ def _render_band(scene: SceneGPU, pool, lights: LightsGPU, atlas,
             sky = framelib._upsample_bilinear(sky, (band_h, PW, 3))
         hdr = jnp.where(g.mask[..., None], hdr, sky)
 
-    # forward pass (gizmos/billboards), band-local, own small triangle pool
+    # forward pass (gizmos/billboards), band-local, own small triangle
+    # pool, tile-compacted resolve like the single-chip path
     pick = g.object_id
+    fwd_needed = jnp.int32(0)
     if cfg.has_forward:
         f_id, _, f_setup, f_bins = band_raster(scene.fwd_tri_vidx,
                                                scene.fwd_tri_mask, "none")
-        fr = resolve.resolve_attrs_onehot(
-            f_id, f_setup, f_bins.ids, scene.fwd_tri_vidx,
-            scene.fwd_tri_instance, attrs, scene.inst_object_id,
-            scene.inst_material, scene.mat_record, scene.mat_flat,
-            cfg.tile_h, cfg.tile_w)
-        f_valid = fr.valid
-        fs = max(cfg.texture_scale, 2)
-        lvl = sampling.mip_level_from_uv(fr.uv[::fs, ::fs], pool.level_sizes[0])
-        f_tex = sampling.sample_pool_mip(pool, fr.record[::fs, ::fs],
-                                         fr.uv[::fs, ::fs], lvl,
-                                         filter=cfg.texture_filter)
-        f_tex = framelib._upsample_bilinear(
-            f_tex, (*fr.uv.shape[:2], f_tex.shape[-1]))
-        use_tex = fr.flat[..., 5] > 0.5
-        f_color = jnp.where(use_tex[..., None], f_tex[..., :3],
-                            fr.flat[..., 0:3])
-        f_alpha = jnp.where(use_tex, f_tex[..., 3], 1.0) * f_valid.astype(F32)
+        bin_overflow = jnp.maximum(bin_overflow, f_bins.overflow)
+        f_table = resolve.build_gbuffer_table(
+            f_setup, scene.fwd_tri_vidx, attrs, scene.fwd_tri_instance,
+            scene.inst_object_id, scene.inst_material, scene.mat_record,
+            scene.mat_flat)
+        f_color, f_alpha, f_oid, f_valid, fwd_needed = \
+            resolve.forward_overlay_tiles(
+                f_id, f_bins, f_table, pool, cfg.tile_h, cfg.tile_w,
+                cfg.fwd_tile_capacity, texture_filter=cfg.texture_filter,
+                fs=max(cfg.texture_scale, 2))
         hdr = hdr * (1.0 - f_alpha[..., None]) + f_color * f_alpha[..., None]
-        pick = jnp.where(f_valid & (f_alpha > 0.5), fr.object_id, pick)
+        pick = jnp.where(f_valid & (f_alpha > 0.5), f_oid, pick)
 
     sdr = post.tone_map(hdr, params[framelib.PARAM_TONE_TYPE],
                         params[framelib.PARAM_EXPOSURE])
-    return sdr, pick, depth, hdr
+    return sdr, pick, depth, hdr, bin_overflow, \
+        jnp.stack([tex_needed, fwd_needed])
 
 
 def render_frame_sharded(scene: SceneGPU, pool, lights: LightsGPU,
@@ -195,6 +196,7 @@ def render_frame_sharded(scene: SceneGPU, pool, lights: LightsGPU,
         flat = dp_i * sp + sp_i
 
         atlas = None
+        shadow_ovf = jnp.int32(0)
         if cfg.enable_shadows and n_views > 0:
             # shadow views round-robin over the flat device grid + all_gather
             vp = lights.shadow_viewprojs
@@ -209,7 +211,7 @@ def render_frame_sharded(scene: SceneGPU, pool, lights: LightsGPU,
             wh = jnp.concatenate([world, jnp.ones_like(world[:, :1])], axis=1)
             clip_views = jnp.einsum("vj,sij->svi", wh, my_vp,
                                     preferred_element_type=F32)
-            atlas_local = shadows.render_shadow_views(
+            atlas_local, shadow_ovf = shadows.render_shadow_views(
                 clip_views, scene.tri_vidx, scene.tri_shadow, cfg.shadow_size,
                 cfg.shadow_tile, cfg.shadow_bin_capacity,
                 use_pallas=cfg.use_pallas)
@@ -221,21 +223,30 @@ def render_frame_sharded(scene: SceneGPU, pool, lights: LightsGPU,
         band = functools.partial(_render_band, scene, pool, lights, atlas,
                                  params=params, env=env, y0=y0, cfg=cfg,
                                  band_h=band_h)
-        sdr, pick, depth, hdr = jax.vmap(lambda c: band(c))(cam_local)
-        return sdr, pick, depth, hdr
+        sdr, pick, depth, hdr, bin_ovf, tex_ovf = \
+            jax.vmap(lambda c: band(c))(cam_local)
+        # capacity monitors reduce over the whole mesh (ADVICE r1: the
+        # multi-chip path must not silently drop triangles either)
+        bin_ovf = jax.lax.pmax(jnp.max(bin_ovf), ("dp", "sp"))
+        shadow_ovf = jax.lax.pmax(shadow_ovf, ("dp", "sp"))
+        tex_ovf = jax.lax.pmax(jnp.max(tex_ovf, axis=0), ("dp", "sp"))
+        return sdr, pick, depth, hdr, bin_ovf, shadow_ovf, tex_ovf
 
     spec_rep = P()
     out = shard_map(
         fn, mesh=mesh,
         in_specs=(spec_rep, spec_rep, spec_rep, P("dp"), spec_rep, spec_rep),
-        out_specs=(P("dp", "sp"), P("dp", "sp"), P("dp", "sp"), P("dp", "sp")),
+        out_specs=(P("dp", "sp"), P("dp", "sp"), P("dp", "sp"), P("dp", "sp"),
+                   spec_rep, spec_rep, spec_rep),
         check_vma=False,
     )(scene, pool, lights, camera_raw_batch, params, env)
 
     H, W = cfg.height, cfg.width
-    sdr, pick, depth, hdr = out
+    sdr, pick, depth, hdr, bin_ovf, shadow_ovf, tex_ovf = out
     return ShardedFrameOutput(sdr=sdr[:, :H, :W], pick_id=pick[:, :H, :W],
-                              depth=depth[:, :H, :W], hdr=hdr[:, :H, :W])
+                              depth=depth[:, :H, :W], hdr=hdr[:, :H, :W],
+                              bin_overflow=bin_ovf, shadow_overflow=shadow_ovf,
+                              tex_overflow=tex_ovf)
 
 
 @functools.lru_cache(maxsize=4)

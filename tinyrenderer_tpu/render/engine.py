@@ -284,40 +284,60 @@ class Engine:
                 and self.cfg.num_shadow_views > 0):
             # shadow maps depend only on scene+lights: render once, reuse
             # every frame until the next scene edit
-            self._atlas = framelib.compiled_shadow_atlas(self.cfg)(
+            self._atlas, shadow_ovf = framelib.compiled_shadow_atlas(self.cfg)(
                 self._pack.scene, self._pack.lights)
+            self._queue_overflow("shadow", shadow_ovf)
         out = fn(self._pack.scene, self._packer.texture_pool_gpu(),
                  self._pack.lights, cam_raw, self.params, env, self._atlas)
         # dispatch wall time; the FPS-label analog (src/gui.rs:513-516)
         self.last_frame_ms = (time.perf_counter() - t0) * 1e3
         self.last_output = out
         self.frame_index += 1
-        self._check_bin_overflow(out.bin_overflow)
+        self._queue_overflow("bins", out.bin_overflow)
+        self._queue_overflow("shadow", out.shadow_overflow)
+        self._queue_overflow("tex", out.tex_overflow[0])
+        self._queue_overflow("fwdtex", out.tex_overflow[1])
+        self._check_overflow()
         return out
 
-    def _check_bin_overflow(self, overflow) -> None:
-        """Bin-capacity monitor: if a tile wanted more triangles than the
-        bin envelope, triangles were dropped — grow the capacity for the
-        next frame (grow-by-reallocating at raster scope, like
-        src/light_render_data.rs:145-152 for lights). Values are polled
-        asynchronously (like the pick readback) so the check never blocks
-        the frame loop."""
-        self._overflow_inflight.append(overflow)
+    # capacity monitors: (kind, config field, toast label)
+    _OVERFLOW_KINDS = {
+        "bins": ("bin_capacity", "Raster bin overflow"),
+        "shadow": ("shadow_bin_capacity", "Shadow bin overflow"),
+        "tex": ("tex_block_capacity", "Textured-block overflow"),
+        "fwdtex": ("fwd_tile_capacity", "Forward overlay tile overflow"),
+    }
+
+    def _queue_overflow(self, kind: str, value) -> None:
+        self._overflow_inflight.append((kind, value))
+
+    def _check_overflow(self) -> None:
+        """Capacity monitors: if a raster tile (main/forward or shadow view)
+        wanted more triangles than its bin envelope, triangles were dropped —
+        grow that capacity for the next frame (grow-by-reallocating at
+        raster scope, like src/light_render_data.rs:145-152 for lights).
+        Values are polled asynchronously (like the pick readback) so the
+        check never blocks the frame loop."""
         while self._overflow_inflight:
-            head = self._overflow_inflight[0]
+            kind, head = self._overflow_inflight[0]
             ready = getattr(head, "is_ready", lambda: True)()
-            if not ready and len(self._overflow_inflight) < 4:
+            if not ready and len(self._overflow_inflight) < 8:
                 break
             self._overflow_inflight.pop(0)
             v = int(head)
-            if v > self.cfg.bin_capacity:
+            field, label = self._OVERFLOW_KINDS[kind]
+            cap = getattr(self.cfg, field)
+            if cap <= 0:
+                continue  # monitor disabled (dense path by request)
+            if v > cap:
                 new_cap = 1 << (v - 1).bit_length()
-                log.info("bin overflow %d > %d; growing bin_capacity to %d",
-                         v, self.cfg.bin_capacity, new_cap)
+                log.info("%s %d > %d; growing %s to %d",
+                         label, v, cap, field, new_cap)
                 self.notifier.push(
-                    f"Raster bin overflow ({v}); capacity grown to {new_cap}",
-                    "warning")
-                self.cfg = replace(self.cfg, bin_capacity=new_cap)
+                    f"{label} ({v}); capacity grown to {new_cap}", "warning")
+                self.cfg = replace(self.cfg, **{field: new_cap})
+                if kind == "shadow":
+                    self._atlas = None  # re-render with the grown capacity
                 self._overflow_inflight.clear()
                 break
 

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from .. import config
 from ..ops import env as envops
-from ..ops import post, raster, resolve, shading, shadows, sampling
+from ..ops import compact, post, raster, resolve, shading, shadows, sampling
 from .scene_gpu import LightsGPU, SceneGPU
 
 F32 = jnp.float32
@@ -52,7 +52,12 @@ class FrameOutput(NamedTuple):
     pick_id: jax.Array       # (H, W) int32 object id map (0 = none)
     depth: jax.Array         # (H, W) f32 reverse-Z
     hdr: jax.Array           # (H, W, 3) f32 pre-tonemap (post-SSR)
-    bin_overflow: jax.Array  # () i32 max bin occupancy across passes
+    bin_overflow: jax.Array  # () i32 max bin occupancy (main+forward rasters)
+    shadow_overflow: jax.Array  # () i32 max shadow-view bin occupancy
+    #   (0 when the atlas was precomputed — the engine monitors that path
+    #   at atlas render time instead)
+    tex_overflow: jax.Array  # (2,) i32 [main, forward] textured-block counts
+    #   (compaction capacity monitors, ops/compact.py)
 
 
 def _upsample_bilinear(img: jax.Array, shape: tuple) -> jax.Array:
@@ -140,11 +145,12 @@ def render_frame_forward(scene: SceneGPU, pool: sampling.TexturePoolGPU,
         vattrs, scene, cfg, "back")
     valid = r.valid
     uv, normal, flat = r.uv, r.normal, r.flat
-    lvl = sampling.mip_level_from_uv(uv, pool.level_sizes[0])
-    tex = sampling.sample_pool_mip(pool, r.record, uv, lvl,
-                                   filter=cfg.texture_filter)[..., :3]
     use_tex = flat[..., 5] > 0.5
-    albedo = jnp.where(use_tex[..., None], tex, flat[..., 0:3])
+    lvl = sampling.mip_level_from_uv(uv, pool.level_sizes[0])
+    tex, tex_needed = compact.sample_pool_compacted(
+        pool, r.record, uv, lvl, use_tex & valid, cfg.tex_block_capacity,
+        filter=cfg.texture_filter)
+    albedo = jnp.where(use_tex[..., None], tex[..., :3], flat[..., 0:3])
 
     shade = jnp.full(normal.shape[:2], 0.1, F32)[..., None]  # ambient floor
     for i in range(cfg.num_directional_lights):
@@ -165,26 +171,30 @@ def render_frame_forward(scene: SceneGPU, pool: sampling.TexturePoolGPU,
     sdr = post.tone_map(hdr, params[PARAM_TONE_TYPE], params[PARAM_EXPOSURE])
     return FrameOutput(sdr=sdr[:H, :W], pick_id=r.object_id[:H, :W],
                        depth=depth[:H, :W], hdr=hdr[:H, :W],
-                       bin_overflow=overflow)
+                       bin_overflow=overflow,
+                       shadow_overflow=jnp.int32(0),
+                       tex_overflow=jnp.stack([tex_needed, jnp.int32(0)]))
 
 
 def render_shadow_atlas(scene: SceneGPU, lights: LightsGPU,
-                        cfg: config.RenderConfig) -> jax.Array:
-    """Windowed shadow atlas (6P+D, S, S, 4). Depends only on scene +
-    lights — the engine caches it across frames and re-renders only on
-    scene/light edits (shadow maps are camera-independent, so a fly-around
-    over a static scene never re-renders them; the reference re-records its
-    shadow passes every frame, src/light_controller.rs:187)."""
+                        cfg: config.RenderConfig
+                        ) -> tuple[jax.Array, jax.Array]:
+    """Windowed shadow atlas (6P+D, S, S, 4) + () i32 shadow-bin overflow
+    monitor. Depends only on scene + lights — the engine caches it across
+    frames and re-renders only on scene/light edits (shadow maps are
+    camera-independent, so a fly-around over a static scene never re-renders
+    them; the reference re-records its shadow passes every frame,
+    src/light_controller.rs:187)."""
     world, _ = raster.transform_vertices(
         scene.vert_pos, scene.vert_instance, scene.inst_model,
         jnp.eye(4, dtype=F32))
     wh = jnp.concatenate([world, jnp.ones_like(world[:, :1])], axis=1)
     clip_views = jnp.einsum("vj,sij->svi", wh, lights.shadow_viewprojs,
                             preferred_element_type=F32)
-    atlas = shadows.render_shadow_views(
+    atlas, overflow = shadows.render_shadow_views(
         clip_views, scene.tri_vidx, scene.tri_shadow, cfg.shadow_size,
         cfg.shadow_tile, cfg.shadow_bin_capacity, use_pallas=cfg.use_pallas)
-    return shadows.window_depth_maps(atlas)
+    return shadows.window_depth_maps(atlas), overflow
 
 
 @functools.lru_cache(maxsize=8)
@@ -223,17 +233,19 @@ def render_frame(scene: SceneGPU, pool: sampling.TexturePoolGPU,
     tri_id, depth, r_main, ovf_main = _raster_resolve(
         clip, scene.tri_vidx, scene.tri_deferred, scene.tri_instance,
         attrs, scene, cfg, "back")
-    g = resolve.resolve_gbuffer_from_attrs(
+    g, tex_needed = resolve.resolve_gbuffer_from_attrs(
         r_main, tri_id, depth, pool,
-        texture_filter=cfg.texture_filter, texture_scale=cfg.texture_scale)
+        texture_filter=cfg.texture_filter, texture_scale=cfg.texture_scale,
+        tex_block_capacity=cfg.tex_block_capacity)
 
     # ---- shadow atlas (cached across frames when precomputed) ----
     overflow = ovf_main
+    shadow_overflow = jnp.int32(0)
     P, D = cfg.num_point_lights, cfg.num_directional_lights
     point_shadow_fn = dir_shadow_fn = None
     if cfg.enable_shadows and (P + D) > 0:
         if atlas is None:
-            atlas = render_shadow_atlas(scene, lights, cfg)
+            atlas, shadow_overflow = render_shadow_atlas(scene, lights, cfg)
 
         def point_shadow_fn(i, pos):  # noqa: E306
             return _lowres_vis(
@@ -269,29 +281,31 @@ def render_frame(scene: SceneGPU, pool: sampling.TexturePoolGPU,
 
     # ---- forward pass (gizmos/billboards: depth Always, drawn on top) ----
     # Forward triangles live in their own small pack-time pool, so this
-    # raster bins Fc triangles (hundreds), not the whole scene pool.
+    # raster bins Fc triangles (hundreds), not the whole scene pool; the
+    # resolve + texture taps run tile-compacted (overlays cover few tiles).
     pick = g.object_id
+    fwd_needed = jnp.int32(0)
     if cfg.has_forward:
-        f_id, f_depth, fr, ovf_f = _raster_resolve(
-            clip, scene.fwd_tri_vidx, scene.fwd_tri_mask,
-            scene.fwd_tri_instance, attrs, scene, cfg, "none")
-        overflow = jnp.maximum(overflow, ovf_f)
-        f_valid = fr.valid
-        # overlay sprites (billboards) sample at half rate: their alpha
-        # edges are soft anyway and texture taps dominate the frame cost
-        fs = max(cfg.texture_scale, 2)
-        lvl = sampling.mip_level_from_uv(fr.uv[::fs, ::fs], pool.level_sizes[0])
-        f_tex = sampling.sample_pool_mip(pool, fr.record[::fs, ::fs],
-                                         fr.uv[::fs, ::fs], lvl,
-                                         filter=cfg.texture_filter)
-        f_tex = _upsample_bilinear(f_tex, (*fr.uv.shape[:2], f_tex.shape[-1]))
-        use_tex = fr.flat[..., 5] > 0.5
-        f_color = jnp.where(use_tex[..., None], f_tex[..., :3], fr.flat[..., 0:3])
-        f_alpha = jnp.where(use_tex, f_tex[..., 3], 1.0) * f_valid.astype(F32)
+        f_setup = raster.triangle_setup(clip, scene.fwd_tri_vidx,
+                                        scene.fwd_tri_mask, PW, PH, "none")
+        f_bins = raster.bin_triangles(f_setup, PW, PH, cfg.tile_h, cfg.tile_w,
+                                      cfg.bin_capacity)
+        f_id, _ = raster.rasterize_binned(f_bins, cfg.tile_h, cfg.tile_w,
+                                          use_pallas=cfg.use_pallas)
+        f_table = resolve.build_gbuffer_table(
+            f_setup, scene.fwd_tri_vidx, attrs, scene.fwd_tri_instance,
+            scene.inst_object_id, scene.inst_material, scene.mat_record,
+            scene.mat_flat)
+        overflow = jnp.maximum(overflow, f_bins.overflow)
+        f_color, f_alpha, f_oid, f_valid, fwd_needed = \
+            resolve.forward_overlay_tiles(
+                f_id, f_bins, f_table, pool, cfg.tile_h, cfg.tile_w,
+                cfg.fwd_tile_capacity, texture_filter=cfg.texture_filter,
+                fs=max(cfg.texture_scale, 2))
         hdr = hdr * (1.0 - f_alpha[..., None]) + f_color * f_alpha[..., None]
         # pick: forward (non-depth-tested) objects override, like the second
         # object-picker pipeline (src/pipelines/object_picker_rp.rs:151-178)
-        pick = jnp.where(f_valid & (f_alpha > 0.5), fr.object_id, pick)
+        pick = jnp.where(f_valid & (f_alpha > 0.5), f_oid, pick)
 
     # ---- SSR (reference ships an effective pass-through; strength=0) ----
     if cfg.enable_ssr:
@@ -303,7 +317,8 @@ def render_frame(scene: SceneGPU, pool: sampling.TexturePoolGPU,
     sdr = post.tone_map(hdr, params[PARAM_TONE_TYPE], params[PARAM_EXPOSURE])
     return FrameOutput(sdr=sdr[:H, :W], pick_id=pick[:H, :W],
                        depth=depth[:H, :W], hdr=hdr[:H, :W],
-                       bin_overflow=overflow)
+                       bin_overflow=overflow, shadow_overflow=shadow_overflow,
+                       tex_overflow=jnp.stack([tex_needed, fwd_needed]))
 
 
 @functools.lru_cache(maxsize=8)

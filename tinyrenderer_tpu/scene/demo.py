@@ -18,9 +18,15 @@ F32 = np.float32
 
 
 def _cube(position, scale=1.0, color=(0.8, 0.2, 0.2), roughness=0.5,
-          metalness=0.0) -> WorldObject:
-    mat = comp.PbrMaterialDescriptor(flat=comp.PbrParameters(
-        albedo=np.asarray(color, F32), roughness=roughness, metalness=metalness))
+          metalness=0.0, textured: bool = False) -> WorldObject:
+    if textured:
+        # default texture slots (no file needed) — still exercises the
+        # textured material path end to end
+        mat = comp.PbrMaterialDescriptor(textures=())
+    else:
+        mat = comp.PbrMaterialDescriptor(flat=comp.PbrParameters(
+            albedo=np.asarray(color, F32), roughness=roughness,
+            metalness=metalness))
     return WorldObject(
         components=[comp.RenderableComponent(
             model_descriptor=comp.ModelDescriptor(
@@ -37,9 +43,12 @@ def _cube(position, scale=1.0, color=(0.8, 0.2, 0.2), roughness=0.5,
 
 def build_demo_world(n_cubes: int = 24, seed: int = 7,
                      with_point_light: bool = True,
-                     with_directional_light: bool = True) -> World:
+                     with_directional_light: bool = True,
+                     textured_every: int = 0) -> World:
     """A grid of flat-material cubes on a ground slab + the standard lights
-    (the test.lvl analog: 43 flat cubes + lights, SURVEY.md §4)."""
+    (the test.lvl analog: 43 flat cubes + lights, SURVEY.md §4).
+    ``textured_every`` = N gives every Nth cube a (default-slot) textured
+    material, like test.lvl's brick cubes; 0 = all flat."""
     rng = np.random.default_rng(seed)
     world = World()
 
@@ -53,10 +62,11 @@ def build_demo_world(n_cubes: int = 24, seed: int = 7,
                rng.uniform(-1.0, 2.0),
                2.2 * (gz - side / 2) + rng.uniform(-0.3, 0.3))
         color = rng.uniform(0.1, 0.9, size=3)
-        world.add_world_object(_cube(pos, scale=rng.uniform(0.4, 0.9),
-                                     color=color,
-                                     roughness=float(rng.uniform(0.1, 0.9)),
-                                     metalness=float(rng.uniform(0.0, 0.5))))
+        world.add_world_object(_cube(
+            pos, scale=rng.uniform(0.4, 0.9), color=color,
+            roughness=float(rng.uniform(0.1, 0.9)),
+            metalness=float(rng.uniform(0.0, 0.5)),
+            textured=(textured_every > 0 and i % textured_every == 0)))
 
     if with_point_light:
         light = WorldObject(

@@ -1,7 +1,13 @@
 """Interleaved frame profiler: measures config variants round-robin in one
 process so shared-TPU tenancy drift cancels out of the comparison.
 
+Timing matches bench.py's honest methodology: N frames chained inside one
+jitted lax.scan with a non-foldable 1e-30*depth cross-frame dependency, the
+shadow atlas precomputed once and passed in (steady-state frame, engine
+caching semantics).
+
 Usage: python tools/profile_frame.py [--width W --height H] [--rounds R]
+                                     [--set all|filters|rates|passes]
 """
 
 from __future__ import annotations
@@ -25,11 +31,14 @@ def main() -> None:
     ap.add_argument("--height", type=int, default=1080)
     ap.add_argument("--rounds", type=int, default=5)
     ap.add_argument("--frames", type=int, default=8)
+    ap.add_argument("--set", default="all",
+                    choices=["all", "filters", "rates", "passes"])
     args = ap.parse_args()
 
     from dataclasses import replace
 
     from tinyrenderer_tpu.config import RenderConfig
+    from tinyrenderer_tpu.ops import sampling
     from tinyrenderer_tpu.render import frame as framelib
     from tinyrenderer_tpu.render.engine import Engine
 
@@ -41,49 +50,84 @@ def main() -> None:
     base = eng.cfg
     scene = eng._pack.scene
     pool = eng._packer.texture_pool_gpu()
+    pool_win = sampling.pack_texture_pool(
+        eng._packer.pool.record_arrays(), windowed=True, u8=True)
     lights = eng._pack.lights
     cam0 = jnp.asarray(eng.camera.to_raw())
     params = eng.params
     N = args.frames
 
-    variants = {
-        "full": base,
-        "no-shadows": replace(base, enable_shadows=False),
-        "no-ibl": replace(base, enable_ibl=False),
-        "forward-only": replace(base, forward_only=True),
-        "trilinear": replace(base, texture_filter="trilinear"),
-        "bilinear": replace(base, texture_filter="bilinear"),
-        "shadow-scale-4": replace(base, shadow_lookup_scale=4),
-        "jnp-raster": replace(base, use_pallas=False),
+    groups = {
+        "passes": {
+            "full": base,
+            "no-shadows": replace(base, enable_shadows=False),
+            "no-ibl": replace(base, enable_ibl=False),
+            "no-forward": replace(base, has_forward=False),
+            "forward-only": replace(base, forward_only=True),
+            "fused-resolve": replace(base, fused_resolve=True),
+            "jnp-raster": replace(base, use_pallas=False),
+        },
+        "filters": {
+            "full": base,
+            "trilinear": replace(base, texture_filter="trilinear"),
+            "bilinear": replace(base, texture_filter="bilinear"),
+            "stochastic": replace(base, texture_filter="stochastic"),
+            ("win", "full"): base,                      # windowed u8 pool
+            ("win", "stochastic"): replace(base, texture_filter="stochastic"),
+        },
+        "rates": {
+            "full": base,
+            "texscale-2": replace(base, texture_scale=2),
+            "texscale-8": replace(base, texture_scale=8),
+            "shadowscale-4": replace(base, shadow_lookup_scale=4),
+            "shadowscale-8": replace(base, shadow_lookup_scale=8),
+            "sky-16": replace(base, sky_scale=16),
+            "preset": base.performance_preset(),
+        },
     }
+    if args.set == "all":
+        variants = {}
+        for g in groups.values():
+            variants.update(g)
+    else:
+        variants = groups[args.set]
+
+    # steady-state shadow atlas, rendered once (engine caching semantics)
+    atlas = jax.block_until_ready(
+        framelib.compiled_shadow_atlas(base)(scene, lights)[0])
 
     loops = {}
     for name, cfg in variants.items():
-        def make(cfg):
+        vpool = pool_win if isinstance(name, tuple) and name[0] == "win" else pool
+        vatlas = None if cfg.forward_only else atlas
+
+        def make(cfg, vpool, vatlas):
             @jax.jit
-            def loop(cam, scene, pool, lights, params, env):
+            def loop(cam, scene, lights, params, env):
                 def step(c, _):
-                    out = framelib.render_frame(scene, pool, lights, c,
-                                                params, env, cfg)
-                    return cam0 + 0.0 * out.depth[0, 0], out.sdr[0, 0, 0]
+                    out = framelib.render_frame(scene, vpool, lights, c,
+                                                params, env, cfg, vatlas)
+                    # non-foldable cross-frame dependency (see bench.py)
+                    return c + 1e-30 * out.depth[0, 0], out.sdr[0, 0, 0]
                 _, outs = jax.lax.scan(step, cam, None, length=N)
                 return outs.sum()
             return loop
-        loops[name] = make(cfg)
+        loops[name] = make(cfg, vpool, vatlas)
         print(f"compiling {name}...", flush=True)
-        float(loops[name](cam0, scene, pool, lights, params, env))
+        float(loops[name](cam0, scene, lights, params, env))
 
     samples = collections.defaultdict(list)
     for r in range(args.rounds):
         for name, loop in loops.items():
             t0 = time.perf_counter()
-            float(loop(cam0, scene, pool, lights, params, env))
+            float(loop(cam0, scene, lights, params, env))
             samples[name].append((time.perf_counter() - t0) * 1e3 / N)
 
-    print(f"\n{'variant':18s} {'median':>9s} {'min':>9s}   (ms/frame, "
+    print(f"\n{'variant':22s} {'median':>9s} {'min':>9s}   (ms/frame, "
           f"{args.rounds} interleaved rounds)")
     for name, xs in samples.items():
-        print(f"{name:18s} {statistics.median(xs):9.2f} {min(xs):9.2f}")
+        label = "+".join(name) if isinstance(name, tuple) else name
+        print(f"{label:22s} {statistics.median(xs):9.2f} {min(xs):9.2f}")
 
 
 if __name__ == "__main__":
