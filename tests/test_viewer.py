@@ -122,5 +122,45 @@ def test_set_config_action(server):
     assert _get(server, "/frame.png")[:4] == b"\x89PNG"
     _post(server, "/action", {"action": "set_config",
                               "preset": "performance"})
-    assert server.app.engine.cfg.texture_scale == 2
+    assert server.app.engine.cfg.texture_filter == "stochastic"
+    assert _get(server, "/frame.png")[:4] == b"\x89PNG"
+    # non-tunable fields are rejected (capacity envelope stays intact)
+    try:
+        _post(server, "/action", {"action": "set_config",
+                                  "values": {"max_instances": 4}})
+        assert False, "expected HTTPError"
+    except urllib.error.HTTPError as e:
+        assert e.code == 500
+    assert server.app.engine.cfg.max_instances != 4
+
+
+def test_set_config_resize_updates_camera(server):
+    _post(server, "/action", {"action": "set_config",
+                              "values": {"width": 384, "height": 192}})
+    eng = server.app.engine
+    assert (eng.cfg.width, eng.cfg.height) == (384, 192)
+    # camera aspect follows atomically (ADVICE r1: stale projection bug)
+    assert abs(eng.camera.aspect - 384 / 192) < 1e-6
+    assert server.app.controller.width == 384
+    from PIL import Image
+    import io
+    img = np.asarray(Image.open(io.BytesIO(_get(server, "/frame.png"))))
+    assert img.shape[:2] == (192, 384)
+    _post(server, "/action", {"action": "set_config",
+                              "values": {"width": 256, "height": 128}})
+
+
+def test_upload_spawns_model(server):
+    import os
+    obj = b"""v 0 0 0\nv 1 0 0\nv 0 1 0\nvt 0 0\nvt 1 0\nvt 0 1\nvn 0 0 1\nf 1/1/1 2/2/1 3/3/1\n"""
+    n_before = len(list(server.app.engine.world.world_objects()))
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server.port}/upload", data=obj, method="POST",
+        headers={"X-Filename": "tri.obj"})
+    with urllib.request.urlopen(req, timeout=120) as r:
+        res = json.loads(r.read())
+    assert res["ok"] and os.path.exists(res["path"])
+    # FileDropped spawned a world object (player_controller.rs:169-185)
+    n_after = len(list(server.app.engine.world.world_objects()))
+    assert n_after == n_before + 1
     assert _get(server, "/frame.png")[:4] == b"\x89PNG"

@@ -281,12 +281,15 @@ _BAYER4 = np.array([[0, 8, 2, 10], [12, 4, 14, 6],
 def _bayer_threshold(shape2d: tuple, phase: int = 0) -> jax.Array:
     """(h, w) tiled 4x4 Bayer thresholds in (0, 1). ``phase`` rotates the
     pattern so independent stochastic decisions (mip level, u, v) decorrelate
-    instead of reusing one threshold."""
+    instead of reusing one threshold.
+
+    Built host-side with np.tile so it lowers as a compile-time constant —
+    an indexed construction (bayer[y % 4, x % 4]) lowers to a per-pixel
+    gather, which on TPU costs as much as a texture tap."""
     h, w = shape2d
-    bayer = jnp.asarray(np.roll(_BAYER4.reshape(-1), 5 * phase).reshape(4, 4))
-    ty = jnp.arange(h) % 4
-    tx = jnp.arange(w) % 4
-    return bayer[ty[:, None], tx[None, :]]
+    bayer = np.roll(_BAYER4.reshape(-1), 5 * phase).reshape(4, 4)
+    full = np.tile(bayer, ((h + 3) // 4, (w + 3) // 4))[:h, :w]
+    return jnp.asarray(full)
 
 
 def _sample_stochastic_dynamic_level(pool: TexturePoolGPU, tex: jax.Array,

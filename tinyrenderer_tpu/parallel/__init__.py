@@ -5,5 +5,6 @@ from .sharded import (  # noqa: F401
     compiled_sharded_frame,
     make_mesh,
     render_frame_sharded,
+    render_shadow_atlas_sharded,
     sharded_config,
 )

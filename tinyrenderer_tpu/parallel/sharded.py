@@ -98,15 +98,40 @@ def _render_band(scene: SceneGPU, pool, lights: LightsGPU, atlas,
                                                 use_pallas=cfg.use_pallas)
         return tri_id, depth, setup, bins
 
-    tri_id, depth, setup, bins = band_raster(scene.tri_vidx,
-                                             scene.tri_deferred, "back")
+    if cfg.use_pallas and cfg.fused_resolve:
+        # fused raster+resolve kernel, like the single-chip path
+        setup = raster.triangle_setup(clip, scene.tri_vidx,
+                                      scene.tri_deferred, PW, PH, "back")
+        setup = raster.translate_setup_y(setup, y0)
+        bins = raster.bin_triangles(setup, PW, band_h, cfg.tile_h, cfg.tile_w,
+                                    cfg.bin_capacity)
+        table = resolve.build_gbuffer_table(
+            setup, scene.tri_vidx, attrs, scene.tri_instance,
+            scene.inst_object_id, scene.inst_material, scene.mat_record,
+            scene.mat_flat)
+        D = table.shape[1]
+        pad = (-D) % 64
+        table_p = jnp.pad(table, ((0, 0), (0, pad))) if pad else table
+        tri_id, depth, sel = raster.rasterize_resolve_binned(
+            bins, table_p, cfg.tile_h, cfg.tile_w)
+        r = resolve.resolve_attrs_from_sel(tri_id, sel[..., :D])
+        g, tex_needed = resolve.resolve_gbuffer_from_attrs(
+            r, tri_id, depth, pool,
+            texture_filter=cfg.texture_filter,
+            texture_scale=cfg.texture_scale,
+            tex_block_capacity=cfg.tex_block_capacity)
+    else:
+        tri_id, depth, setup, bins = band_raster(scene.tri_vidx,
+                                                 scene.tri_deferred, "back")
+        g, tex_needed = resolve.resolve_gbuffer_onehot(
+            tri_id, depth, setup, bins.ids, scene.tri_vidx,
+            scene.tri_instance, attrs, scene.inst_object_id,
+            scene.inst_material, scene.mat_record, scene.mat_flat, pool,
+            cfg.tile_h, cfg.tile_w,
+            texture_filter=cfg.texture_filter,
+            texture_scale=cfg.texture_scale,
+            tex_block_capacity=cfg.tex_block_capacity)
     bin_overflow = bins.overflow
-    g, tex_needed = resolve.resolve_gbuffer_onehot(
-        tri_id, depth, setup, bins.ids, scene.tri_vidx, scene.tri_instance,
-        attrs, scene.inst_object_id, scene.inst_material,
-        scene.mat_record, scene.mat_flat, pool, cfg.tile_h, cfg.tile_w,
-        texture_filter=cfg.texture_filter, texture_scale=cfg.texture_scale,
-        tex_block_capacity=cfg.tex_block_capacity)
 
     Pn, D = cfg.num_point_lights, cfg.num_directional_lights
     point_shadow_fn = dir_shadow_fn = None
@@ -169,12 +194,70 @@ def _render_band(scene: SceneGPU, pool, lights: LightsGPU, atlas,
         jnp.stack([tex_needed, fwd_needed])
 
 
+def _atlas_roundrobin(scene: SceneGPU, lights: LightsGPU,
+                      cfg: config.RenderConfig, flat, n_views: int,
+                      views_pad: int, views_local: int):
+    """Inside shard_map: each device rasterizes its round-robin share of
+    the shadow views; one tiled all_gather over ICI replicates the atlas.
+    Returns ((V, S, S, 4) windowed atlas, () i32 shadow-bin overflow)."""
+    vp = lights.shadow_viewprojs
+    vp_pad = jnp.concatenate(
+        [vp, jnp.broadcast_to(jnp.eye(4, dtype=F32),
+                              (views_pad - vp.shape[0], 4, 4))], axis=0)
+    my_vp = jax.lax.dynamic_slice_in_dim(
+        vp_pad, flat * views_local, views_local, axis=0)
+    world, _ = raster.transform_vertices(
+        scene.vert_pos, scene.vert_instance, scene.inst_model,
+        jnp.eye(4, dtype=F32))
+    wh = jnp.concatenate([world, jnp.ones_like(world[:, :1])], axis=1)
+    clip_views = jnp.einsum("vj,sij->svi", wh, my_vp,
+                            preferred_element_type=F32)
+    atlas_local, shadow_ovf = shadows.render_shadow_views(
+        clip_views, scene.tri_vidx, scene.tri_shadow, cfg.shadow_size,
+        cfg.shadow_tile, cfg.shadow_bin_capacity,
+        use_pallas=cfg.use_pallas)
+    atlas = jax.lax.all_gather(atlas_local, ("dp", "sp"),
+                               axis=0, tiled=True)[:n_views]
+    return shadows.window_depth_maps(atlas), shadow_ovf
+
+
+def render_shadow_atlas_sharded(scene: SceneGPU, lights: LightsGPU,
+                                cfg: config.RenderConfig, mesh: Mesh
+                                ) -> tuple[jax.Array, jax.Array]:
+    """Render the shadow atlas once over the mesh (round-robin views +
+    all_gather) and return it replicated, plus the shadow-bin overflow
+    monitor. The multi-chip analog of frame.render_shadow_atlas — cache
+    the result across frames and pass it to render_frame_sharded (shadow
+    maps are camera-independent, engine caching semantics)."""
+    dp, sp = mesh.shape["dp"], mesh.shape["sp"]
+    n_total = dp * sp
+    n_views = cfg.num_shadow_views
+    views_pad = -(-max(n_views, 1) // n_total) * n_total
+    views_local = views_pad // n_total
+
+    def fn(scene, lights):
+        flat = jax.lax.axis_index("dp") * sp + jax.lax.axis_index("sp")
+        atlas, ovf = _atlas_roundrobin(scene, lights, cfg, flat, n_views,
+                                       views_pad, views_local)
+        return atlas, jax.lax.pmax(ovf, ("dp", "sp"))
+
+    return shard_map(fn, mesh=mesh, in_specs=(P(), P()),
+                     out_specs=(P(), P()), check_vma=False)(scene, lights)
+
+
 def render_frame_sharded(scene: SceneGPU, pool, lights: LightsGPU,
                          camera_raw_batch: jax.Array, params: jax.Array,
                          env: Optional[framelib.EnvGPU],
-                         cfg: config.RenderConfig, mesh: Mesh
+                         cfg: config.RenderConfig, mesh: Mesh,
+                         atlas: Optional[jax.Array] = None
                          ) -> ShardedFrameOutput:
-    """Render a batch of views over the mesh. Call under ``jax.jit``."""
+    """Render a batch of views over the mesh. Call under ``jax.jit``.
+
+    ``atlas``: precomputed windowed shadow atlas from
+    :func:`render_shadow_atlas_sharded` (or the single-chip
+    render_shadow_atlas) — shadow maps depend only on scene + lights, so
+    the steady-state frame reuses them across frames like the single-chip
+    engine does; None renders them inline (round-robin + all_gather)."""
     dp, sp = mesh.shape["dp"], mesh.shape["sp"]
     n_total = dp * sp
     B = camera_raw_batch.shape[0]
@@ -190,34 +273,15 @@ def render_frame_sharded(scene: SceneGPU, pool, lights: LightsGPU,
     views_pad = -(-max(n_views, 1) // n_total) * n_total
     views_local = views_pad // n_total
 
-    def fn(scene, pool, lights, cam_local, params, env):
+    def fn(scene, pool, lights, cam_local, params, env, atlas):
         dp_i = jax.lax.axis_index("dp")
         sp_i = jax.lax.axis_index("sp")
         flat = dp_i * sp + sp_i
 
-        atlas = None
         shadow_ovf = jnp.int32(0)
-        if cfg.enable_shadows and n_views > 0:
-            # shadow views round-robin over the flat device grid + all_gather
-            vp = lights.shadow_viewprojs
-            vp_pad = jnp.concatenate(
-                [vp, jnp.broadcast_to(jnp.eye(4, dtype=F32),
-                                      (views_pad - vp.shape[0], 4, 4))], axis=0)
-            my_vp = jax.lax.dynamic_slice_in_dim(
-                vp_pad, flat * views_local, views_local, axis=0)
-            world, _ = raster.transform_vertices(
-                scene.vert_pos, scene.vert_instance, scene.inst_model,
-                jnp.eye(4, dtype=F32))
-            wh = jnp.concatenate([world, jnp.ones_like(world[:, :1])], axis=1)
-            clip_views = jnp.einsum("vj,sij->svi", wh, my_vp,
-                                    preferred_element_type=F32)
-            atlas_local, shadow_ovf = shadows.render_shadow_views(
-                clip_views, scene.tri_vidx, scene.tri_shadow, cfg.shadow_size,
-                cfg.shadow_tile, cfg.shadow_bin_capacity,
-                use_pallas=cfg.use_pallas)
-            atlas = jax.lax.all_gather(atlas_local, ("dp", "sp"),
-                                       axis=0, tiled=True)[:n_views]
-            atlas = shadows.window_depth_maps(atlas)
+        if atlas is None and cfg.enable_shadows and n_views > 0:
+            atlas, shadow_ovf = _atlas_roundrobin(
+                scene, lights, cfg, flat, n_views, views_pad, views_local)
 
         y0 = (sp_i * band_h).astype(F32)
         band = functools.partial(_render_band, scene, pool, lights, atlas,
@@ -235,11 +299,12 @@ def render_frame_sharded(scene: SceneGPU, pool, lights: LightsGPU,
     spec_rep = P()
     out = shard_map(
         fn, mesh=mesh,
-        in_specs=(spec_rep, spec_rep, spec_rep, P("dp"), spec_rep, spec_rep),
+        in_specs=(spec_rep, spec_rep, spec_rep, P("dp"), spec_rep, spec_rep,
+                  spec_rep),
         out_specs=(P("dp", "sp"), P("dp", "sp"), P("dp", "sp"), P("dp", "sp"),
                    spec_rep, spec_rep, spec_rep),
         check_vma=False,
-    )(scene, pool, lights, camera_raw_batch, params, env)
+    )(scene, pool, lights, camera_raw_batch, params, env, atlas)
 
     H, W = cfg.height, cfg.width
     sdr, pick, depth, hdr, bin_ovf, shadow_ovf, tex_ovf = out
@@ -251,7 +316,7 @@ def render_frame_sharded(scene: SceneGPU, pool, lights: LightsGPU,
 
 @functools.lru_cache(maxsize=4)
 def compiled_sharded_frame(cfg: config.RenderConfig, mesh: Mesh):
-    def fn(scene, pool, lights, cams, params, env):
+    def fn(scene, pool, lights, cams, params, env, atlas=None):
         return render_frame_sharded(scene, pool, lights, cams, params, env,
-                                    cfg, mesh)
+                                    cfg, mesh, atlas)
     return jax.jit(fn)

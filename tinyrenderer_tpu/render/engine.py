@@ -162,6 +162,20 @@ class Engine:
             if raw.size == 6 * s * s * 4:
                 return jnp.asarray(raw.reshape(6, s, s, 4)[..., :3].astype(np.float32))
             log.warning("IBL cache %s has wrong size; rebaking", p)
+        if self._skybox_path is None:
+            # embedded pre-baked irradiance for the default procedural sky —
+            # startup needs no bake, like the reference's include_bytes map
+            # (src/diffuse_irradiance_renderer.rs:23,59-68). Regenerate with
+            # tools/gen_default_ibl.py.
+            emb = os.path.join(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), "assets", "default_ibl.npz")
+            if os.path.exists(emb):
+                irr = np.load(emb)["irradiance"].astype(np.float32)
+                if irr.shape[1] != s:  # irradiance is ultra-smooth: resize
+                    import jax
+                    irr = np.asarray(jax.image.resize(
+                        jnp.asarray(irr), (6, s, s, 3), method="bilinear"))
+                return jnp.asarray(irr)
         t0 = time.time()
         irr = framelib.bake_irradiance(cube, s)
         irr.block_until_ready()

@@ -121,9 +121,17 @@ class ScenePacker:
                 mesh = meshlib.get_primitive("Cube")
             elif path.lower().endswith(".obj"):
                 mesh = meshlib.load_obj(path)
+            elif path.lower().endswith((".gltf", ".glb")):
+                # real glTF loading — the reference hard-errors here
+                # (src/resource_loader.rs:254-283 "not yet implemented")
+                from ..assets import gltf as gltflib
+                try:
+                    mesh = gltflib.load_gltf(path)
+                except Exception as e:  # malformed asset -> cube + warning
+                    log.warning("glTF load failed (%s): %s; substituting cube",
+                                path, e)
+                    mesh = meshlib.get_primitive("Cube")
             else:
-                # glTF loading is a stub in the reference too
-                # (src/resource_loader.rs:254-283): fall back with a warning.
                 log.warning("unsupported mesh format: %s; substituting cube", path)
                 mesh = meshlib.get_primitive("Cube")
         self._mesh_cache[desc] = mesh

@@ -89,12 +89,25 @@ class ViewerServer:
 
             def do_POST(self):
                 n = int(self.headers.get("Content-Length", 0))
+                path = self.path.split("?")[0]
+                if path == "/upload":
+                    # browser drag&drop: raw file bytes + X-Filename header
+                    # (the FileDropped flow of src/player_controller.rs:169-185)
+                    try:
+                        saved = outer.save_upload(
+                            self.headers.get("X-Filename", "dropped.obj"),
+                            self.rfile.read(n))
+                        self._json({"ok": True, "path": saved})
+                    except Exception as e:  # noqa: BLE001
+                        with outer.lock:
+                            outer.app.engine.notifier.push(str(e), "error")
+                        self._json({"error": str(e)}, 500)
+                    return
                 try:
                     payload = json.loads(self.rfile.read(n) or b"{}")
                 except json.JSONDecodeError:
                     self._json({"error": "bad json"}, 400)
                     return
-                path = self.path.split("?")[0]
                 try:
                     if path == "/event":
                         outer.post_events(payload)
@@ -149,6 +162,22 @@ class ViewerServer:
                 if ev is not None:
                     self.app.handle_event(ev)
 
+    def save_upload(self, filename: str, data: bytes) -> str:
+        """Persist a dropped file and raise the FileDropped event — the
+        browser-drop analog of winit's DroppedFile (player_controller.rs:169)."""
+        import os
+        import tempfile
+
+        name = os.path.basename(filename) or "dropped.obj"
+        drop_dir = os.path.join(tempfile.gettempdir(), "tinyrenderer_drops")
+        os.makedirs(drop_dir, exist_ok=True)
+        path = os.path.join(drop_dir, name)
+        with open(path, "wb") as f:
+            f.write(data)
+        with self.lock:
+            self.app.handle_event(events.FileDropped(path))
+        return path
+
     def set_param(self, payload: dict) -> None:
         with self.lock:
             self.app.registry.set(payload["name"], payload["path"],
@@ -177,23 +206,41 @@ class ViewerServer:
             elif act == "set_config":
                 # switch static pipeline settings (texture_filter, scales,
                 # feature toggles, resolution) — recompiles, like swapping
-                # pipelines in the reference's cache
-                from dataclasses import fields, replace
-                allowed = {f.name for f in fields(eng.cfg)}
-                changes = {k: v for k, v in payload.get("values", {}).items()
-                           if k in allowed}
-                if "preset" in payload:
-                    eng.cfg = (eng.cfg.performance_preset()
-                               if payload["preset"] == "performance"
-                               else eng.cfg)
+                # pipelines in the reference's cache. Only runtime-tunable
+                # fields are accepted, and resolution changes route through
+                # engine.resize so the camera projection and pick readback
+                # coordinates update atomically (ADVICE r1).
+                from dataclasses import replace
+                TUNABLE = {"texture_filter", "texture_scale",
+                           "shadow_lookup_scale", "sky_scale",
+                           "enable_shadows", "enable_ibl", "enable_ssr",
+                           "use_pallas", "fused_resolve",
+                           "tex_block_capacity", "fwd_tile_capacity",
+                           "shadow_size", "forward_only"}
+                values = payload.get("values", {})
+                changes = {k: v for k, v in values.items() if k in TUNABLE}
+                rejected = set(values) - set(changes) - {"width", "height"}
+                if rejected:
+                    raise ValueError(f"not runtime-tunable: {sorted(rejected)}")
+                preset = payload.get("preset")
+                if preset == "performance":
+                    eng.cfg = eng.cfg.performance_preset()
+                elif preset == "parity":
+                    eng.cfg = eng.cfg.reference_parity()
+                elif preset is not None:
+                    raise ValueError(f"unknown preset {preset!r}")
                 if changes:
                     eng.cfg = replace(eng.cfg, **changes)
+                if "width" in values or "height" in values:
+                    eng.resize(int(values.get("width", eng.cfg.width)),
+                               int(values.get("height", eng.cfg.height)))
+                    changes["resolution"] = True
+                    self.app.controller.width = eng.cfg.width
+                    self.app.controller.height = eng.cfg.height
                 eng._needs_pack = True
                 eng._atlas = None
-                self.app.controller.width = eng.cfg.width
-                self.app.controller.height = eng.cfg.height
                 eng.notifier.push(f"Config updated: "
-                                  f"{', '.join(changes) or payload.get('preset', '')}"
+                                  f"{', '.join(changes) or preset or ''}"
                                   " (recompiling)")
             else:
                 raise ValueError(f"unknown action {act!r}")
@@ -241,11 +288,20 @@ PAGE_HTML = """<!DOCTYPE html>
   <button onclick="act('bake_irradiance')">Bake IBL</button>
   <button onclick="act('save_ibl')">Save IBL</button>
   <button onclick="fetch('/action',{method:'POST',body:JSON.stringify({action:'set_config',preset:'performance'})})">Fast preset</button>
+  <button onclick="fetch('/action',{method:'POST',body:JSON.stringify({action:'set_config',preset:'parity'})})">Parity preset</button>
   <div class="row"><label>Spawn model (path)</label>
    <input type="text" id="spawnpath" placeholder="assets/models/cube/cube.obj">
    <button onclick="send({type:'drop', path:document.getElementById('spawnpath').value})">Add</button></div>
+  <div class="row"><label>Drop a .obj on the canvas to spawn it</label></div>
   <select onchange="fetch('/action',{method:'POST',body:JSON.stringify({action:'set_config',values:{texture_filter:this.value}})})">
-    <option value="dithered">dithered</option><option value="trilinear">trilinear</option><option value="bilinear">bilinear</option>
+    <option value="dithered">dithered</option><option value="trilinear">trilinear</option>
+    <option value="bilinear">bilinear</option><option value="stochastic">stochastic</option>
+  </select>
+  <select id="res" onchange="const [w,h]=this.value.split('x').map(Number);
+    fetch('/action',{method:'POST',body:JSON.stringify({action:'set_config',values:{width:w,height:h}})})">
+    <option value="">resolution...</option>
+    <option>640x360</option><option>800x600</option><option>1280x720</option>
+    <option>1920x1080</option><option>2560x1440</option>
   </select>
  </div>
  <div id="params"></div>
@@ -274,6 +330,17 @@ c.addEventListener('mousedown', e=>{const p=canvasXY(e);
 c.addEventListener('mouseup', e=>{const p=canvasXY(e);
   send({type:'button', button:btn(e.button), pressed:false, x:p.x, y:p.y});});
 c.addEventListener('contextmenu', e=>e.preventDefault());
+// HTML5 drag&drop: upload the file, server raises FileDropped -> spawn
+// (winit DroppedFile analog, src/player_controller.rs:169-185)
+c.addEventListener('dragover', e=>e.preventDefault());
+document.body.addEventListener('dragover', e=>e.preventDefault());
+document.body.addEventListener('drop', async e=>{
+  e.preventDefault();
+  for (const f of e.dataTransfer.files){
+    await fetch('/upload', {method:'POST', headers:{'X-Filename': f.name},
+                            body: f});
+  }
+});
 c.addEventListener('keydown', e=>{ if(!e.repeat) send({type:'key', key:e.key, pressed:true, ctrl:e.ctrlKey}); e.preventDefault();});
 c.addEventListener('keyup', e=>{ send({type:'key', key:e.key, pressed:false, ctrl:e.ctrlKey}); e.preventDefault();});
 
