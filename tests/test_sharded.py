@@ -33,7 +33,7 @@ def engine(reference_level_path):
 
 
 def _args(engine):
-    return (engine._pack.scene, engine._packer.texture_pool_gpu(),
+    return (engine._pack.scene, engine._packer.texture_pool_gpu(engine.cfg.windowed_pool),
             engine._pack.lights, jnp.asarray(engine.camera.to_raw()),
             engine.params, engine._env)
 

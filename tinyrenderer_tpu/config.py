@@ -124,6 +124,13 @@ class RenderConfig:
     # blocks issue zero gathers — the TPU analog of the reference's
     # flat-material shader variant never issuing texture instructions.
     tex_block_capacity: int = 512
+    # Windowed texel rows: each pool row carries the texel plus its +x/+y/
+    # +x+y neighbors (36B u8), so a full bilinear tap is ONE gather instead
+    # of four 9B gathers — measured 74 -> 59 ms at 1080p (TPU gathers pay
+    # per row). Identical math/output to the 4-tap path. The stochastic
+    # filter reads one texel anyway, so the performance preset turns this
+    # off to gather narrow 9B rows.
+    windowed_pool: bool = True
     # Tile-compacted forward overlay (ops/resolve.py forward_overlay_tiles):
     # the overlay's one-hot select, plane evaluation and texture taps run
     # only on the raster tiles that bin a forward triangle. Gizmos and
@@ -138,7 +145,8 @@ class RenderConfig:
         compaction the strided-grid resize overhead exceeds what half-rate
         texturing saves (measured 48 vs 41 ms at 1080p)."""
         return replace(self, texture_filter="stochastic",
-                       shadow_lookup_scale=4, sky_scale=8)
+                       shadow_lookup_scale=4, sky_scale=8,
+                       windowed_pool=False)
 
     def reference_parity(self) -> "RenderConfig":
         """Settings that reproduce the reference's sampling exactly:

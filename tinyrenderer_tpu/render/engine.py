@@ -301,7 +301,8 @@ class Engine:
             self._atlas, shadow_ovf = framelib.compiled_shadow_atlas(self.cfg)(
                 self._pack.scene, self._pack.lights)
             self._queue_overflow("shadow", shadow_ovf)
-        out = fn(self._pack.scene, self._packer.texture_pool_gpu(),
+        out = fn(self._pack.scene,
+                 self._packer.texture_pool_gpu(self.cfg.windowed_pool),
                  self._pack.lights, cam_raw, self.params, env, self._atlas)
         # dispatch wall time; the FPS-label analog (src/gui.rs:513-516)
         self.last_frame_ms = (time.perf_counter() - t0) * 1e3
@@ -344,7 +345,14 @@ class Engine:
             if cap <= 0:
                 continue  # monitor disabled (dense path by request)
             if v > cap:
-                new_cap = 1 << (v - 1).bit_length()
+                if kind in ("tex", "fwdtex"):
+                    # finer buckets than pow2: the compacted gather count
+                    # scales with the capacity, so overshooting to the next
+                    # power of two (e.g. 1351 -> 2048 = dense) wastes the
+                    # whole saving; 12.5% headroom rounded to 256 blocks
+                    new_cap = -(-int(v * 1.125) // 256) * 256
+                else:
+                    new_cap = 1 << (v - 1).bit_length()
                 log.info("%s %d > %d; growing %s to %d",
                          label, v, cap, field, new_cap)
                 self.notifier.push(

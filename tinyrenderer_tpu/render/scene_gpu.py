@@ -91,7 +91,7 @@ class ScenePacker:
         self.cfg = cfg
         self.asset_search_paths = asset_search_paths
         self.pool = texlib.TexturePool.create(cfg)
-        self._pool_gpu: Optional[sampling.TexturePoolGPU] = None
+        self._pool_gpu: dict[bool, sampling.TexturePoolGPU] = {}
         self._pool_dirty = True
         self._mesh_cache: dict = {}
         self._material_cache: dict = {}
@@ -181,18 +181,23 @@ class ScenePacker:
         self._material_cache[key] = idx
         return idx
 
-    def texture_pool_gpu(self) -> sampling.TexturePoolGPU:
-        """Composite material-record pool (9ch texels) — the pool the
-        jitted frame samples; one gather fetches a material's whole texel."""
-        if self._pool_gpu is None or self._pool_dirty:
-            # u8 storage matches the reference's RGBA8 textures and
-            # gathers ~3x faster (9B rows vs 36B). NOT windowed: wide rows
-            # measured slower than 4 narrow taps (shadow maps ARE windowed:
-            # 16B rows, ops/shadows.py).
-            self._pool_gpu = sampling.pack_texture_pool(
-                self.pool.record_arrays(), windowed=False, u8=True)
+    def texture_pool_gpu(self, windowed: bool = True
+                         ) -> sampling.TexturePoolGPU:
+        """Composite material-record pool (9ch u8 texels) — the pool the
+        jitted frame samples; one gather fetches a material's whole texel.
+
+        ``windowed`` (RenderConfig.windowed_pool) packs each row with its
+        bilinear neighborhood (36B u8): a full bilinear tap is ONE gather
+        (measured 74 -> 59 ms at 1080p). Non-windowed 9B rows are kept for
+        the stochastic (1-texel) filter. u8 storage matches the reference's
+        RGBA8 textures and gathers ~3x faster than f32."""
+        if self._pool_gpu.get(windowed) is None or self._pool_dirty:
+            if self._pool_dirty:
+                self._pool_gpu = {}
+            self._pool_gpu[windowed] = sampling.pack_texture_pool(
+                self.pool.record_arrays(), windowed=windowed, u8=True)
             self._pool_dirty = False
-        return self._pool_gpu
+        return self._pool_gpu[windowed]
 
     def scalar_pool_gpu(self) -> sampling.TexturePoolGPU:
         """Per-texture 4ch pool (tests / tooling)."""

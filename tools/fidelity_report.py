@@ -1,0 +1,77 @@
+"""Fidelity report: measure image deltas between the reference_parity()
+preset (trilinear, full-rate lookups, 1024^2 pool — the reference's exact
+sampling) and the default / performance configs, on the reference's
+test.lvl at 1080p.
+
+Prints a markdown table (PSNR over tone-mapped sRGB output, % pixels with
+any channel differing by more than 1 and 4 LSB) for PARITY.md.
+
+    python tools/fidelity_report.py [--cpu]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def psnr(a, b) -> float:
+    import numpy as np
+    mse = ((a.astype(np.float64) - b.astype(np.float64)) ** 2).mean()
+    return float("inf") if mse == 0 else 10.0 * np.log10(255.0 ** 2 / mse)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true",
+                    help="run on the CPU backend (slow, deterministic)")
+    ap.add_argument("--width", type=int, default=1920)
+    ap.add_argument("--height", type=int, default=1080)
+    ap.add_argument("--save-dir", default="",
+                    help="also dump the rendered PNGs here")
+    args = ap.parse_args()
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    import numpy as np
+
+    from tinyrenderer_tpu.config import RenderConfig
+    from tinyrenderer_tpu.render.engine import Engine
+
+    base = RenderConfig(width=args.width, height=args.height)
+    configs = {
+        "reference_parity": base.reference_parity(),
+        "default": base,
+        "performance_preset": base.performance_preset(),
+    }
+
+    frames = {}
+    for name, cfg in configs.items():
+        eng = Engine(cfg=cfg, level_path="/root/reference/levels/test.lvl")
+        for _ in range(4):  # let capacity monitors settle
+            out = eng.run_frame(0.0)
+        frames[name] = np.asarray(out.sdr)
+        if args.save_dir:
+            from tinyrenderer_tpu.utils import image_io
+            os.makedirs(args.save_dir, exist_ok=True)
+            image_io.save_png(os.path.join(args.save_dir, f"{name}.png"),
+                              frames[name])
+        print(f"# rendered {name}", file=sys.stderr)
+
+    ref = frames["reference_parity"]
+    print("| config | PSNR (dB) | % pixels >1 LSB | % pixels >4 LSB |")
+    print("|---|---|---|---|")
+    for name, img in frames.items():
+        d = np.abs(img.astype(np.int16) - ref.astype(np.int16)).max(axis=-1)
+        p = psnr(img, ref)
+        print(f"| {name} | {'exact' if p == float('inf') else f'{p:.1f}'} | "
+              f"{100.0 * (d > 1).mean():.2f}% | "
+              f"{100.0 * (d > 4).mean():.2f}% |")
+
+
+if __name__ == "__main__":
+    main()

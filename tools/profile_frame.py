@@ -49,7 +49,7 @@ def main() -> None:
     env = eng._ensure_env()
     base = eng.cfg
     scene = eng._pack.scene
-    pool = eng._packer.texture_pool_gpu()
+    pool = eng._packer.texture_pool_gpu(eng.cfg.windowed_pool)
     pool_win = sampling.pack_texture_pool(
         eng._packer.pool.record_arrays(), windowed=True, u8=True)
     lights = eng._pack.lights
