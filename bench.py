@@ -157,7 +157,7 @@ def time_engine(eng, trace_dir: str = "", reps: int = REPS,
     cfgc = eng.cfg
 
     scene = eng._pack.scene
-    pool = eng._packer.texture_pool_gpu(eng.cfg.windowed_pool)
+    pool = eng._packer.pool_for(eng.cfg)
     lights = eng._pack.lights
     cam0 = jnp.asarray(eng.camera.to_raw())
     params = eng.params
@@ -379,7 +379,7 @@ def measure_cpu_raster_ratio(tpu_ms: float) -> dict:
 
     scene = jax.device_put(eng._pack.scene, cpu)
     pool = jax.device_put(
-        eng._packer.texture_pool_gpu(eng.cfg.windowed_pool), cpu)
+        eng._packer.pool_for(eng.cfg), cpu)
     lights = jax.device_put(eng._pack.lights, cpu)
     cam0 = jax.device_put(jnp.asarray(eng.camera.to_raw()), cpu)
     params = jax.device_put(eng.params, cpu)

@@ -105,3 +105,42 @@ def test_forward_only_pipeline(reference_level_path):
     assert sdr.std() > 1.0
     pick = np.asarray(out.pick_id)
     assert (pick > 0).any()
+
+
+def test_render_scale_pipeline(reference_level_path):
+    """cfg.render_scale_pct: the deferred pipeline runs at reduced internal
+    resolution and upsamples; outputs keep full-res shapes, picking stays
+    usable, and the image approximates the native render."""
+    from dataclasses import replace
+    eng_lo = Engine(cfg=replace(TINY, render_scale_pct=50),
+                    level_path=reference_level_path)
+    out = eng_lo.run_frame(0.0)
+    sdr = np.asarray(out.sdr)
+    assert sdr.shape == (TINY.height, TINY.width, 3)
+    pick = np.asarray(out.pick_id)
+    assert (pick > 0).any()
+    depth = np.asarray(out.depth)
+    assert depth.shape == (TINY.height, TINY.width)
+    assert (depth[pick > 0] > 0).all()
+
+    eng_hi = Engine(cfg=TINY, level_path=reference_level_path)
+    ref = np.asarray(eng_hi.run_frame(0.0).sdr).astype(np.float32)
+    # same scene, same exposure: the mean image level must agree closely
+    assert abs(sdr.astype(np.float32).mean() - ref.mean()) < 8.0
+    # every object with non-trivial full-res coverage stays pickable
+    # (sub-pixel objects may come or go with the sample grid)
+    ref_pick = np.asarray(eng_hi.run_frame(0.0).pick_id)
+    ids, counts = np.unique(ref_pick, return_counts=True)
+    major = set(ids[counts >= 16]) - {0}
+    assert major <= set(np.unique(pick))
+
+
+def test_morton_pool_frame_bit_exact(reference_level_path):
+    """cfg.morton_pool is a pure layout change: the rendered frame must be
+    bit-identical to the linear-layout default."""
+    from dataclasses import replace
+    a = np.asarray(Engine(cfg=TINY, level_path=reference_level_path)
+                   .run_frame(0.0).sdr)
+    b = np.asarray(Engine(cfg=replace(TINY, morton_pool=True),
+                          level_path=reference_level_path).run_frame(0.0).sdr)
+    assert np.array_equal(a, b)

@@ -33,7 +33,7 @@ def engine(reference_level_path):
 
 
 def _args(engine):
-    return (engine._pack.scene, engine._packer.texture_pool_gpu(engine.cfg.windowed_pool),
+    return (engine._pack.scene, engine._packer.pool_for(engine.cfg),
             engine._pack.lights, jnp.asarray(engine.camera.to_raw()),
             engine.params, engine._env)
 
@@ -166,3 +166,26 @@ def test_sharded_512(engine):
     # structural divergence
     assert (d > 1).mean() < 1e-2, f"{(d > 1).sum()} pixels differ"
     assert (d > 16).mean() < 1e-3
+
+
+def test_sharded_render_scale(engine):
+    """cfg.render_scale_pct support in the sharded path: full-res output
+    shapes, and the upsampled image approximates the single-chip
+    render-scale frame (both render at the same internal resolution)."""
+    from dataclasses import replace
+    scene, pool, lights, cam, params, env = _args(engine)
+    mesh = parallel.make_mesh(4, dp=1)
+    cfg_s = parallel.sharded_config(engine.cfg, mesh.shape["sp"])
+    cfg_lo = replace(cfg_s, render_scale_pct=50)
+
+    out = parallel.compiled_sharded_frame(cfg_lo, mesh)(
+        scene, pool, lights, cam[None], params, env)
+    assert out.sdr.shape == (1, cfg_s.height, cfg_s.width, 3)
+    assert out.pick_id.shape == (1, cfg_s.height, cfg_s.width)
+    # same scene and exposure as the native sharded render: image level
+    # must agree closely even though detail softens
+    ref = parallel.compiled_sharded_frame(cfg_s, mesh)(
+        scene, pool, lights, cam[None], params, env)
+    a = np.asarray(out.sdr, dtype=np.float32).mean()
+    b = np.asarray(ref.sdr, dtype=np.float32).mean()
+    assert abs(a - b) < 8.0

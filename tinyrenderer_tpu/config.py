@@ -131,6 +131,17 @@ class RenderConfig:
     # filter reads one texel anyway, so the performance preset turns this
     # off to gather narrow 9B rows.
     windowed_pool: bool = True
+    # Morton (Z-curve) texel order inside each mip level: locally-smooth
+    # uv streams (floors, walls) hit nearby pool rows in both u and v,
+    # raising the gather unit's locality (sequential gathers measured ~5x
+    # faster than random). Off by default pending on-chip A/B.
+    morton_pool: bool = False
+    # Internal render scale in percent (DLSS-style without the NN): the
+    # deferred pipeline runs at pct/100 of the output resolution and the
+    # HDR buffer is bilinearly upsampled before tone mapping (pick/depth
+    # upsample nearest). Per-pixel gather cost scales with the internal
+    # pixel count (75 -> ~0.56x taps). 100 = native.
+    render_scale_pct: int = 100
     # Tile-compacted forward overlay (ops/resolve.py forward_overlay_tiles):
     # the overlay's one-hot select, plane evaluation and texture taps run
     # only on the raster tiles that bin a forward triangle. Gizmos and

@@ -263,6 +263,31 @@ def render_frame_sharded(scene: SceneGPU, pool, lights: LightsGPU,
     B = camera_raw_batch.shape[0]
     if B % dp != 0:
         raise ValueError(f"camera batch {B} not divisible by dp={dp}")
+    if cfg.render_scale_pct != 100:
+        # Reduced internal resolution, same contract as render_frame: the
+        # bands render at pct/100 scale, HDR upsamples bilinearly (pick/
+        # depth nearest) at the jit level — XLA re-shards the resize.
+        from dataclasses import replace
+        pct = cfg.render_scale_pct
+        lw = max(cfg.tile_w, (cfg.width * pct) // 100)
+        lh = max(cfg.tile_h, (cfg.height * pct) // 100)
+        # sharded_config may pad lh up for band divisibility — the camera
+        # projection is resolution-independent, so the padded grid still
+        # covers the full FOV; upsample from the output's own shape.
+        cfg_lo = sharded_config(
+            replace(cfg, render_scale_pct=100, width=lw, height=lh), sp)
+        out = render_frame_sharded(scene, pool, lights, camera_raw_batch,
+                                   params, env, cfg_lo, mesh, atlas)
+        H, W = cfg.height, cfg.width
+        hdr = jax.image.resize(out.hdr, (B, H, W, 3), method="bilinear")
+        sdr = post.tone_map(hdr, params[framelib.PARAM_TONE_TYPE],
+                            params[framelib.PARAM_EXPOSURE])
+        pick = jax.image.resize(out.pick_id, (B, H, W), method="nearest")
+        depth = jax.image.resize(out.depth, (B, H, W), method="nearest")
+        return ShardedFrameOutput(sdr=sdr, pick_id=pick, depth=depth,
+                                  hdr=hdr, bin_overflow=out.bin_overflow,
+                                  shadow_overflow=out.shadow_overflow,
+                                  tex_overflow=out.tex_overflow)
     if cfg.tiles_y % sp != 0:
         raise ValueError(
             f"tiles_y={cfg.tiles_y} not divisible by sp={sp}; "

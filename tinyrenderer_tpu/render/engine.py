@@ -302,7 +302,7 @@ class Engine:
                 self._pack.scene, self._pack.lights)
             self._queue_overflow("shadow", shadow_ovf)
         out = fn(self._pack.scene,
-                 self._packer.texture_pool_gpu(self.cfg.windowed_pool),
+                 self._packer.pool_for(self.cfg),
                  self._pack.lights, cam_raw, self.params, env, self._atlas)
         # dispatch wall time; the FPS-label analog (src/gui.rs:513-516)
         self.last_frame_ms = (time.perf_counter() - t0) * 1e3

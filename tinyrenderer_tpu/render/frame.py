@@ -215,6 +215,30 @@ def render_frame(scene: SceneGPU, pool: sampling.TexturePoolGPU,
     if cfg.forward_only:
         return render_frame_forward(scene, pool, lights, camera_raw, params,
                                     env, cfg)
+    if cfg.render_scale_pct != 100:
+        # Reduced internal resolution (cfg.render_scale_pct): run the whole
+        # deferred pipeline on a proportionally smaller grid (aspect — and
+        # therefore the camera projection — is unchanged), then bilinearly
+        # upsample HDR and re-tone-map at full resolution; pick/depth
+        # upsample nearest so ids stay exact.
+        import dataclasses
+        pct = cfg.render_scale_pct
+        lw = max(cfg.tile_w, (cfg.width * pct) // 100)
+        lh = max(cfg.tile_h, (cfg.height * pct) // 100)
+        cfg_lo = dataclasses.replace(cfg, render_scale_pct=100,
+                                     width=lw, height=lh)
+        out = render_frame(scene, pool, lights, camera_raw, params, env,
+                           cfg_lo, atlas)
+        H, W = cfg.height, cfg.width
+        hdr = _upsample_bilinear(out.hdr, (H, W, 3))
+        sdr = post.tone_map(hdr, params[PARAM_TONE_TYPE],
+                            params[PARAM_EXPOSURE])
+        pick = jax.image.resize(out.pick_id, (H, W), method="nearest")
+        depth = jax.image.resize(out.depth, (H, W), method="nearest")
+        return FrameOutput(sdr=sdr, pick_id=pick, depth=depth, hdr=hdr,
+                           bin_overflow=out.bin_overflow,
+                           shadow_overflow=out.shadow_overflow,
+                           tex_overflow=out.tex_overflow)
     cam = _unpack_camera(camera_raw)
     W, H = cfg.width, cfg.height
     PW, PH = cfg.padded_width, cfg.padded_height

@@ -181,7 +181,7 @@ class ScenePacker:
         self._material_cache[key] = idx
         return idx
 
-    def texture_pool_gpu(self, windowed: bool = True
+    def texture_pool_gpu(self, windowed: bool = True, morton: bool = False
                          ) -> sampling.TexturePoolGPU:
         """Composite material-record pool (9ch u8 texels) — the pool the
         jitted frame samples; one gather fetches a material's whole texel.
@@ -189,15 +189,23 @@ class ScenePacker:
         ``windowed`` (RenderConfig.windowed_pool) packs each row with its
         bilinear neighborhood (36B u8): a full bilinear tap is ONE gather
         (measured 74 -> 59 ms at 1080p). Non-windowed 9B rows are kept for
-        the stochastic (1-texel) filter. u8 storage matches the reference's
-        RGBA8 textures and gathers ~3x faster than f32."""
-        if self._pool_gpu.get(windowed) is None or self._pool_dirty:
+        the stochastic (1-texel) filter. ``morton`` (RenderConfig.
+        morton_pool) stores each level in Z-curve order for 2D gather
+        locality. u8 storage matches the reference's RGBA8 textures and
+        gathers ~3x faster than f32."""
+        key = (windowed, morton)
+        if self._pool_gpu.get(key) is None or self._pool_dirty:
             if self._pool_dirty:
                 self._pool_gpu = {}
-            self._pool_gpu[windowed] = sampling.pack_texture_pool(
-                self.pool.record_arrays(), windowed=windowed, u8=True)
+            self._pool_gpu[key] = sampling.pack_texture_pool(
+                self.pool.record_arrays(), windowed=windowed, u8=True,
+                morton=morton)
             self._pool_dirty = False
-        return self._pool_gpu[windowed]
+        return self._pool_gpu[key]
+
+    def pool_for(self, cfg) -> sampling.TexturePoolGPU:
+        """The pool matching a RenderConfig's layout flags."""
+        return self.texture_pool_gpu(cfg.windowed_pool, cfg.morton_pool)
 
     def scalar_pool_gpu(self) -> sampling.TexturePoolGPU:
         """Per-texture 4ch pool (tests / tooling)."""

@@ -7,7 +7,7 @@ shadow atlas precomputed once and passed in (steady-state frame, engine
 caching semantics).
 
 Usage: python tools/profile_frame.py [--width W --height H] [--rounds R]
-                                     [--set all|filters|rates|passes]
+                                     [--set all|filters|rates|passes|layout]
 """
 
 from __future__ import annotations
@@ -32,7 +32,7 @@ def main() -> None:
     ap.add_argument("--rounds", type=int, default=5)
     ap.add_argument("--frames", type=int, default=8)
     ap.add_argument("--set", default="all",
-                    choices=["all", "filters", "rates", "passes"])
+                    choices=["all", "filters", "rates", "passes", "layout"])
     args = ap.parse_args()
 
     from dataclasses import replace
@@ -49,9 +49,6 @@ def main() -> None:
     env = eng._ensure_env()
     base = eng.cfg
     scene = eng._pack.scene
-    pool = eng._packer.texture_pool_gpu(eng.cfg.windowed_pool)
-    pool_win = sampling.pack_texture_pool(
-        eng._packer.pool.record_arrays(), windowed=True, u8=True)
     lights = eng._pack.lights
     cam0 = jnp.asarray(eng.camera.to_raw())
     params = eng.params
@@ -67,13 +64,25 @@ def main() -> None:
             "fused-resolve": replace(base, fused_resolve=True),
             "jnp-raster": replace(base, use_pallas=False),
         },
-        "filters": {
+        "layout": {
             "full": base,
+            "morton": replace(base, morton_pool=True),
+            "scale-75": replace(base, render_scale_pct=75),
+            "scale-50": replace(base, render_scale_pct=50),
+            "preset": base.performance_preset(),
+            "preset-morton": replace(base.performance_preset(),
+                                     morton_pool=True),
+            "preset-75": replace(base.performance_preset(),
+                                 render_scale_pct=75),
+        },
+        "filters": {
+            "full": base,                               # windowed dithered
             "trilinear": replace(base, texture_filter="trilinear"),
             "bilinear": replace(base, texture_filter="bilinear"),
-            "stochastic": replace(base, texture_filter="stochastic"),
-            ("win", "full"): base,                      # windowed u8 pool
-            ("win", "stochastic"): replace(base, texture_filter="stochastic"),
+            "stochastic": replace(base, texture_filter="stochastic",
+                                  windowed_pool=False),
+            "narrow-dithered": replace(base, windowed_pool=False),
+            "win-stochastic": replace(base, texture_filter="stochastic"),
         },
         "rates": {
             "full": base,
@@ -98,7 +107,7 @@ def main() -> None:
 
     loops = {}
     for name, cfg in variants.items():
-        vpool = pool_win if isinstance(name, tuple) and name[0] == "win" else pool
+        vpool = eng._packer.pool_for(cfg)
         vatlas = None if cfg.forward_only else atlas
 
         def make(cfg, vpool, vatlas):
