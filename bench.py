@@ -65,7 +65,8 @@ def _retry(fn, attempts: int = RETRIES, label: str = ""):
 
 
 def build_engine(stress: bool = False, forward: bool = False,
-                 highpoly: bool = False, envpass: bool = False):
+                 highpoly: bool = False, envpass: bool = False,
+                 multilight: bool = False):
     from tinyrenderer_tpu.config import RenderConfig
     from tinyrenderer_tpu.render.engine import Engine
     from tinyrenderer_tpu.scene import demo
@@ -98,6 +99,33 @@ def build_engine(stress: bool = False, forward: bool = False,
         return Engine.from_world(
             demo.build_highpoly_world(9),
             camera=demo.build_demo_camera(cfg.width, cfg.height), cfg=cfg)
+    if multilight:
+        # BASELINE config 2: the deferred scene with 4 point + 1 directional
+        # light (25 shadow views)
+        import numpy as np
+        from tinyrenderer_tpu.scene import components as comp
+        from tinyrenderer_tpu.scene.world import WorldObject
+        cfg = RenderConfig(width=1920, height=1080)
+        eng = (Engine(cfg=cfg, level_path=ref_level)
+               if os.path.exists(ref_level) else
+               Engine.from_world(demo.build_demo_world(n_cubes=50),
+                                 camera=demo.build_demo_camera(cfg.width,
+                                                               cfg.height),
+                                 cfg=cfg))
+        n_point = sum(
+            1 for _oid, o in eng.world.world_objects()
+            if any(isinstance(c, comp.LightObjectComponent)
+                   for c in o.components))
+        rng = np.random.default_rng(7)
+        for i in range(max(0, 4 - n_point)):
+            eng.world.add_world_object(WorldObject(
+                components=[comp.LightObjectComponent(
+                    light=comp.PointLight(color=np.array(
+                        [20.0, 18.0, 16.0], np.float32)))],
+                transform=comp.TransformComponent(position=np.array(
+                    [rng.uniform(-8, 8), 5.0 + i, rng.uniform(-8, 8)],
+                    np.float32))))
+        return eng
     cfg = RenderConfig(width=1920, height=1080)
     if envpass:
         # BASELINE config 3 differs from the default only in exercising the
@@ -449,7 +477,10 @@ def main() -> int:
         results = [
             run_config("config1", "ms/frame p50, 800x600 forward-only "
                        "(test.lvl)", forward=True),
-            run_config("config2+3", "ms/frame p50, 1080p deferred "
+            run_config("config2", "ms/frame p50, 1080p deferred, 4 point + "
+                       "1 directional light, 25 shadow views (test.lvl)",
+                       reps=2, multilight=True),
+            run_config("config3", "ms/frame p50, 1080p deferred "
                        "PBR+shadows+IBL+env (test.lvl)", envpass=True,
                        scale_check=True),
             run_config("config5", "ms/frame p50, 1440p 500-draw stress, "
@@ -469,7 +500,7 @@ def main() -> int:
             results.append({"metric": "editor round-trip (config 4)",
                             "error": str(e).splitlines()[0][:300]})
         try:
-            tpu_ms = results[1].get("value")
+            tpu_ms = results[2].get("value")  # config3 = 1080p deferred
             if tpu_ms:
                 results.append({"metric": "vs CPU software raster",
                                 **measure_cpu_raster_ratio(tpu_ms)})
@@ -504,6 +535,16 @@ def main() -> int:
             except Exception as e:  # noqa: BLE001
                 res["extra"]["performance_preset_ms"] = None
                 print(f"# preset timing failed: {e}", file=sys.stderr)
+            try:
+                from dataclasses import replace
+                eng = build_engine()
+                eng.cfg = replace(eng.cfg.performance_preset(),
+                                  render_scale_pct=75)
+                times, _, _ = time_engine(eng, reps=2, iters=ITERS)
+                res["extra"]["preset_75pct_ms"] = percentiles(times)["p50_ms"]
+            except Exception as e:  # noqa: BLE001
+                res["extra"]["preset_75pct_ms"] = None
+                print(f"# preset-75 timing failed: {e}", file=sys.stderr)
             try:
                 res["extra"]["raster_throughput"] = measure_raster_throughput()
             except Exception as e:  # noqa: BLE001

@@ -42,11 +42,16 @@ def main() -> None:
     from tinyrenderer_tpu.config import RenderConfig
     from tinyrenderer_tpu.render.engine import Engine
 
+    from dataclasses import replace
+
     base = RenderConfig(width=args.width, height=args.height)
     configs = {
         "reference_parity": base.reference_parity(),
         "default": base,
+        "default_75pct": replace(base, render_scale_pct=75),
         "performance_preset": base.performance_preset(),
+        "preset_75pct": replace(base.performance_preset(),
+                                render_scale_pct=75),
     }
 
     frames = {}
