@@ -356,7 +356,7 @@ def measure_editor_roundtrip() -> dict:
         if i % 2 == 0 or not added:
             w = demo.build_demo_world(n_cubes=1)
             oid = app.engine.world.add_world_object(
-                next(iter(w.world_objects.values())))
+                next(o for _oid, o in w.world_objects()))
             added.append(oid)
         else:
             app.engine.world.remove_world_object(added.pop())

@@ -144,3 +144,36 @@ def test_morton_pool_frame_bit_exact(reference_level_path):
     b = np.asarray(Engine(cfg=replace(TINY, morton_pool=True),
                           level_path=reference_level_path).run_frame(0.0).sdr)
     assert np.array_equal(a, b)
+
+
+def test_ssr_strength_zero_is_passthrough(reference_level_path):
+    """enable_ssr with strength 0 reproduces the reference's shipped
+    behavior (screen_space_reflection.wgsl:135 stores the source color):
+    the image must be bit-identical to the SSR-disabled frame."""
+    from dataclasses import replace
+    from tinyrenderer_tpu.render import frame as framelib
+    eng_off = Engine(cfg=TINY, level_path=reference_level_path)
+    eng_on = Engine(cfg=replace(TINY, enable_ssr=True),
+                    level_path=reference_level_path)
+    a = np.asarray(eng_off.run_frame(0.0).sdr)
+    b = np.asarray(eng_on.run_frame(0.0).sdr)
+    assert np.array_equal(a, b)
+
+
+def test_ssr_blend_active(reference_level_path):
+    """With a positive strength the coarse+refine march must find hits and
+    blend reflections into the frame (finite, changed pixels)."""
+    from dataclasses import replace
+    from tinyrenderer_tpu.render import frame as framelib
+    eng = Engine(cfg=replace(TINY, enable_ssr=True),
+                 level_path=reference_level_path)
+    base = np.asarray(eng.run_frame(0.0).sdr)
+    eng.set_param(framelib.PARAM_SSR_STRENGTH, 0.9)
+    out = eng.run_frame(0.0)
+    sdr = np.asarray(out.sdr)
+    assert np.isfinite(np.asarray(out.hdr)).all()
+    changed = (np.abs(sdr.astype(int) - base.astype(int)).max(axis=-1) > 1)
+    assert changed.any(), "SSR found no reflections on test.lvl"
+    # reflections only appear on geometry, never on the sky
+    pick = np.asarray(out.pick_id)
+    assert not changed[pick == 0].any()

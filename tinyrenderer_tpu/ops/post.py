@@ -38,17 +38,44 @@ def tone_map(hdr: jax.Array, tone_type: jax.Array, exposure: jax.Array) -> jax.A
     return jnp.clip(gamma * 255.0 + 0.5, 0.0, 255.0).astype(jnp.uint8)
 
 
+def _project_ray_points(position, refl, ts, view_proj):
+    """World-space points position + refl*t projected to (u, v, ray_z)."""
+    p = position + refl * ts[..., None]
+    ph = jnp.concatenate([p, jnp.ones_like(p[..., :1])], axis=-1)
+    c = jnp.einsum("hwj,ij->hwi", ph, view_proj, preferred_element_type=F32)
+    w = jnp.maximum(c[..., 3], 1e-6)
+    ndc = c[..., :3] / w[..., None]
+    u = ndc[..., 0] * 0.5 + 0.5
+    v = 0.5 - ndc[..., 1] * 0.5
+    return u, v, ndc[..., 2]
+
+
 @jax.named_scope("ssr")
 def screen_space_reflections(hdr: jax.Array, depth: jax.Array,
                              position: jax.Array, normal: jax.Array,
                              view_proj: jax.Array, camera_pos: jax.Array,
                              thickness: jax.Array, strength: jax.Array,
-                             num_steps: int = 64) -> jax.Array:
-    """Texture-space SSR march (screen_space_reflection.wgsl:58-121).
+                             num_steps: int = 256,
+                             mask: jax.Array = None) -> jax.Array:
+    """Texture-space SSR with the reference's 256-step range
+    (screen_space_reflection.wgsl:58-121), restructured TPU-first.
 
-    Marches the reflection ray in world space, projecting each step into
-    screen space and comparing reverse-Z depth with a thickness window.
-    Blended by ``strength`` (reference ships with an effective 0).
+    A GPU HiZ march adapts its step per pixel (divergent control flow);
+    XLA wants static shapes, and a TPU gather costs the same per issued
+    row regardless of the source table size — so what matters is the
+    NUMBER of depth taps, not where they read. The march therefore runs
+    in two fixed-length phases covering ``num_steps`` fine steps of ray
+    distance in num_steps/4 + 8 taps:
+
+    1. coarse: num_steps/4 strided taps against a 4x4 max-reduced depth
+       grid (reverse-Z max = nearest surface in the footprint — the
+       conservative bound, like a HiZ max pyramid level: a surface the
+       fine march could hit is never stepped over);
+    2. refine: 8 bisection taps of the full-res depth inside the
+       bracketed interval, recovering fine-step precision.
+
+    Blended by ``strength`` (the reference ships its SSR storing the
+    source color, :135 — strength 0 reproduces that).
     """
     H, W = depth.shape
     view = position - camera_pos[None, None, :]
@@ -56,34 +83,66 @@ def screen_space_reflections(hdr: jax.Array, depth: jax.Array,
     refl = view - 2.0 * jnp.sum(view * normal, axis=-1, keepdims=True) * normal
 
     step_len = 0.25
-    hit_uv = jnp.zeros((H, W, 2), F32)
-    hit_found = jnp.zeros((H, W), bool)
+    coarse_steps = max(num_steps // 4, 1)
 
-    def body(i, carry):
-        hit_uv, hit_found = carry
-        p = position + refl * (step_len * (i + 1.0))
-        ph = jnp.concatenate([p, jnp.ones_like(p[..., :1])], axis=-1)
-        c = jnp.einsum("hwj,ij->hwi", ph, view_proj, preferred_element_type=F32)
-        w = jnp.maximum(c[..., 3], 1e-6)
-        ndc = c[..., :3] / w[..., None]
-        u = ndc[..., 0] * 0.5 + 0.5
-        v = 0.5 - ndc[..., 1] * 0.5
+    # 4x4 max-reduce (reverse-Z: max depth = closest surface). Pad so the
+    # grid divides; padding with 0 (= far plane) never creates fake hits.
+    Hp, Wp = -(-H // 4) * 4, -(-W // 4) * 4
+    dpad = jnp.pad(depth, ((0, Hp - H), (0, Wp - W)))
+    dmax = dpad.reshape(Hp // 4, 4, Wp // 4, 4).max(axis=(1, 3))
+    Hc, Wc = Hp // 4, Wp // 4
+
+    def coarse_body(i, carry):
+        t_hit, hit_found = carry
+        t = step_len * 4.0 * (i + 1.0)
+        u, v, ray_z = _project_ray_points(position, refl, jnp.full((H, W), t, F32),
+                                          view_proj)
+        xi = jnp.clip((u * Wc).astype(jnp.int32), 0, Wc - 1)
+        yi = jnp.clip((v * Hc).astype(jnp.int32), 0, Hc - 1)
+        scene_z = jnp.take(dmax.reshape(-1), yi * Wc + xi)
+        inside = (u >= 0) & (u <= 1) & (v >= 0) & (v <= 1)
+        # conservative interval test: the footprint's nearest surface is in
+        # front of the ray point (no thickness window yet — refine applies it)
+        hit = inside & (scene_z > ray_z) & (scene_z > 0)
+        newly = hit & (~hit_found)
+        t_hit = jnp.where(newly, t, t_hit)
+        hit_found = hit_found | hit
+        return t_hit, hit_found
+
+    t_hit, coarse_found = jax.lax.fori_loop(
+        0, coarse_steps, coarse_body,
+        (jnp.zeros((H, W), F32), jnp.zeros((H, W), bool)))
+
+    # bisection refine inside (t_hit - 4*step, t_hit]: 8 full-res taps give
+    # step_len/64 precision — finer than the reference's linear step.
+    t_lo = jnp.maximum(t_hit - step_len * 4.0, 0.0)
+    t_hi = t_hit
+
+    def refine_body(_, carry):
+        t_lo, t_hi = carry
+        tm = 0.5 * (t_lo + t_hi)
+        u, v, ray_z = _project_ray_points(position, refl, tm, view_proj)
         xi = jnp.clip((u * W).astype(jnp.int32), 0, W - 1)
         yi = jnp.clip((v * H).astype(jnp.int32), 0, H - 1)
         scene_z = jnp.take(depth.reshape(-1), yi * W + xi)
-        ray_z = ndc[..., 2]
-        inside = (u >= 0) & (u <= 1) & (v >= 0) & (v <= 1)
-        # reverse-Z: scene in front of ray point when scene_z > ray_z
-        hit = inside & (scene_z > ray_z) & (scene_z - ray_z < thickness) & (scene_z > 0)
-        newly = hit & (~hit_found)
-        hit_uv = jnp.where(newly[..., None], jnp.stack([u, v], axis=-1), hit_uv)
-        hit_found = hit_found | hit
-        return hit_uv, hit_found
+        front = (scene_z > ray_z) & (scene_z > 0)
+        return jnp.where(front, t_lo, tm), jnp.where(front, tm, t_hi)
 
-    hit_uv, hit_found = jax.lax.fori_loop(0, num_steps, body, (hit_uv, hit_found))
+    t_lo, t_hi = jax.lax.fori_loop(0, 8, refine_body, (t_lo, t_hi))
 
-    xi = jnp.clip((hit_uv[..., 0] * W).astype(jnp.int32), 0, W - 1)
-    yi = jnp.clip((hit_uv[..., 1] * H).astype(jnp.int32), 0, H - 1)
+    # final full-res visibility + thickness test at the refined point
+    u, v, ray_z = _project_ray_points(position, refl, t_hi, view_proj)
+    xi = jnp.clip((u * W).astype(jnp.int32), 0, W - 1)
+    yi = jnp.clip((v * H).astype(jnp.int32), 0, H - 1)
+    scene_z = jnp.take(depth.reshape(-1), yi * W + xi)
+    inside = (u >= 0) & (u <= 1) & (v >= 0) & (v <= 1)
+    hit_found = (coarse_found & inside & (scene_z > ray_z)
+                 & (scene_z - ray_z < thickness) & (scene_z > 0))
+
+    if mask is not None:
+        # background pixels carry no valid GBuffer position/normal — the
+        # reference's SSR likewise only shades lit geometry
+        hit_found = hit_found & mask
     refl_color = jnp.take(hdr.reshape(-1, 3), yi * W + xi, axis=0)
     blend = strength * hit_found.astype(F32)[..., None]
     return hdr * (1.0 - blend) + refl_color * blend
