@@ -220,7 +220,7 @@ def bin_triangles(setup: TriangleSetup, width: int, height: int,
 # ---------------------------------------------------------------------------
 
 def _raster_kernel(counts_ref, rows_ref, id_out_ref, z_out_ref,
-                   *, tile_h: int, tile_w: int, chunk: int):
+                   *, tile_h: int, tile_w: int, chunk: int, kb: int):
     """Per-tile visibility raster.
 
     Plane evaluation is an MXU matmul: the 4 affine planes (3 edges + depth)
@@ -228,10 +228,19 @@ def _raster_kernel(counts_ref, rows_ref, id_out_ref, z_out_ref,
     B (3, P) — one (4*chunk, P) dot per chunk instead of ~12 VPU broadcast
     multiply-adds per plane. With chunk=32 the A rows fill one 128-row MXU
     tile. The VPU only does the cover test + running max afterwards.
+
+    The grid's third dimension walks the tile's bin in blocks of ``kb``
+    rows, revisiting the output block with a running depth race — per-
+    invocation VMEM stays bounded no matter how far the bin capacity has
+    grown (a 108k-triangle mesh can legitimately bin tens of thousands of
+    shadow casters into one 128x128 shadow tile; pulling that whole bin
+    into VMEM blew the 16 MB scoped limit).
     """
     i = pl.program_id(0)
     j = pl.program_id(1)
+    b = pl.program_id(2)
     count = counts_ref[i, j]
+    base = b * kb
 
     P = tile_h * tile_w
     ox = (j * tile_w).astype(F32) + 0.5
@@ -241,7 +250,7 @@ def _raster_kernel(counts_ref, rows_ref, id_out_ref, z_out_ref,
     pixy = jnp.floor_divide(xs, float(tile_w)) + oy
     basis = jnp.concatenate([pixx, pixy, jnp.ones_like(pixx)], axis=0)  # (3, P)
 
-    nchunks = pl.cdiv(count, chunk)
+    nchunks = pl.cdiv(jnp.clip(count - base, 0, kb), chunk)
 
     def body(c, carry):
         best_z, best_id = carry
@@ -263,15 +272,30 @@ def _raster_kernel(counts_ref, rows_ref, id_out_ref, z_out_ref,
         cand = jnp.where(covered, z, -1.0)
         chunk_z = jnp.max(cand, axis=0)                # (P,)
         chunk_id = jnp.max(jnp.where(cand >= chunk_z[None], idf, 0.0), axis=0)
-        upd = chunk_z > best_z
+        # tie-break on exact z equality by max id — matches the jnp
+        # reference's single global max (duplicate/degenerate triangles
+        # can evaluate to bit-identical depth planes)
+        upd = (chunk_z > best_z) | ((chunk_z == best_z) & (chunk_id > best_id))
         return (jnp.where(upd, chunk_z, best_z),
                 jnp.where(upd, chunk_id, best_id))
 
     init = (jnp.zeros((P,), F32), jnp.zeros((P,), F32))
     best_z, best_id = jax.lax.fori_loop(0, nchunks, body, init)
+    blk_id = best_id.reshape(tile_h, tile_w).astype(I32) - 1
+    blk_z = best_z.reshape(tile_h, tile_w)
 
-    id_out_ref[0, 0] = best_id.reshape(tile_h, tile_w).astype(I32) - 1
-    z_out_ref[0, 0] = best_z.reshape(tile_h, tile_w)
+    @pl.when(b == 0)
+    def _init():
+        id_out_ref[0, 0] = blk_id
+        z_out_ref[0, 0] = blk_z
+
+    @pl.when(b > 0)
+    def _combine():
+        cur_z = z_out_ref[0, 0]
+        cur_id = id_out_ref[0, 0]
+        upd = (blk_z > cur_z) | ((blk_z == cur_z) & (blk_id > cur_id))
+        id_out_ref[0, 0] = jnp.where(upd, blk_id, cur_id)
+        z_out_ref[0, 0] = jnp.where(upd, blk_z, cur_z)
 
 
 def _raster_resolve_kernel(counts_ref, rows_ref, table_ref,
@@ -322,7 +346,7 @@ def _raster_resolve_kernel(counts_ref, rows_ref, table_ref,
         chunk_sel = jax.lax.dot_general(
             t, onehot, (((0,), (0,)), ((), ())),
             preferred_element_type=F32)                      # (D, P) on MXU
-        upd = chunk_z > best_z
+        upd = (chunk_z > best_z) | ((chunk_z == best_z) & (chunk_id > best_id))
         # bool minor-dim broadcast is unsupported by Mosaic: use f32 lerp
         updf = upd.astype(F32)[None, :]
         return (jnp.where(upd, chunk_z, best_z),
@@ -407,9 +431,17 @@ def rasterize_binned(bins: Bins, tile_h: int, tile_w: int,
         return _rasterize_binned_jnp(bins, tile_h, tile_w)
 
     chunk = min(chunk, K)
-    grid = (tiles_y, tiles_x)
+    # bin-block size: bound per-invocation VMEM (block = kb*16*4 B) while
+    # keeping the revisit overhead nil for ordinary capacities. kb must
+    # divide K (out-of-bounds block reads are undefined): capacities are
+    # pow2 buckets in practice, so this nearly always lands 4096.
+    n_kb = -(-K // 4096)
+    kb = -(-K // n_kb)
+    if K % kb:
+        kb, n_kb = K, 1
+    grid = (tiles_y, tiles_x, n_kb)
     kernel = functools.partial(_raster_kernel, tile_h=tile_h, tile_w=tile_w,
-                               chunk=chunk)
+                               chunk=chunk, kb=kb)
     flops_per_tile = K * tile_h * tile_w * 16
     interpret = jax.default_backend() != "tpu"
     id_tiles, z_tiles = pl.pallas_call(
@@ -418,13 +450,13 @@ def rasterize_binned(bins: Bins, tile_h: int, tile_w: int,
         interpret=interpret,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # counts: full (ty, tx)
-            pl.BlockSpec((1, 1, K, SETUP_COLS), lambda i, j: (i, j, 0, 0),
+            pl.BlockSpec((1, 1, kb, SETUP_COLS), lambda i, j, b: (i, j, b, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, tile_h, tile_w), lambda i, j: (i, j, 0, 0),
+            pl.BlockSpec((1, 1, tile_h, tile_w), lambda i, j, b: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, tile_h, tile_w), lambda i, j: (i, j, 0, 0),
+            pl.BlockSpec((1, 1, tile_h, tile_w), lambda i, j, b: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
