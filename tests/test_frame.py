@@ -177,3 +177,16 @@ def test_ssr_blend_active(reference_level_path):
     # reflections only appear on geometry, never on the sky
     pick = np.asarray(out.pick_id)
     assert not changed[pick == 0].any()
+
+
+def test_shadow_bf16_atlas_close(reference_level_path):
+    """cfg.shadow_bf16 halves the windowed PCF row; the quantized compare
+    must not visibly change the frame (back-face bake bias dominates the
+    0.4% relative depth noise)."""
+    from dataclasses import replace
+    a = np.asarray(Engine(cfg=TINY, level_path=reference_level_path)
+                   .run_frame(0.0).sdr)
+    b = np.asarray(Engine(cfg=replace(TINY, shadow_bf16=True),
+                          level_path=reference_level_path).run_frame(0.0).sdr)
+    d = np.abs(a.astype(np.int16) - b.astype(np.int16)).max(axis=-1)
+    assert (d > 2).mean() < 0.01, f"{(d > 2).sum()} pixels differ"

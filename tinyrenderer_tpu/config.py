@@ -131,6 +131,12 @@ class RenderConfig:
     # filter reads one texel anyway, so the performance preset turns this
     # off to gather narrow 9B rows.
     windowed_pool: bool = True
+    # bf16 shadow-atlas storage: halves the windowed PCF row (16B -> 8B;
+    # TPU gather rows pay per byte). The depth compare quantizes the
+    # occluder depth to 8 mantissa bits — the back-face bake convention
+    # already separates occluder and receiver by the object's thickness,
+    # so the ~0.2% relative noise is far below the natural bias.
+    shadow_bf16: bool = False
     # Morton (Z-curve) texel order inside each mip level: locally-smooth
     # uv streams (floors, walls) hit nearby pool rows in both u and v,
     # raising the gather unit's locality (sequential gathers measured ~5x

@@ -95,7 +95,8 @@ def _compare_pcf(shadow_map: jax.Array, u: jax.Array, v: jax.Array,
     y0 = jnp.clip(y0.astype(I32), 0, S - 1)
     flat = shadow_map.reshape(-1, 4)
     win = jnp.take(flat, base + y0 * S + x0, axis=0)   # (..., 4)
-    lit = (ref_z[..., None] > win).astype(F32)
+    # atlas may be bf16 (cfg.shadow_bf16) — compare in f32
+    lit = (ref_z[..., None] > win.astype(F32)).astype(F32)
     return ((lit[..., 0] * (1 - fx) + lit[..., 1] * fx) * (1 - fy)
             + (lit[..., 2] * (1 - fx) + lit[..., 3] * fx) * fy)
 

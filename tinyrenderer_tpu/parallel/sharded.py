@@ -218,7 +218,10 @@ def _atlas_roundrobin(scene: SceneGPU, lights: LightsGPU,
         use_pallas=cfg.use_pallas)
     atlas = jax.lax.all_gather(atlas_local, ("dp", "sp"),
                                axis=0, tiled=True)[:n_views]
-    return shadows.window_depth_maps(atlas), shadow_ovf
+    win = shadows.window_depth_maps(atlas)
+    if cfg.shadow_bf16:
+        win = win.astype(jnp.bfloat16)
+    return win, shadow_ovf
 
 
 def render_shadow_atlas_sharded(scene: SceneGPU, lights: LightsGPU,

@@ -194,7 +194,10 @@ def render_shadow_atlas(scene: SceneGPU, lights: LightsGPU,
     atlas, overflow = shadows.render_shadow_views(
         clip_views, scene.tri_vidx, scene.tri_shadow, cfg.shadow_size,
         cfg.shadow_tile, cfg.shadow_bin_capacity, use_pallas=cfg.use_pallas)
-    return shadows.window_depth_maps(atlas), overflow
+    win = shadows.window_depth_maps(atlas)
+    if cfg.shadow_bf16:
+        win = win.astype(jnp.bfloat16)
+    return win, overflow
 
 
 @functools.lru_cache(maxsize=8)

@@ -32,7 +32,7 @@ def main() -> None:
     ap.add_argument("--rounds", type=int, default=5)
     ap.add_argument("--frames", type=int, default=8)
     ap.add_argument("--set", default="all",
-                    choices=["all", "filters", "rates", "passes", "layout"])
+                    choices=["all", "filters", "rates", "passes", "layout", "shadow"])
     args = ap.parse_args()
 
     from dataclasses import replace
@@ -63,6 +63,14 @@ def main() -> None:
             "forward-only": replace(base, forward_only=True),
             "fused-resolve": replace(base, fused_resolve=True),
             "jnp-raster": replace(base, use_pallas=False),
+        },
+        "shadow": {
+            "full": base,
+            "bf16-atlas": replace(base, shadow_bf16=True),
+            "shadowscale-4": replace(base, shadow_lookup_scale=4),
+            "bf16+scale4": replace(base, shadow_bf16=True,
+                                   shadow_lookup_scale=4),
+            "no-shadows": replace(base, enable_shadows=False),
         },
         "layout": {
             "full": base,
@@ -101,14 +109,13 @@ def main() -> None:
     else:
         variants = groups[args.set]
 
-    # steady-state shadow atlas, rendered once (engine caching semantics)
-    atlas = jax.block_until_ready(
-        framelib.compiled_shadow_atlas(base)(scene, lights)[0])
-
     loops = {}
     for name, cfg in variants.items():
         vpool = eng._packer.pool_for(cfg)
-        vatlas = None if cfg.forward_only else atlas
+        # steady-state shadow atlas, rendered once per variant config
+        # (engine caching semantics; honors shadow_bf16 row width)
+        vatlas = None if cfg.forward_only else jax.block_until_ready(
+            framelib.compiled_shadow_atlas(cfg)(scene, lights)[0])
 
         def make(cfg, vpool, vatlas):
             @jax.jit
