@@ -11,7 +11,7 @@
 //   - per-triangle tangent/bitangent solve, accumulate, average by incident
 //     triangle count (src/model.rs:442-499)
 //
-// Build: g++ -O3 -shared -fPIC -o libtr_assets.so asset_loader.cpp
+// Build: g++ -O3 -shared -fPIC -o libtr_assets.so asset_loader.cpp -lz
 
 #include <cstdint>
 #include <cstdlib>
@@ -20,6 +20,8 @@
 #include <string>
 #include <unordered_map>
 #include <vector>
+
+#include <zlib.h>
 
 namespace {
 
@@ -232,6 +234,82 @@ void tr_compute_tangents(const float* positions, const float* tex_coords,
       bitangents_out[3 * v + k] = (float)(bit_acc[3 * v + k] / c);
     }
   }
+}
+
+// PNG encode (viewer frame streaming + screenshot writes). The reference
+// writes frames through wgpu's swapchain; our viewer streams PNG over
+// HTTP, and PIL's encoder costs 26-350 ms per 1080p frame on this host —
+// a per-frame host bottleneck. Sub-filter + zlib level 1 keeps the
+// stream small on rendered content while staying fast.
+//
+// Returns a malloc'd buffer (caller frees with tr_png_free); *out_len = 0
+// on failure. img is (h, w, c) uint8, c in {3, 4}, row-major contiguous.
+unsigned char* tr_encode_png(const unsigned char* img, int64_t h, int64_t w,
+                             int64_t c, int64_t* out_len);
+void tr_png_free(unsigned char* buf) { free(buf); }
+
+static void png_put_be32(std::vector<unsigned char>& v, uint32_t x) {
+  v.push_back((x >> 24) & 0xff);
+  v.push_back((x >> 16) & 0xff);
+  v.push_back((x >> 8) & 0xff);
+  v.push_back(x & 0xff);
+}
+
+static void png_chunk(std::vector<unsigned char>& out, const char type[4],
+                      const unsigned char* data, size_t len) {
+  png_put_be32(out, (uint32_t)len);
+  size_t start = out.size();
+  out.insert(out.end(), type, type + 4);
+  if (len) out.insert(out.end(), data, data + len);
+  uint32_t crc = (uint32_t)crc32(0L, out.data() + start, (uInt)(len + 4));
+  png_put_be32(out, crc);
+}
+
+unsigned char* tr_encode_png(const unsigned char* img, int64_t h, int64_t w,
+                             int64_t c, int64_t* out_len) {
+  *out_len = 0;
+  if ((c != 3 && c != 4) || h <= 0 || w <= 0) return nullptr;
+  const size_t row = (size_t)w * c;
+  // Sub-filtered scanlines: filter byte 1 + per-byte left-delta. Cheap and
+  // compresses rendered gradients far better than filter 0.
+  std::vector<unsigned char> raw((row + 1) * h);
+  for (int64_t y = 0; y < h; ++y) {
+    unsigned char* dst = raw.data() + (size_t)y * (row + 1);
+    const unsigned char* src = img + (size_t)y * row;
+    dst[0] = 1;  // Sub
+    for (size_t x = 0; x < row; ++x)
+      dst[1 + x] = (unsigned char)(src[x] - (x >= (size_t)c ? src[x - c] : 0));
+  }
+  uLongf zcap = compressBound((uLong)raw.size());
+  std::vector<unsigned char> zbuf(zcap);
+  if (compress2(zbuf.data(), &zcap, raw.data(), (uLong)raw.size(), 1) != Z_OK)
+    return nullptr;
+
+  std::vector<unsigned char> out;
+  out.reserve(zcap + 128);
+  static const unsigned char sig[8] = {137, 'P', 'N', 'G', 13, 10, 26, 10};
+  out.insert(out.end(), sig, sig + 8);
+  unsigned char ihdr[13];
+  ihdr[0] = (unsigned char)((w >> 24) & 0xff);
+  ihdr[1] = (unsigned char)((w >> 16) & 0xff);
+  ihdr[2] = (unsigned char)((w >> 8) & 0xff);
+  ihdr[3] = (unsigned char)(w & 0xff);
+  ihdr[4] = (unsigned char)((h >> 24) & 0xff);
+  ihdr[5] = (unsigned char)((h >> 16) & 0xff);
+  ihdr[6] = (unsigned char)((h >> 8) & 0xff);
+  ihdr[7] = (unsigned char)(h & 0xff);
+  ihdr[8] = 8;                          // bit depth
+  ihdr[9] = (c == 3) ? 2 : 6;           // color type: RGB / RGBA
+  ihdr[10] = ihdr[11] = ihdr[12] = 0;   // compression/filter/interlace
+  png_chunk(out, "IHDR", ihdr, 13);
+  png_chunk(out, "IDAT", zbuf.data(), zcap);
+  png_chunk(out, "IEND", nullptr, 0);
+
+  unsigned char* buf = (unsigned char*)malloc(out.size());
+  if (!buf) return nullptr;
+  memcpy(buf, out.data(), out.size());
+  *out_len = (int64_t)out.size();
+  return buf;
 }
 
 // 2x2 box-filter downsample (the mipmap_generator.wgsl CPU analog used at

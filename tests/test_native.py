@@ -90,3 +90,88 @@ def test_malformed_obj_falls_back_cleanly():
     # raises; load path must survive via its substitution warnings
     bad = "v 0 0 0\nf 1 2 3\n"
     assert native.parse_obj_text(bad) is None
+
+
+def test_native_png_roundtrip():
+    """tr_encode_png output must decode (PIL) to the exact input pixels —
+    RGB and RGBA, including a real rendered-frame-like gradient."""
+    from tinyrenderer_tpu.assets import native
+    if not native.available():
+        pytest.skip("native library unavailable")
+    import io
+
+    from PIL import Image
+    rng = np.random.default_rng(3)
+    images = [
+        rng.integers(0, 255, (64, 48, 3)).astype(np.uint8),
+        rng.integers(0, 255, (33, 31, 4)).astype(np.uint8),  # odd dims, RGBA
+        np.tile(np.linspace(0, 255, 128, dtype=np.uint8)[None, :, None],
+                (96, 1, 3)),
+    ]
+    for img in images:
+        data = native.encode_png(img)
+        assert data is not None and data[:8] == b"\x89PNG\r\n\x1a\n"
+        back = np.asarray(Image.open(io.BytesIO(data)))
+        np.testing.assert_array_equal(back, img)
+
+
+def test_encode_png_uses_native_or_falls_back():
+    """image_io.encode_png returns a valid PNG either way."""
+    from tinyrenderer_tpu.utils import image_io
+    img = np.zeros((16, 16, 3), np.uint8)
+    img[4:12, 4:12] = (200, 30, 90)
+    data = image_io.encode_png(img)
+    import io
+
+    from PIL import Image
+    back = np.asarray(Image.open(io.BytesIO(data)))
+    np.testing.assert_array_equal(back, img)
+
+
+def test_obj_fuzz_differential(rng):
+    """Seeded fuzz: random well-formed OBJ documents must parse to the
+    same geometry through the native parser and the Python parser
+    (positions/uv/normals/indices all equal)."""
+    from tinyrenderer_tpu.assets import mesh as meshlib
+    if not native.available():
+        pytest.skip("native library unavailable")
+
+    for trial in range(20):
+        nv = int(rng.integers(3, 30))
+        nt = int(rng.integers(1, 12))
+        nn = int(rng.integers(1, 10))
+        lines = []
+        for _ in range(nv):
+            x, y, z = rng.normal(size=3)
+            lines.append(f"v {x:.6g} {y:.6g} {z:.6g}")
+        for _ in range(nt):
+            u, v = rng.random(2)
+            lines.append(f"vt {u:.6g} {v:.6g}")
+        for _ in range(nn):
+            x, y, z = rng.normal(size=3)
+            lines.append(f"vn {x:.6g} {y:.6g} {z:.6g}")
+        for _ in range(int(rng.integers(1, 15))):
+            # face arity 3..5, token style varies per face; negative
+            # indices exercised on some trials
+            arity = int(rng.integers(3, 6))
+            style = int(rng.integers(0, 4))
+            toks = []
+            for _ in range(arity):
+                pi = int(rng.integers(1, nv + 1))
+                if trial % 3 == 0:
+                    pi = pi - nv - 1  # negative (relative) index
+                ti = int(rng.integers(1, nt + 1))
+                ni = int(rng.integers(1, nn + 1))
+                toks.append([f"{pi}", f"{pi}/{ti}", f"{pi}//{ni}",
+                             f"{pi}/{ti}/{ni}"][style])
+            lines.append("f " + " ".join(toks))
+        text = "\n".join(lines) + "\n"
+
+        got = native.parse_obj_text(text)
+        assert got is not None, f"native parse failed on trial {trial}"
+        p, t, n, idx = got
+        ref = meshlib.parse_obj_text(text)
+        np.testing.assert_allclose(p, ref.positions, atol=1e-6)
+        np.testing.assert_allclose(t, ref.tex_coords, atol=1e-6)
+        np.testing.assert_allclose(n, ref.normals, atol=1e-6)
+        np.testing.assert_array_equal(idx, ref.indices.reshape(-1))

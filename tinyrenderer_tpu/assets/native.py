@@ -29,7 +29,8 @@ _tried = False
 
 
 def _build() -> bool:
-    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-o", _LIB, _SRC]
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-o", _LIB, _SRC,
+           "-lz"]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         return True
@@ -76,6 +77,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.tr_box_downsample.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_void_p]
+        lib.tr_encode_png.restype = ctypes.c_void_p
+        lib.tr_encode_png.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64)]
+        lib.tr_png_free.restype = None
+        lib.tr_png_free.argtypes = [ctypes.c_void_p]
         _lib = lib
         return _lib
 
@@ -137,6 +144,26 @@ def compute_tangents(positions: np.ndarray, tex_coords: np.ndarray,
                             nv, idx.size, tangents.ctypes.data,
                             bitangents.ctypes.data)
     return tangents, bitangents
+
+
+def encode_png(img: np.ndarray):
+    """Native PNG encode (Sub filter + zlib level 1) -> bytes, or None for
+    the PIL fallback. img: (H, W, 3|4) uint8 contiguous."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    a = np.ascontiguousarray(img)
+    if a.dtype != np.uint8 or a.ndim != 3 or a.shape[-1] not in (3, 4):
+        return None
+    out_len = ctypes.c_int64(0)
+    buf = lib.tr_encode_png(a.ctypes.data, a.shape[0], a.shape[1],
+                            a.shape[2], ctypes.byref(out_len))
+    if not buf or out_len.value <= 0:
+        return None
+    try:
+        return ctypes.string_at(buf, out_len.value)
+    finally:
+        lib.tr_png_free(buf)
 
 
 def box_downsample(img: np.ndarray):

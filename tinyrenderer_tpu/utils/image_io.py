@@ -16,13 +16,24 @@ def save_png(path: str, img: np.ndarray) -> None:
 
 
 def encode_png(img: np.ndarray) -> bytes:
-    """Encode (H, W, 3|4) uint8 to PNG bytes (viewer frame streaming)."""
-    import io
+    """Encode (H, W, 3|4) uint8 to PNG bytes (viewer frame streaming).
 
-    from PIL import Image
+    Uses the native encoder (native/asset_loader.cpp tr_encode_png: Sub
+    filter + zlib level 1 — PIL cost 26-350 ms per 1080p frame, a per-
+    frame host bottleneck for the viewer); falls back to PIL when the
+    native library is unavailable."""
     a = np.asarray(img)
     if a.dtype != np.uint8:
         a = np.clip(a * 255.0 + 0.5, 0, 255).astype(np.uint8)
+
+    from ..assets import native
+    out = native.encode_png(a)
+    if out is not None:
+        return out
+
+    import io
+
+    from PIL import Image
     mode = "RGBA" if a.shape[-1] == 4 else "RGB"
     buf = io.BytesIO()
     # compress_level=1: frame streaming favors latency over size
