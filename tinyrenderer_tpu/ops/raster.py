@@ -207,7 +207,13 @@ def bin_triangles(setup: TriangleSetup, width: int, height: int,
     if T < capacity:  # pad so every tile always has `capacity` slots
         order = jnp.pad(order, ((0, 0), (0, 0), (0, capacity - T)),
                         constant_values=T)
-    topk = jnp.sort(order, axis=2)[:, :, :capacity]           # (ty, tx, K)
+        topk = jnp.sort(order, axis=2)[:, :, :capacity]       # (ty, tx, K)
+    else:
+        # top_k of -order = the K smallest triangle indices, descending in
+        # -order -> ascending ids after negation. O(T log K) per tile vs
+        # the full sort's O(T log T) — the binning lever for high-poly
+        # scenes (SURVEY §7.3: 131k triangles, K = 256..1024).
+        topk = -jax.lax.top_k(-order, capacity)[0]
     ids = jnp.where(topk < T, topk, -1)
     rows = jnp.take(setup.rows, jnp.clip(ids, 0, T - 1), axis=0)
     rows = jnp.where((ids >= 0)[..., None], rows, 0.0)
