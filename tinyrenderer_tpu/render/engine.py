@@ -300,7 +300,7 @@ class Engine:
             # every frame until the next scene edit
             self._atlas, shadow_ovf = framelib.compiled_shadow_atlas(self.cfg)(
                 self._pack.scene, self._pack.lights)
-            self._queue_overflow("shadow", shadow_ovf)
+            self._queue_overflow(("shadow",), jnp.stack([shadow_ovf]))
         out = fn(self._pack.scene,
                  self._packer.pool_for(self.cfg),
                  self._pack.lights, cam_raw, self.params, env, self._atlas)
@@ -308,10 +308,10 @@ class Engine:
         self.last_frame_ms = (time.perf_counter() - t0) * 1e3
         self.last_output = out
         self.frame_index += 1
-        self._queue_overflow("bins", out.bin_overflow)
-        self._queue_overflow("shadow", out.shadow_overflow)
-        self._queue_overflow("tex", out.tex_overflow[0])
-        self._queue_overflow("fwdtex", out.tex_overflow[1])
+        self._queue_overflow(
+            ("bins", "shadow", "tex", "fwdtex"),
+            jnp.stack([out.bin_overflow, out.shadow_overflow,
+                       out.tex_overflow[0], out.tex_overflow[1]]))
         self._check_overflow()
         return out
 
@@ -323,8 +323,12 @@ class Engine:
         "fwdtex": ("fwd_tile_capacity", "Forward overlay tile overflow"),
     }
 
-    def _queue_overflow(self, kind: str, value) -> None:
-        self._overflow_inflight.append((kind, value))
+    def _queue_overflow(self, kinds: tuple, values) -> None:
+        """kinds: monitor names; values: (len(kinds),) i32 device array.
+        All of a frame's monitors ride ONE stacked array -> one readback
+        (a scalar fetch over the remote tunnel costs ~50 ms of round-trip;
+        fetching four separately dominated the edited-frame loop)."""
+        self._overflow_inflight.append((kinds, values))
 
     def _check_overflow(self) -> None:
         """Capacity monitors: if a raster tile (main/forward or shadow view)
@@ -332,36 +336,48 @@ class Engine:
         grow that capacity for the next frame (grow-by-reallocating at
         raster scope, like src/light_render_data.rs:145-152 for lights).
         Values are polled asynchronously (like the pick readback) so the
-        check never blocks the frame loop."""
+        check NEVER blocks the frame loop: a stale not-ready backlog is
+        dropped instead of force-fetched — an overflow condition persists
+        while the scene exceeds the capacity, so every subsequent frame
+        re-reports it and nothing is lost."""
         while self._overflow_inflight:
-            kind, head = self._overflow_inflight[0]
+            kinds, head = self._overflow_inflight[0]
             ready = getattr(head, "is_ready", lambda: True)()
-            if not ready and len(self._overflow_inflight) < 8:
+            if not ready:
+                if len(self._overflow_inflight) >= 4:
+                    self._overflow_inflight.pop(0)  # stale; newer re-reports
+                    continue
                 break
             self._overflow_inflight.pop(0)
-            v = int(head)
-            field, label = self._OVERFLOW_KINDS[kind]
-            cap = getattr(self.cfg, field)
-            if cap <= 0:
-                continue  # monitor disabled (dense path by request)
-            if v > cap:
-                if kind in ("tex", "fwdtex"):
-                    # finer buckets than pow2: the compacted gather count
-                    # scales with the capacity, so overshooting to the next
-                    # power of two (e.g. 1351 -> 2048 = dense) wastes the
-                    # whole saving; 12.5% headroom rounded to 256 blocks
-                    new_cap = -(-int(v * 1.125) // 256) * 256
-                else:
-                    new_cap = 1 << (v - 1).bit_length()
-                log.info("%s %d > %d; growing %s to %d",
-                         label, v, cap, field, new_cap)
-                self.notifier.push(
-                    f"{label} ({v}); capacity grown to {new_cap}", "warning")
-                self.cfg = replace(self.cfg, **{field: new_cap})
-                if kind == "shadow":
-                    self._atlas = None  # re-render with the grown capacity
-                self._overflow_inflight.clear()
-                break
+            vals = np.asarray(head)
+            for kind, v in zip(kinds, vals):
+                v = int(v)
+                field, label = self._OVERFLOW_KINDS[kind]
+                cap = getattr(self.cfg, field)
+                if cap <= 0:
+                    continue  # monitor disabled (dense path by request)
+                if v > cap:
+                    if kind in ("tex", "fwdtex"):
+                        # finer buckets than pow2: the compacted gather
+                        # count scales with the capacity, so overshooting
+                        # to the next power of two (e.g. 1351 -> 2048 =
+                        # dense) wastes the whole saving; 12.5% headroom
+                        # rounded to 256 blocks
+                        new_cap = -(-int(v * 1.125) // 256) * 256
+                    else:
+                        new_cap = 1 << (v - 1).bit_length()
+                    log.info("%s %d > %d; growing %s to %d",
+                             label, v, cap, field, new_cap)
+                    self.notifier.push(
+                        f"{label} ({v}); capacity grown to {new_cap}",
+                        "warning")
+                    self.cfg = replace(self.cfg, **{field: new_cap})
+                    if kind == "shadow":
+                        self._atlas = None  # re-render with grown capacity
+                    # config changed: older monitors describe the old
+                    # envelope — drop them and stop for this frame
+                    self._overflow_inflight.clear()
+                    return
 
     def on_end_frame(self) -> None:
         self.world.on_end_frame()
