@@ -160,20 +160,26 @@ def test_ssr_strength_zero_is_passthrough(reference_level_path):
     assert np.array_equal(a, b)
 
 
-def test_ssr_blend_active(reference_level_path):
+def test_ssr_blend_active():
     """With a positive strength the coarse+refine march must find hits and
-    blend reflections into the frame (finite, changed pixels)."""
+    blend reflections into the frame (finite, changed pixels). Uses the
+    demo world — its materials span roughness 0.1-0.9, and SSR is gated
+    by (1-roughness)^2 (test.lvl is all roughness-1 surfaces, which
+    correctly reflect nothing)."""
     from dataclasses import replace
     from tinyrenderer_tpu.render import frame as framelib
-    eng = Engine(cfg=replace(TINY, enable_ssr=True),
-                 level_path=reference_level_path)
+    from tinyrenderer_tpu.scene import demo
+    cfg = replace(TINY, enable_ssr=True)
+    eng = Engine.from_world(
+        demo.build_demo_world(n_cubes=16),
+        camera=demo.build_demo_camera(cfg.width, cfg.height), cfg=cfg)
     base = np.asarray(eng.run_frame(0.0).sdr)
     eng.set_param(framelib.PARAM_SSR_STRENGTH, 0.9)
     out = eng.run_frame(0.0)
     sdr = np.asarray(out.sdr)
     assert np.isfinite(np.asarray(out.hdr)).all()
     changed = (np.abs(sdr.astype(int) - base.astype(int)).max(axis=-1) > 1)
-    assert changed.any(), "SSR found no reflections on test.lvl"
+    assert changed.any(), "SSR found no reflections in the demo scene"
     # reflections only appear on geometry, never on the sky
     pick = np.asarray(out.pick_id)
     assert not changed[pick == 0].any()

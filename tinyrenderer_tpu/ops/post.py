@@ -56,7 +56,8 @@ def screen_space_reflections(hdr: jax.Array, depth: jax.Array,
                              view_proj: jax.Array, camera_pos: jax.Array,
                              thickness: jax.Array, strength: jax.Array,
                              num_steps: int = 256,
-                             mask: jax.Array = None) -> jax.Array:
+                             mask: jax.Array = None,
+                             roughness: jax.Array = None) -> jax.Array:
     """Texture-space SSR with the reference's 256-step range
     (screen_space_reflection.wgsl:58-121), restructured TPU-first.
 
@@ -139,12 +140,25 @@ def screen_space_reflections(hdr: jax.Array, depth: jax.Array,
     hit_found = (coarse_found & inside & (scene_z > ray_z)
                  & (scene_z - ray_z < thickness) & (scene_z > 0))
 
+    # self-hit rejection: a glancing ray that converges back onto (or next
+    # to) its own pixel is reflecting its own surface — the source of
+    # smear streaks along walls
+    px = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    py = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    hit_found = hit_found & ((jnp.abs(xi - px) + jnp.abs(yi - py)) > 2)
+
     if mask is not None:
         # background pixels carry no valid GBuffer position/normal — the
         # reference's SSR likewise only shades lit geometry
         hit_found = hit_found & mask
     refl_color = jnp.take(hdr.reshape(-1, 3), yi * W + xi, axis=0)
     blend = strength * hit_found.astype(F32)[..., None]
+    if roughness is not None:
+        # only smooth surfaces mirror: scale by (1 - roughness)^2 so the
+        # rough default walls stay diffuse (the physically expected gate a
+        # strength-only blend lacks)
+        gloss = jnp.clip(1.0 - roughness, 0.0, 1.0)[..., None]
+        blend = blend * gloss * gloss
     return hdr * (1.0 - blend) + refl_color * blend
 
 

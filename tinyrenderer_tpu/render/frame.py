@@ -339,7 +339,7 @@ def render_frame(scene: SceneGPU, pool: sampling.TexturePoolGPU,
         hdr = post.screen_space_reflections(
             hdr, depth, g.position, g.normal, cam["view_proj"], cam["position"],
             params[PARAM_SSR_THICKNESS], params[PARAM_SSR_STRENGTH],
-            mask=g.mask)
+            mask=g.mask, roughness=g.rough_metal_ao[..., 0])
 
     # ---- tone map + crop to the true resolution ----
     sdr = post.tone_map(hdr, params[PARAM_TONE_TYPE], params[PARAM_EXPOSURE])
