@@ -216,7 +216,9 @@ class ViewerServer:
                            "enable_shadows", "enable_ibl", "enable_ssr",
                            "use_pallas", "fused_resolve",
                            "tex_block_capacity", "fwd_tile_capacity",
-                           "shadow_size", "forward_only"}
+                           "shadow_size", "forward_only",
+                           "render_scale_pct", "windowed_pool",
+                           "morton_pool", "shadow_bf16"}
                 values = payload.get("values", {})
                 changes = {k: v for k, v in values.items() if k in TUNABLE}
                 rejected = set(values) - set(changes) - {"width", "height"}
@@ -293,6 +295,11 @@ PAGE_HTML = """<!DOCTYPE html>
    <input type="text" id="spawnpath" placeholder="assets/models/cube/cube.obj">
    <button onclick="send({type:'drop', path:document.getElementById('spawnpath').value})">Add</button></div>
   <div class="row"><label>Drop a .obj on the canvas to spawn it</label></div>
+  <select onchange="fetch('/action',{method:'POST',body:JSON.stringify({action:'set_config',values:{render_scale_pct:parseInt(this.value)}})})">
+    <option value="100">100% scale</option>
+    <option value="75">75% scale</option>
+    <option value="50">50% scale</option>
+  </select>
   <select onchange="fetch('/action',{method:'POST',body:JSON.stringify({action:'set_config',values:{texture_filter:this.value}})})">
     <option value="dithered">dithered</option><option value="trilinear">trilinear</option>
     <option value="bilinear">bilinear</option><option value="stochastic">stochastic</option>
