@@ -62,3 +62,37 @@ def test_bin_overflow_grows_capacity():
     # after growth, a settled frame reports no overflow beyond capacity
     out = eng.run_frame(0.0)
     assert int(out.bin_overflow) <= eng.cfg.bin_capacity
+
+
+def test_capacity_shrinks_after_sustained_underuse():
+    """A transient big scene must not degrade compacted-pass cost forever:
+    after SHRINK_AFTER consecutive frames under 40% occupancy the envelope
+    re-buckets down (never below the config-default floor), mirroring the
+    grow-by-reallocating loop in the other direction."""
+    from dataclasses import replace
+
+    import jax.numpy as jnp
+
+    from tinyrenderer_tpu.config import RenderConfig
+    from tinyrenderer_tpu.render.engine import Engine
+
+    eng = Engine(cfg=RenderConfig(tex_block_capacity=2048))
+    eng.SHRINK_AFTER = 5
+    for _ in range(4):
+        eng._queue_overflow(("tex",), jnp.asarray([10], jnp.int32))
+        eng._check_overflow()
+    assert eng.cfg.tex_block_capacity == 2048  # hysteresis holds
+    eng._queue_overflow(("tex",), jnp.asarray([10], jnp.int32))
+    eng._check_overflow()
+    assert eng.cfg.tex_block_capacity == RenderConfig().tex_block_capacity
+
+    # a spike resets the streak
+    eng.cfg = replace(eng.cfg, tex_block_capacity=2048)
+    for _ in range(4):
+        eng._queue_overflow(("tex",), jnp.asarray([10], jnp.int32))
+        eng._check_overflow()
+    eng._queue_overflow(("tex",), jnp.asarray([1500], jnp.int32))
+    eng._check_overflow()
+    eng._queue_overflow(("tex",), jnp.asarray([10], jnp.int32))
+    eng._check_overflow()
+    assert eng.cfg.tex_block_capacity == 2048

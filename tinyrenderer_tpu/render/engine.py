@@ -94,6 +94,7 @@ class Engine:
         self._reloader = reloadlib.KernelReloader()
         self.last_frame_ms = 0.0
         self._overflow_inflight: list = []
+        self._under_count: dict = {}  # shrink-hysteresis counters
         self._atlas = None  # cached shadow atlas (scene/light-dependent)
 
         if level_path is not None:
@@ -315,6 +316,13 @@ class Engine:
         self._check_overflow()
         return out
 
+    # consecutive under-occupancy frames before a capacity shrinks
+    SHRINK_AFTER = 120
+
+    def _capacity_floor(self, field: str) -> int:
+        """Never shrink below the dataclass default for the field."""
+        return getattr(config.RenderConfig(), field)
+
     # capacity monitors: (kind, config field, toast label)
     _OVERFLOW_KINDS = {
         "bins": ("bin_capacity", "Raster bin overflow"),
@@ -377,7 +385,36 @@ class Engine:
                     # config changed: older monitors describe the old
                     # envelope — drop them and stop for this frame
                     self._overflow_inflight.clear()
+                    self._under_count.clear()
                     return
+                # shrink with hysteresis: a transient big scene must not
+                # degrade compacted-pass cost forever (the compacted gather
+                # count scales with the capacity). After SHRINK_AFTER
+                # consecutive frames under 40% occupancy, re-bucket to the
+                # observed value — never below the config-default floor.
+                floor = self._capacity_floor(field)
+                if cap > floor and v < int(cap * 0.4):
+                    n = self._under_count.get(kind, 0) + 1
+                    if n >= self.SHRINK_AFTER:
+                        if kind in ("tex", "fwdtex"):
+                            new_cap = max(floor,
+                                          -(-max(v, 1) * 2 // 256) * 256)
+                        else:
+                            new_cap = max(floor,
+                                          1 << max(2 * v - 1, 1).bit_length())
+                        if new_cap < cap:
+                            log.info("%s %d << %d; shrinking %s to %d",
+                                     label, v, cap, field, new_cap)
+                            self.cfg = replace(self.cfg, **{field: new_cap})
+                            if kind == "shadow":
+                                self._atlas = None
+                            self._overflow_inflight.clear()
+                            self._under_count.clear()
+                            return
+                        n = 0
+                    self._under_count[kind] = n
+                else:
+                    self._under_count[kind] = 0
 
     def on_end_frame(self) -> None:
         self.world.on_end_frame()
