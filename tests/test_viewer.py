@@ -164,3 +164,48 @@ def test_upload_spawns_model(server):
     n_after = len(list(server.app.engine.world.world_objects()))
     assert n_after == n_before + 1
     assert _get(server, "/frame.png")[:4] == b"\x89PNG"
+
+
+def test_event_stream_fuzz(server):
+    """Seeded fuzz over the event wire: random bursts of key/mouse/wheel/
+    resize/drop events in arbitrary order must never kill the server —
+    every burst is followed by a working /frame.png and /state."""
+    rng = np.random.default_rng(42)
+    keys = ["w", "a", "s", "d", "q", "e", "Delete", "Escape", "f", "i"]
+
+    def rand_event():
+        t = rng.integers(0, 7)
+        if t == 0:
+            return {"type": "key", "key": str(rng.choice(keys)),
+                    "pressed": bool(rng.integers(0, 2)),
+                    "ctrl": bool(rng.integers(0, 2))}
+        if t == 1:
+            return {"type": "move", "x": float(rng.uniform(-50, 400)),
+                    "y": float(rng.uniform(-50, 300))}
+        if t == 2:
+            return {"type": "button", "button": int(rng.integers(0, 3)),
+                    "pressed": bool(rng.integers(0, 2)),
+                    "x": float(rng.uniform(0, 256)),
+                    "y": float(rng.uniform(0, 128))}
+        if t == 3:
+            return {"type": "delta", "dx": float(rng.normal() * 20),
+                    "dy": float(rng.normal() * 20)}
+        if t == 4:
+            return {"type": "drop", "path": "/nonexistent/fuzz.obj"}
+        if t == 5:
+            return {"type": "unknown_kind", "x": 1}
+        return {"garbage": True}
+
+    import urllib.error
+    for burst in range(6):
+        events = [rand_event() for _ in range(int(rng.integers(1, 12)))]
+        try:
+            _post(server, "/event", events)
+        except urllib.error.HTTPError as e:
+            # malformed payloads surface as 500 + toast BY DESIGN —
+            # the requirement is that the server keeps serving
+            assert e.code == 500
+        frame = _get(server, "/frame.png")
+        assert frame[:8] == b"\x89PNG\r\n\x1a\n"
+        state = json.loads(_get(server, "/state"))
+        assert state["frame_index"] > 0
