@@ -254,6 +254,63 @@ def resolve_attrs_from_sel(tri_id: jax.Array, sel: jax.Array) -> ResolvedAttrs:
     return resolve_attrs_from_sel_at(tri_id, sel, px, py)
 
 
+def resolve_attrs_tiled(tri_id: jax.Array, bin_ids: jax.Array,
+                        table: jax.Array, tile_h: int, tile_w: int
+                        ) -> ResolvedAttrs:
+    """One-hot select + plane evaluation entirely in the tiled domain.
+
+    The select einsum naturally produces (ty, tx, P, D); evaluating the
+    planes there and untiling only the ~22 result channels (attrs + flat
+    + record + oid) avoids transposing the full D=53-channel sel tensor
+    through HBM (the untile of sel cost ~5 ms of layout reshapes/copies
+    in the 1080p trace). Bit-identical to select_rows_onehot +
+    resolve_attrs_from_sel (same elementwise math per pixel)."""
+    H, W = tri_id.shape
+    ty, tx, K = bin_ids.shape
+    T = table.shape[0]
+    tiles = tri_id.reshape(ty, tile_h, tx, tile_w).transpose(0, 2, 1, 3)
+    tiles = tiles.reshape(ty, tx, tile_h * tile_w)           # (ty, tx, P)
+    onehot = (tiles[..., None] == bin_ids[:, :, None, :]).astype(jnp.bfloat16)
+    rows_tile = jnp.take(table, jnp.clip(bin_ids, 0, T - 1), axis=0)
+    rows_tile = jnp.where((bin_ids >= 0)[..., None], rows_tile, 0.0)
+    sel = jnp.einsum("typk,tykd->typd", onehot, rows_tile,
+                     preferred_element_type=F32)             # (ty, tx, P, D)
+
+    # per-slot global pixel centers
+    p = jnp.arange(tile_h * tile_w, dtype=F32)
+    lx = jnp.remainder(p, float(tile_w))
+    ly = jnp.floor_divide(p, float(tile_w))
+    px = (jnp.arange(tx, dtype=F32) * tile_w)[None, :, None] + lx + 0.5
+    py = (jnp.arange(ty, dtype=F32) * tile_h)[:, None, None] + ly + 0.5
+
+    def plane_eval(block):  # (ty, tx, P, 3k) -> (ty, tx, P, k)
+        k = block.shape[-1] // 3
+        b = block.reshape(*block.shape[:-1], k, 3)
+        return (b[..., 0] * px[..., None] + b[..., 1] * py[..., None]
+                + b[..., 2])
+
+    denom = plane_eval(sel[..., 0:3])
+    denom = jnp.where(jnp.abs(denom) > 1e-20, denom, 1.0)
+    a = plane_eval(sel[..., 3:_PLANES]) / denom              # (.., P, 14)
+    out_t = jnp.concatenate([a, sel[..., _PLANES:ROW_D]], axis=-1)  # 22ch
+
+    # single untile of the evaluated channels
+    out = out_t.reshape(ty, tx, tile_h, tile_w, -1).transpose(0, 2, 1, 3, 4)
+    out = out.reshape(H, W, -1)
+    valid = tri_id >= 0
+    return ResolvedAttrs(
+        world=out[..., 0:3],
+        uv=out[..., 3:5],
+        normal=_safe_normalize(out[..., 5:8]),
+        tangent=_safe_normalize(out[..., 8:11]),
+        bitangent=_safe_normalize(out[..., 11:14]),
+        flat=out[..., 14:20],
+        record=jnp.round(out[..., 20]).astype(I32),
+        object_id=jnp.where(valid, jnp.round(out[..., 21]).astype(I32), 0),
+        valid=valid,
+    )
+
+
 def resolve_attrs_onehot(tri_id: jax.Array, setup, bin_ids: jax.Array,
                          tri_vidx: jax.Array, tri_instance: jax.Array,
                          attrs: "VertexAttrs", inst_object_id: jax.Array,
@@ -265,8 +322,7 @@ def resolve_attrs_onehot(tri_id: jax.Array, setup, bin_ids: jax.Array,
     table = build_gbuffer_table(setup, tri_vidx, attrs, tri_instance,
                                 inst_object_id, inst_material,
                                 mat_record, mat_flat)
-    sel = select_rows_onehot(tri_id, bin_ids, table, tile_h, tile_w)
-    return resolve_attrs_from_sel(tri_id, sel)
+    return resolve_attrs_tiled(tri_id, bin_ids, table, tile_h, tile_w)
 
 
 def resolve_gbuffer_from_attrs(r: "ResolvedAttrs", tri_id: jax.Array,

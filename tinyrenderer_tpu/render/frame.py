@@ -96,18 +96,13 @@ def _raster_resolve(clip, tri_vidx, tri_mask, tri_instance, vattrs, scene,
         tri_id, depth, sel = raster.rasterize_resolve_binned(
             bins, table_p, cfg.tile_h, cfg.tile_w)
         r = resolve.resolve_attrs_from_sel(tri_id, sel[..., :D])
-    elif cfg.use_pallas:
-        tri_id, depth = raster.rasterize_binned(bins, cfg.tile_h, cfg.tile_w,
-                                                use_pallas=True)
-        sel = resolve.select_rows_onehot(tri_id, bins.ids, table,
-                                         cfg.tile_h, cfg.tile_w)
-        r = resolve.resolve_attrs_from_sel(tri_id, sel)
     else:
         tri_id, depth = raster.rasterize_binned(bins, cfg.tile_h, cfg.tile_w,
-                                                use_pallas=False)
-        sel = resolve.select_rows_onehot(tri_id, bins.ids, table,
-                                         cfg.tile_h, cfg.tile_w)
-        r = resolve.resolve_attrs_from_sel(tri_id, sel)
+                                                use_pallas=cfg.use_pallas)
+        # tiled-domain select + plane eval (untiles only the evaluated
+        # ~22 channels instead of the 53-channel sel tensor)
+        r = resolve.resolve_attrs_tiled(tri_id, bins.ids, table,
+                                        cfg.tile_h, cfg.tile_w)
     return tri_id, depth, r, bins.overflow
 
 
