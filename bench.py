@@ -469,9 +469,20 @@ def main() -> int:
                     help="measure BASELINE.json configs 1-5; print JSON array")
     ap.add_argument("--no-verify", action="store_true",
                     help="skip the TPU golden-image verification")
+    ap.add_argument("--verify-only", action="store_true",
+                    help="run just the on-chip golden verification "
+                         "(fast Pallas-regression gate) and exit")
     ap.add_argument("--trace-dir", default="",
                     help="write a jax.profiler trace of one frame")
     args = ap.parse_args()
+
+    if args.verify_only:
+        res = {"metric": "TPU golden verification",
+               "tpu_golden": verify_tpu_goldens()}
+        print(json.dumps(res))
+        ok = all(v.get("status") == "pass"
+                 for v in res["tpu_golden"].values())
+        return 0 if ok else 1
 
     if args.all:
         results = [
