@@ -204,7 +204,8 @@ def time_engine(eng, trace_dir: str = "", reps: int = REPS,
             @jax.jit
             def aloop(scene, lights):
                 def step(c, _):
-                    a, _ovf = framelib.render_shadow_atlas(scene, lights, cfgc)
+                    a, _ovf, _big = framelib.render_shadow_atlas(scene,
+                                                                 lights, cfgc)
                     return c + 1e-30 * a[0, 0, 0, 0], a[0, 0, 0, 0]
                 _, outs = jax.lax.scan(step, jnp.float32(0), None,
                                        length=n_atlas)

@@ -147,6 +147,39 @@ def test_gltf_json_data_uri_and_stride(tmp_path):
     np.testing.assert_allclose(m.normals, [[0, 0, 1]] * 4, atol=1e-6)
 
 
+def test_gltf_truncated_strided_buffer_rejected(tmp_path):
+    """ADVICE r2: a strided accessor whose extent exceeds the buffer must
+    raise ValueError (as_strided would silently read out-of-bounds memory),
+    so the cube-substitution fallback in scene_gpu can engage."""
+    pos, _, uv, idx = _quad_arrays()
+    inter = np.concatenate([pos, uv], axis=1).astype(F32)
+    blob = (inter.tobytes() + idx.tobytes())[:40]  # truncated mid-vertex
+    gltf = {
+        "asset": {"version": "2.0"},
+        "meshes": [{"primitives": [{
+            "attributes": {"POSITION": 0}, "indices": 1}]}],
+        "buffers": [{
+            "byteLength": len(blob),
+            "uri": "data:application/octet-stream;base64,"
+                   + base64.b64encode(blob).decode()}],
+        "bufferViews": [
+            {"buffer": 0, "byteOffset": 0, "byteLength": 80, "byteStride": 20},
+            {"buffer": 0, "byteOffset": 80, "byteLength": 12},
+        ],
+        "accessors": [
+            {"bufferView": 0, "byteOffset": 0, "componentType": 5126,
+             "count": 4, "type": "VEC3"},
+            {"bufferView": 1, "componentType": 5123, "count": 6,
+             "type": "SCALAR"},
+        ],
+    }
+    p = os.path.join(str(tmp_path), "trunc.gltf")
+    with open(p, "w") as f:
+        json.dump(gltf, f)
+    with pytest.raises(ValueError, match="truncated or malformed"):
+        gltflib.load_gltf(p)
+
+
 def test_engine_renders_gltf(tmp_path):
     """End-to-end: a .glb in a world renders and is pickable."""
     from tinyrenderer_tpu.config import RenderConfig

@@ -64,6 +64,43 @@ def test_bin_overflow_grows_capacity():
     assert int(out.bin_overflow) <= eng.cfg.bin_capacity
 
 
+def test_cached_atlas_does_not_feed_shadow_shrink():
+    """ADVICE r2: with a precomputed atlas, out.shadow_overflow is a 0
+    sentinel; feeding it to the shrink hysteresis would oscillate any grown
+    shadow_bin_capacity (shrink -> undersized atlas -> regrow, forever).
+    The per-frame monitor queue must omit 'shadow' on the cached path."""
+    from dataclasses import replace
+
+    eng = Engine.from_world(demo.build_demo_world(n_cubes=4),
+                            camera=demo.build_demo_camera(128, 64),
+                            cfg=replace(SMALL_SHADOW_BINS,
+                                        shadow_bin_capacity=512))
+    eng.SHRINK_AFTER = 3
+    for _ in range(8):  # > SHRINK_AFTER cached-atlas frames
+        eng.run_frame(0.0)
+    # the capacity was grown above the floor and must stay there: the only
+    # real occupancy reports come from atlas-render time (one per repack)
+    assert eng.cfg.shadow_bin_capacity == 512
+
+
+def test_repack_rebuilds_pool_on_config_change():
+    """ADVICE r2: a runtime texture_size/mip_levels change (the viewer's
+    parity preset) must rebuild the packer's texture pool, not silently
+    keep sampling the old pyramid."""
+    from dataclasses import replace
+
+    eng = Engine.from_world(demo.build_demo_world(n_cubes=2),
+                            camera=demo.build_demo_camera(128, 64),
+                            cfg=SMALL_BINS)
+    eng.run_frame(0.0)
+    assert eng._packer.pool.size == SMALL_BINS.texture_size
+    eng.cfg = replace(eng.cfg, texture_size=64, mip_levels=4)
+    eng._needs_pack = True
+    eng.run_frame(0.0)
+    assert eng._packer.pool.size == 64
+    assert eng._packer.pool.levels == 4
+
+
 def test_capacity_shrinks_after_sustained_underuse():
     """A transient big scene must not degrade compacted-pass cost forever:
     after SHRINK_AFTER consecutive frames under 40% occupancy the envelope

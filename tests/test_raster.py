@@ -137,6 +137,74 @@ def test_fused_resolve_kernel_matches_two_pass():
                                rtol=1e-3, atol=1e-4)
 
 
+def _random_setup(rng, V, T, width, height):
+    ndc = rng.uniform(-1.3, 1.3, size=(V, 3)).astype(np.float32)
+    ndc[:, 2] = rng.uniform(0.05, 0.95, size=V)
+    clip = _clip_from_ndc(ndc)
+    tri = jnp.asarray(rng.integers(0, V, size=(T, 3)).astype(np.int32))
+    mask = jnp.ones((T,), bool)
+    return raster.triangle_setup(clip, tri, mask, width, height, "none")
+
+
+def test_scatter_binning_matches_dense(rng):
+    """bin_triangles_scatter must bin exactly the same triangle sets per
+    tile as the dense path (order may differ: bigs first), with identical
+    counts and overflow, whenever nothing overflows."""
+    V, T = 200, 900
+    W, H, th, tw, K = 512, 128, 16, 128, 1024
+    setup = _random_setup(rng, V, T, W, H)
+    a = raster.bin_triangles_dense(setup, W, H, th, tw, K)
+    b = raster.bin_triangles_scatter(setup, W, H, th, tw, K,
+                                     big_capacity=1024)
+    np.testing.assert_array_equal(np.asarray(a.counts), np.asarray(b.counts))
+    assert int(a.overflow) == int(b.overflow)
+    assert int(a.overflow) < K, "test scene must not overflow"
+    # per-tile id sets equal (scatter orders bigs first, dense ascending)
+    ia = np.sort(np.asarray(a.ids), axis=-1)
+    ib = np.sort(np.asarray(b.ids), axis=-1)
+    np.testing.assert_array_equal(ia, ib)
+
+
+def test_scatter_binning_raster_equivalence(rng):
+    """End to end: rasterizing scatter-binned tiles gives the same
+    visibility buffer as dense-binned tiles (the depth race is bin-order
+    independent)."""
+    V, T = 150, 600
+    W, H, th, tw, K = 256, 64, 8, 128, 1024
+    setup = _random_setup(rng, V, T, W, H)
+    a = raster.bin_triangles_dense(setup, W, H, th, tw, K)
+    b = raster.bin_triangles_scatter(setup, W, H, th, tw, K, big_capacity=T)
+    ta, za = raster.rasterize_binned(a, th, tw, use_pallas=False)
+    tb, zb = raster.rasterize_binned(b, th, tw, use_pallas=False)
+    np.testing.assert_array_equal(np.asarray(ta), np.asarray(tb))
+    np.testing.assert_allclose(np.asarray(za), np.asarray(zb), atol=1e-6)
+
+
+def test_scatter_binning_big_overflow_monitor(rng):
+    """More big (>2x2-tile) triangles than big_capacity must be reported
+    through big_overflow so the engine can grow cfg.bin_big_capacity."""
+    # all-big soup: huge NDC triangles spanning many tiles
+    V, T = 30, 64
+    ndc = rng.uniform(-1.0, 1.0, size=(V, 3)).astype(np.float32)
+    ndc[:, :2] *= 3.0  # giant triangles
+    ndc[:, 2] = rng.uniform(0.05, 0.95, size=V)
+    clip = _clip_from_ndc(ndc)
+    tri = jnp.asarray(rng.integers(0, V, size=(T, 3)).astype(np.int32))
+    mask = jnp.ones((T,), bool)
+    setup = raster.triangle_setup(clip, tri, mask, 512, 128, "none")
+    bins = raster.bin_triangles_scatter(setup, 512, 128, 16, 128, 128,
+                                        big_capacity=4)
+    assert int(bins.big_overflow) > 4
+    # with enough capacity the monitor reports the same count and no
+    # triangle set changes vs dense
+    ok = raster.bin_triangles_scatter(setup, 512, 128, 16, 128, 128,
+                                      big_capacity=T)
+    dense = raster.bin_triangles_dense(setup, 512, 128, 16, 128, 128)
+    np.testing.assert_array_equal(
+        np.sort(np.asarray(ok.ids), axis=-1),
+        np.sort(np.asarray(dense.ids), axis=-1))
+
+
 def test_pallas_multiblock_bins_match(rng):
     """bin_capacity > 4096 exercises the kernel's bin-block revisit path
     (grid dim 2 + running depth race over output blocks) — must agree

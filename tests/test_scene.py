@@ -117,3 +117,30 @@ def test_save_semantically_equals_reference_file(reference_level_path, tmp_path)
     a = json.load(open(reference_level_path))
     b = json.load(open(out))
     assert canon(a) == canon(b)
+
+
+def test_instance_shared_geometry_packs_unique_meshes():
+    """500 instances of shared primitives must pack O(unique) vertex rows
+    (the reference's cached Primitive, src/resource_loader.rs:75-85):
+    vert_data holds each mesh once, vert_src expands per instance."""
+    import jax
+    from tinyrenderer_tpu.config import RenderConfig
+    from tinyrenderer_tpu.render.scene_gpu import ScenePacker
+    from tinyrenderer_tpu.scene import demo
+
+    world = demo.build_stress_world(200)
+    cfg = RenderConfig(max_instances=512, max_vertices=16384,
+                       max_triangles=8192, max_materials=512)
+    pack = ScenePacker(cfg).pack(world)
+    c = pack.counts
+    assert c["instances"] >= 200
+    # unique rows bounded by the distinct primitive meshes, not instances
+    assert c["unique_vertices"] < 200
+    assert c["vertices"] > 10 * c["unique_vertices"]
+    # expansion reproduces per-instance rows exactly
+    import numpy as np
+    data = np.asarray(pack.scene.vert_data)
+    src = np.asarray(pack.scene.vert_src)
+    expanded = data[src[:c["vertices"]]]
+    assert expanded.shape == (c["vertices"], 14)
+    assert np.isfinite(expanded).all()

@@ -104,13 +104,13 @@ def test_sharded_cached_atlas_matches_inline(engine):
     mesh = parallel.make_mesh(4, dp=1)
     cfg_s = parallel.sharded_config(engine.cfg, mesh.shape["sp"])
 
-    atlas, ovf = parallel.render_shadow_atlas_sharded(scene, lights, cfg_s,
-                                                      mesh)
+    atlas, ovf, _big = parallel.render_shadow_atlas_sharded(scene, lights,
+                                                            cfg_s, mesh)
     assert atlas.shape[0] == cfg_s.num_shadow_views
     assert int(ovf) <= cfg_s.shadow_bin_capacity
     # matches the single-chip atlas render (per-device view batching
     # reassociates the viewproj einsum -> LSB-level f32 drift)
-    single_atlas, _ = framelib.compiled_shadow_atlas(cfg_s)(scene, lights)
+    single_atlas, _, _ = framelib.compiled_shadow_atlas(cfg_s)(scene, lights)
     np.testing.assert_allclose(np.asarray(atlas), np.asarray(single_atlas),
                                rtol=2e-3, atol=1e-5)
 
@@ -169,9 +169,11 @@ def test_sharded_512(engine):
 
 
 def test_sharded_render_scale(engine):
-    """cfg.render_scale_pct support in the sharded path: full-res output
-    shapes, and the upsampled image approximates the single-chip
-    render-scale frame (both render at the same internal resolution)."""
+    """cfg.render_scale_pct parity: the sharded render-scale frame must be
+    pixel-consistent with the single-chip render_frame at the same scale —
+    the band-divisibility padding must neither rescale the projection nor
+    shift the framing (ADVICE r2: the upsample previously read the padded
+    low-res rows, producing ~2.7% vertical scale mismatch)."""
     from dataclasses import replace
     scene, pool, lights, cam, params, env = _args(engine)
     mesh = parallel.make_mesh(4, dp=1)
@@ -182,10 +184,14 @@ def test_sharded_render_scale(engine):
         scene, pool, lights, cam[None], params, env)
     assert out.sdr.shape == (1, cfg_s.height, cfg_s.width, 3)
     assert out.pick_id.shape == (1, cfg_s.height, cfg_s.width)
-    # same scene and exposure as the native sharded render: image level
-    # must agree closely even though detail softens
-    ref = parallel.compiled_sharded_frame(cfg_s, mesh)(
-        scene, pool, lights, cam[None], params, env)
-    a = np.asarray(out.sdr, dtype=np.float32).mean()
-    b = np.asarray(ref.sdr, dtype=np.float32).mean()
-    assert abs(a - b) < 8.0
+    single = framelib.compiled_frame(cfg_lo)(scene, pool, lights, cam,
+                                             params, env)
+    # interior-band rows of the internal render are exact (see
+    # test_sharded_matches_single_chip); after the shared bilinear
+    # upsample the full-res frames must agree to 1 LSB nearly everywhere
+    d = np.abs(np.asarray(out.sdr[0]).astype(np.int16)
+               - np.asarray(single.sdr).astype(np.int16)).max(axis=-1)
+    assert (d > 1).mean() < 2e-2, f"{(d > 1).sum()} pixels differ"
+    # pick ids upsample nearest from the same internal grid: exact
+    match = (np.asarray(out.pick_id[0]) == np.asarray(single.pick_id))
+    assert match.mean() > 0.98

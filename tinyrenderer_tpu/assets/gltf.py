@@ -97,6 +97,13 @@ def _read_accessor(gltf: dict, buffers: list[bytes], idx: int) -> np.ndarray:
             out = np.frombuffer(buf, dtype, count=n * comps, offset=start)
             out = out.reshape(n, comps).copy()
         else:                             # interleaved: strided view
+            # as_strided performs no bounds checking: validate the accessor
+            # extent first or a truncated/malformed buffer reads OOB memory.
+            end = start + (n - 1) * stride + itemsize if n > 0 else start
+            if end > len(buf):
+                raise ValueError(
+                    f"accessor {idx} extent {end} exceeds buffer size "
+                    f"{len(buf)} (truncated or malformed glTF)")
             raw = np.frombuffer(buf, np.uint8)
             rows = np.lib.stride_tricks.as_strided(
                 raw[start:], shape=(n, itemsize), strides=(stride, 1))

@@ -55,6 +55,8 @@ class RenderConfig:
     # Scene capacities (padded array sizes).
     max_instances: int = 64
     max_vertices: int = 4096      # flattened per-instance vertices
+    max_unique_vertices: int = 4096  # unique-mesh vertex rows (instance-
+    #   shared geometry pool; see scene_gpu.SceneGPU.vert_data)
     max_triangles: int = 2048     # flattened per-instance triangles
     max_materials: int = 64
     max_forward_triangles: int = 512  # gizmos/billboards (own small pool)
@@ -65,6 +67,11 @@ class RenderConfig:
     tile_h: int = 64
     tile_w: int = 128
     bin_capacity: int = 256       # max triangles binned per tile
+    # Big-triangle list for the two-level scatter binning (triangles whose
+    # bbox spans >2x2 tiles are dense-binned from this static list; only
+    # used when the triangle pool exceeds the dense-binning crossover).
+    # Monitored + grown like bin_capacity.
+    bin_big_capacity: int = 512
 
     # Shadows.
     shadow_size: int = SHADOW_SIZE
@@ -95,12 +102,22 @@ class RenderConfig:
     forward_only: bool = False
 
     # Reduced-rate lookups (TPU gathers cost ~9 ns/element; these signals
-    # are low-frequency). shadow_lookup_scale=2 computes shadow visibility
-    # on a half-res grid and bilinearly upsamples (PCF is already soft);
-    # sky_scale=4 evaluates the skybox at quarter res (the env map through
-    # a smooth unprojection). 1 = full rate.
-    shadow_lookup_scale: int = 2
+    # are low-frequency). shadow_lookup_scale=s computes the binary shadow
+    # gate (shading gates on shadow > 0, main.wgsl:228-237) on an
+    # s-strided grid and re-evaluates boundary blocks exactly
+    # (shadows.gate_refined_visibility) — boundary-exact hard shadows at
+    # ~the coarse pass's gather cost. sky_scale=4 evaluates the skybox at
+    # quarter res (the env map through a smooth unprojection). 1 = full rate.
+    shadow_lookup_scale: int = 4
     sky_scale: int = 4
+    # Boundary-block work list for the shadow gate refinement (8x16 screen
+    # blocks on shadow edges; union over lights). Monitored + grown like
+    # tex_block_capacity; 0 = refine every block (dense).
+    shadow_block_capacity: int = 1536
+    # Sample the sky from the windowed-RGBE u8 display cube (ONE gather per
+    # bilinear tap vs four f32 gathers; sub-LSB after tone mapping). Off in
+    # reference_parity (bit-exact f32 sampling).
+    sky_rgbe: bool = True
     # Material filtering: 'trilinear' (reference parity, 8 gathers),
     # 'dithered' (Bayer-dithered trilinear, 4 gathers — default),
     # 'bilinear' (nearest mip, 4 gathers).
@@ -157,12 +174,13 @@ class RenderConfig:
 
     def performance_preset(self) -> "RenderConfig":
         """Gather-minimizing settings for speed-first rendering:
-        stochastic-bilinear filtering (1 gather/tap), quarter-rate shadow
-        lookups, eighth-rate sky. texture_scale stays 1: with block
-        compaction the strided-grid resize overhead exceeds what half-rate
-        texturing saves (measured 48 vs 41 ms at 1080p)."""
+        stochastic-bilinear filtering (1 gather/tap), eighth-rate shadow
+        gates (still boundary-exact via refinement), eighth-rate sky.
+        texture_scale stays 1: with block compaction the strided-grid
+        resize overhead exceeds what half-rate texturing saves (measured
+        48 vs 41 ms at 1080p)."""
         return replace(self, texture_filter="stochastic",
-                       shadow_lookup_scale=4, sky_scale=8,
+                       shadow_lookup_scale=8, sky_scale=8,
                        windowed_pool=False)
 
     def reference_parity(self) -> "RenderConfig":
@@ -178,7 +196,7 @@ class RenderConfig:
         on because it is bit-exact."""
         return replace(self, texture_filter="trilinear",
                        shadow_lookup_scale=1, sky_scale=1, texture_scale=1,
-                       texture_size=1024, mip_levels=10)
+                       texture_size=1024, mip_levels=10, sky_rgbe=False)
 
     @property
     def tiles_y(self) -> int:
@@ -202,12 +220,15 @@ class RenderConfig:
 
     def grown_for(self, n_instances: int, n_vertices: int, n_triangles: int,
                   n_materials: int, n_point: int, n_directional: int,
-                  n_textures: int, n_forward: int = 0) -> "RenderConfig":
+                  n_textures: int, n_forward: int = 0,
+                  n_unique_vertices: int = 0) -> "RenderConfig":
         """Return a config whose capacities fit the given scene sizes."""
         return replace(
             self,
             max_instances=_next_bucket(n_instances, self.max_instances),
             max_vertices=_next_bucket(n_vertices, self.max_vertices),
+            max_unique_vertices=_next_bucket(n_unique_vertices,
+                                             self.max_unique_vertices),
             max_triangles=_next_bucket(n_triangles, self.max_triangles),
             max_materials=_next_bucket(n_materials, self.max_materials),
             max_textures=_next_bucket(n_textures, self.max_textures),

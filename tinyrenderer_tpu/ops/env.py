@@ -178,13 +178,19 @@ def sh_eval_irradiance(sh: jax.Array, n: jax.Array) -> jax.Array:
 @jax.named_scope("skybox")
 def skybox_colors(env_cube: jax.Array, proj_inv: jax.Array,
                   view_rot_inv: jax.Array, width: int, height: int,
-                  y0: int = 0, full_height: int = 0) -> jax.Array:
+                  y0: int = 0, full_height: int = 0,
+                  rgbe_win: jax.Array | None = None) -> jax.Array:
     """Per-pixel skybox color (skybox.wgsl:23-53): unproject the pixel NDC,
     rotate into world by the inverse view rotation, sample the env cube.
 
     ``y0``/``full_height`` render a horizontal band [y0, y0+height) of a
     ``full_height``-tall image — used by the spatially sharded multi-chip
     frame (parallel/sharded.py) where each device owns a band of rows.
+
+    ``rgbe_win``: optional (6, S, S, 16) u8 windowed-RGBE cube
+    (sampling.encode_rgbe_windowed) — the bilinear sample then costs ONE
+    gather per pixel instead of four (the steady-state display path; the
+    f32 cube stays the source of truth for bakes).
     """
     fh = full_height or height
     x = ((jnp.arange(width, dtype=F32) + 0.5) / width) * 2.0 - 1.0
@@ -194,4 +200,6 @@ def skybox_colors(env_cube: jax.Array, proj_inv: jax.Array,
     un = jnp.einsum("hwj,ij->hwi", ndc, proj_inv, preferred_element_type=F32)
     d = jnp.einsum("hwj,ij->hwi", un[..., :3], view_rot_inv,
                    preferred_element_type=F32)
+    if rgbe_win is not None:
+        return sampling.sample_cubemap_rgbe_windowed(rgbe_win, d)
     return sampling.sample_cubemap(env_cube, d)

@@ -175,15 +175,14 @@ class Bins(NamedTuple):
     rows: jax.Array      # (tiles_y, tiles_x, K, 16) f32 gathered setup rows
     counts: jax.Array    # (tiles_y, tiles_x) i32
     overflow: jax.Array  # () i32: max triangles wanted in any tile (capacity monitor)
+    big_overflow: jax.Array  # () i32: triangles spanning >2x2 tiles (the
+    #   scatter binning's dense-path list; monitored against
+    #   cfg.bin_big_capacity — 0 on the dense binning path)
 
 
-def bin_triangles(setup: TriangleSetup, width: int, height: int,
-                  tile_h: int, tile_w: int, capacity: int) -> Bins:
-    """Bucket triangles into tiles by bbox overlap (capacity-padded top-K)."""
-    tiles_y = -(-height // tile_h)
-    tiles_x = -(-width // tile_w)
-    T = setup.rows.shape[0]
-
+def _tile_ranges(setup: TriangleSetup, width: int, height: int,
+                 tile_h: int, tile_w: int, tiles_y: int, tiles_x: int):
+    """Per-triangle covered tile range [tymin..tymax]x[txmin..txmax] + ok."""
     txmin = jnp.clip(jnp.floor(setup.bbox[:, 0] / tile_w), 0, tiles_x - 1).astype(I32)
     tymin = jnp.clip(jnp.floor(setup.bbox[:, 1] / tile_h), 0, tiles_y - 1).astype(I32)
     txmax = jnp.clip(jnp.floor(setup.bbox[:, 2] / tile_w), 0, tiles_x - 1).astype(I32)
@@ -191,6 +190,22 @@ def bin_triangles(setup: TriangleSetup, width: int, height: int,
     onscreen = (setup.bbox[:, 2] >= 0) & (setup.bbox[:, 0] < width) & \
                (setup.bbox[:, 3] >= 0) & (setup.bbox[:, 1] < height)
     ok = setup.valid & onscreen
+    return txmin, tymin, txmax, tymax, ok
+
+
+def bin_triangles_dense(setup: TriangleSetup, width: int, height: int,
+                        tile_h: int, tile_w: int, capacity: int) -> Bins:
+    """Bucket triangles into tiles by bbox overlap (capacity-padded top-K).
+
+    Builds the dense (tiles, T) hit tensor and sorts per tile — simple and
+    fast for small pools, O(tiles * T log T) for big ones (use
+    bin_triangles_scatter above ~4k triangles)."""
+    tiles_y = -(-height // tile_h)
+    tiles_x = -(-width // tile_w)
+    T = setup.rows.shape[0]
+
+    txmin, tymin, txmax, tymax, ok = _tile_ranges(
+        setup, width, height, tile_h, tile_w, tiles_y, tiles_x)
 
     ty = jnp.arange(tiles_y, dtype=I32)
     tx = jnp.arange(tiles_x, dtype=I32)
@@ -211,14 +226,135 @@ def bin_triangles(setup: TriangleSetup, width: int, height: int,
     else:
         # top_k of -order = the K smallest triangle indices, descending in
         # -order -> ascending ids after negation. O(T log K) per tile vs
-        # the full sort's O(T log T) — the binning lever for high-poly
-        # scenes (SURVEY §7.3: 131k triangles, K = 256..1024).
+        # the full sort's O(T log T).
         topk = -jax.lax.top_k(-order, capacity)[0]
     ids = jnp.where(topk < T, topk, -1)
     rows = jnp.take(setup.rows, jnp.clip(ids, 0, T - 1), axis=0)
     rows = jnp.where((ids >= 0)[..., None], rows, 0.0)
     counts = jnp.minimum(counts_full, capacity)
-    return Bins(ids=ids, rows=rows, counts=counts, overflow=overflow)
+    return Bins(ids=ids, rows=rows, counts=counts, overflow=overflow,
+                big_overflow=jnp.int32(0))
+
+
+def bin_triangles_scatter(setup: TriangleSetup, width: int, height: int,
+                          tile_h: int, tile_w: int, capacity: int,
+                          big_capacity: int = 512) -> Bins:
+    """Two-level binning for high-poly pools, O(T log T) total.
+
+    The dense binner pays a per-TILE sort over the whole triangle pool
+    (~255 sorts of 100k+ rows at 1080p — the 1.3 Mtris/s wall). Here:
+
+    - *small* triangles (clipped bbox spans <= 2x2 tiles — the overwhelming
+      majority of a high-poly mesh) expand to at most 4 (tile, id) pairs;
+      ONE global lexicographic sort puts them in tile-major id-minor order,
+      and each tile's bin is a contiguous segment located by searchsorted.
+    - *big* triangles (floors, walls, near-camera geometry) are selected
+      once into a static ``big_capacity`` list and dense-binned against the
+      tile grid — cheap because they are few. ``big_overflow`` monitors the
+      list (engine grows cfg.bin_big_capacity like the other envelopes).
+
+    Per-tile bins hold the bigs first, then the smalls in ascending id; the
+    raster depth race is order-independent, so only overflow truncation
+    (which ids are dropped past ``capacity``) differs from the dense path.
+    """
+    tiles_y = -(-height // tile_h)
+    tiles_x = -(-width // tile_w)
+    n_tiles = tiles_y * tiles_x
+    T = setup.rows.shape[0]
+    K = capacity
+    Lc = min(T, big_capacity)
+
+    txmin, tymin, txmax, tymax, ok = _tile_ranges(
+        setup, width, height, tile_h, tile_w, tiles_y, tiles_x)
+    span_x = txmax - txmin + 1
+    span_y = tymax - tymin + 1
+    small = ok & (span_x <= 2) & (span_y <= 2)
+    big = ok & ~small
+
+    # ---- big list: one global ascending-id top-K over T ----
+    tri_ids = jnp.arange(T, dtype=I32)
+    order_big = jnp.where(big, tri_ids, T)
+    if T < Lc:
+        order_big = jnp.pad(order_big, (0, Lc - T), constant_values=T)
+    big_ids = jnp.sort(order_big)[:Lc]                      # (Lc,) T-padded
+    big_overflow = jnp.sum(big.astype(I32))
+
+    safe_big = jnp.clip(big_ids, 0, T - 1)
+    b_xmin = jnp.take(txmin, safe_big)
+    b_ymin = jnp.take(tymin, safe_big)
+    b_xmax = jnp.take(txmax, safe_big)
+    b_ymax = jnp.take(tymax, safe_big)
+    ty = jnp.arange(tiles_y, dtype=I32)
+    tx = jnp.arange(tiles_x, dtype=I32)
+    hit_b = ((big_ids < T)[None, None, :]
+             & (ty[:, None, None] >= b_ymin[None, None, :])
+             & (ty[:, None, None] <= b_ymax[None, None, :])
+             & (tx[None, :, None] >= b_xmin[None, None, :])
+             & (tx[None, :, None] <= b_xmax[None, None, :]))  # (ty, tx, Lc)
+    order_b = jnp.where(hit_b, big_ids[None, None, :], T)
+    sorted_b = jnp.sort(order_b, axis=2)                    # bigs first, T-pad
+    bc = jnp.sum(hit_b, axis=2, dtype=I32).reshape(n_tiles)  # per-tile bigs
+
+    # ---- small expansion: <= 4 (tile, id) pairs per triangle ----
+    e = jnp.arange(4, dtype=I32)
+    ey, ex = e // 2, e % 2                                   # (4,)
+    etile_y = tymin[None, :] + ey[:, None]                   # (4, T)
+    etile_x = txmin[None, :] + ex[:, None]
+    evalid = small[None, :] & (ey[:, None] < span_y[None, :]) \
+        & (ex[:, None] < span_x[None, :])
+    etile = jnp.where(evalid, etile_y * tiles_x + etile_x, n_tiles)
+    ekeys = etile.reshape(-1)                                # (4T,)
+    eids = jnp.broadcast_to(tri_ids[None, :], (4, T)).reshape(-1)
+    st, si = jax.lax.sort((ekeys, eids), num_keys=2)         # tile-major
+
+    starts = jnp.searchsorted(st, jnp.arange(n_tiles + 1, dtype=I32))
+    sc = (starts[1:] - starts[:-1]).astype(I32)              # per-tile smalls
+
+    counts_full = bc + sc
+    overflow = jnp.max(counts_full)
+
+    # ---- merge: slots [0, bc) <- bigs, [bc, bc+sc) <- smalls ----
+    k = jnp.arange(K, dtype=I32)[None, :]                    # (1, K)
+    # big section (sorted_b already has valid entries at [0, bc))
+    if Lc < K:
+        big_sec = jnp.pad(sorted_b.reshape(n_tiles, Lc),
+                          ((0, 0), (0, K - Lc)), constant_values=T)
+    else:
+        big_sec = sorted_b.reshape(n_tiles, Lc)[:, :K]
+    # small section: entry index into the sorted stream
+    sidx = starts[:-1, None] + (k - bc[:, None])             # (n_tiles, K)
+    s_ok = (k >= bc[:, None]) & (k < counts_full[:, None])
+    small_sec = jnp.take(si, jnp.clip(sidx, 0, max(4 * T - 1, 0)))
+    ids_flat = jnp.where(k < bc[:, None], big_sec,
+                         jnp.where(s_ok, small_sec, T))
+    ids = jnp.where(ids_flat < T, ids_flat, -1).reshape(tiles_y, tiles_x, K)
+
+    rows = jnp.take(setup.rows, jnp.clip(ids, 0, T - 1), axis=0)
+    rows = jnp.where((ids >= 0)[..., None], rows, 0.0)
+    counts = jnp.minimum(counts_full, K).reshape(tiles_y, tiles_x)
+    return Bins(ids=ids, rows=rows, counts=counts, overflow=overflow,
+                big_overflow=big_overflow)
+
+
+# dense-vs-scatter crossover: the dense hit tensor + per-tile sort is
+# cheap below a few thousand triangles and quadratic-ish above
+_SCATTER_MIN_T = 4096
+
+
+def bin_triangles(setup: TriangleSetup, width: int, height: int,
+                  tile_h: int, tile_w: int, capacity: int,
+                  big_capacity: int = 512) -> Bins:
+    """Bucket triangles into screen tiles (capacity-padded per-tile lists).
+
+    Dispatches on the static pool size: small pools use the dense
+    (tiles, T) path, large pools the sort-scatter two-level path (the
+    high-poly raster-throughput lever; see bin_triangles_scatter)."""
+    T = setup.rows.shape[0]
+    if T <= _SCATTER_MIN_T:
+        return bin_triangles_dense(setup, width, height, tile_h, tile_w,
+                                   capacity)
+    return bin_triangles_scatter(setup, width, height, tile_h, tile_w,
+                                 capacity, big_capacity)
 
 
 # ---------------------------------------------------------------------------
@@ -523,7 +659,8 @@ def _rasterize_binned_jnp(bins: Bins, tile_h: int, tile_w: int
 @jax.named_scope("raster")
 def rasterize(clip: jax.Array, tri_vidx: jax.Array, tri_mask: jax.Array,
               width: int, height: int, tile_h: int, tile_w: int,
-              bin_capacity: int, cull: str = "back", use_pallas: bool = True
+              bin_capacity: int, cull: str = "back", use_pallas: bool = True,
+              big_capacity: int = 512
               ) -> tuple[jax.Array, jax.Array, TriangleSetup, "Bins"]:
     """Full raster: setup -> bin -> tile kernel.
 
@@ -531,6 +668,7 @@ def rasterize(clip: jax.Array, tri_vidx: jax.Array, tri_mask: jax.Array,
     monitor; bins.ids feed the one-hot resolve.
     """
     setup = triangle_setup(clip, tri_vidx, tri_mask, width, height, cull)
-    bins = bin_triangles(setup, width, height, tile_h, tile_w, bin_capacity)
+    bins = bin_triangles(setup, width, height, tile_h, tile_w, bin_capacity,
+                         big_capacity)
     tri_id, depth = rasterize_binned(bins, tile_h, tile_w, use_pallas=use_pallas)
     return tri_id, depth, setup, bins

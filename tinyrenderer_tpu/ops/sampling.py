@@ -465,6 +465,60 @@ def sample_cubemap(cube: jax.Array, d: jax.Array) -> jax.Array:
             + (tex(x0, y1) * (1 - fx) + tex(x1, y1) * fx) * fy)
 
 
+def encode_rgbe_windowed(cube: jax.Array) -> jax.Array:
+    """(6, S, S, 3) f32 HDR cube -> (6, S, S, 16) u8 windowed RGBE.
+
+    Each row packs the texel and its +x/+y/+x+y neighbors (clamp at face
+    edges) as shared-exponent RGBE (u8 mantissas, exponent biased 128), so
+    a full bilinear sky tap is ONE 16-byte gather instead of four 12-byte
+    f32 gathers — TPU gathers pay per issued row (a plain windowed f32
+    cube measured +1.3 ms: 48B rows lose; 16B u8 rows win). 8-bit
+    mantissas are sub-LSB after tone mapping.
+    """
+    m = jnp.max(cube, axis=-1)
+    e = jnp.where(m > 1e-30,
+                  jnp.ceil(jnp.log2(jnp.maximum(m, 1e-30))), -127.0)
+    scale = jnp.exp2(-e)[..., None]
+    mant = jnp.clip(jnp.round(cube * scale * 255.0), 0, 255)
+    rgbe = jnp.concatenate(
+        [mant, jnp.clip(e[..., None] + 128.0, 0, 255)], axis=-1)  # (6,S,S,4)
+    right = jnp.concatenate([rgbe[:, :, 1:], rgbe[:, :, -1:]], axis=2)
+    down = jnp.concatenate([rgbe[:, 1:, :], rgbe[:, -1:, :]], axis=1)
+    diag = jnp.concatenate([down[:, :, 1:], down[:, :, -1:]], axis=2)
+    return jnp.concatenate([rgbe, right, down, diag],
+                           axis=-1).astype(jnp.uint8)
+
+
+def _decode_rgbe(q: jax.Array) -> jax.Array:
+    """(..., 4) u8 RGBE -> (..., 3) f32 linear."""
+    f = q.astype(F32)
+    return f[..., :3] * (jnp.exp2(f[..., 3] - 128.0) / 255.0)[..., None]
+
+
+def sample_cubemap_rgbe_windowed(win: jax.Array, d: jax.Array) -> jax.Array:
+    """Bilinear cubemap sample from a windowed RGBE cube — one gather.
+
+    win: (6, S, S, 16) u8 from encode_rgbe_windowed; d: (..., 3)."""
+    S = win.shape[1]
+    face, u, v = cubemap_face_uv(d)
+    fu = jnp.clip((u * 0.5 + 0.5) * S - 0.5, 0.0, S - 1.0)
+    fv = jnp.clip((v * 0.5 + 0.5) * S - 0.5, 0.0, S - 1.0)
+    x0 = jnp.floor(fu)
+    y0 = jnp.floor(fv)
+    fx = (fu - x0)[..., None]
+    fy = (fv - y0)[..., None]
+    x0 = x0.astype(I32)
+    y0 = y0.astype(I32)
+    flat = win.reshape(6 * S * S, 16)
+    row = jnp.take(flat, (face * S + y0) * S + x0, axis=0)
+    c00 = _decode_rgbe(row[..., 0:4])
+    c10 = _decode_rgbe(row[..., 4:8])
+    c01 = _decode_rgbe(row[..., 8:12])
+    c11 = _decode_rgbe(row[..., 12:16])
+    return ((c00 * (1 - fx) + c10 * fx) * (1 - fy)
+            + (c01 * (1 - fx) + c11 * fx) * fy)
+
+
 def face_texel_dirs(size: int) -> jax.Array:
     """(6, S, S, 3) unit direction of every cubemap texel center."""
     t = (jnp.arange(size, dtype=F32) + 0.5) / size * 2.0 - 1.0

@@ -30,25 +30,30 @@ I32 = jnp.int32
 @jax.named_scope("shadow_pass")
 def render_shadow_views(clip_per_view: jax.Array, tri_vidx: jax.Array,
                         tri_mask: jax.Array, size: int, tile: int,
-                        bin_capacity: int, use_pallas: bool = True
-                        ) -> tuple[jax.Array, jax.Array]:
+                        bin_capacity: int, use_pallas: bool = True,
+                        big_capacity: int = 512
+                        ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Rasterize V depth-only views -> ((V, S, S) reverse-Z atlas, () i32
     max bin occupancy across views — the shadow capacity monitor, so an
     overfull shadow tile grows shadow_bin_capacity instead of silently
-    dropping casters).
+    dropping casters — and () i32 max big-triangle count across views,
+    monitoring cfg.bin_big_capacity on the scatter binning path).
 
     clip_per_view: (V, Vtx, 4) clip positions per view (static V, unrolled
     at trace time like the reference's per-light pass loop).
     """
     views = []
     overflow = jnp.int32(0)
+    big_overflow = jnp.int32(0)
     for v in range(clip_per_view.shape[0]):
         _, depth, _, bins = raster.rasterize(
             clip_per_view[v], tri_vidx, tri_mask, size, size, tile, tile,
-            bin_capacity, cull="front", use_pallas=use_pallas)
+            bin_capacity, cull="front", use_pallas=use_pallas,
+            big_capacity=big_capacity)
         views.append(depth)
         overflow = jnp.maximum(overflow, bins.overflow)
-    return jnp.stack(views, axis=0), overflow
+        big_overflow = jnp.maximum(big_overflow, bins.big_overflow)
+    return jnp.stack(views, axis=0), overflow, big_overflow
 
 
 def window_depth_maps(atlas: jax.Array) -> jax.Array:
@@ -62,9 +67,9 @@ def window_depth_maps(atlas: jax.Array) -> jax.Array:
 
 
 def _project(world_pos: jax.Array, viewproj: jax.Array) -> tuple[jax.Array, ...]:
-    """world (H, W, 3) -> (u, v, z_ndc, w) under a light viewproj."""
+    """world (..., 3) -> (u, v, z_ndc, w) under a light viewproj."""
     ph = jnp.concatenate([world_pos, jnp.ones_like(world_pos[..., :1])], axis=-1)
-    c = jnp.einsum("hwj,ij->hwi", ph, viewproj, preferred_element_type=F32)
+    c = jnp.einsum("...j,ij->...i", ph, viewproj, preferred_element_type=F32)
     w = c[..., 3]
     inv_w = 1.0 / jnp.where(jnp.abs(w) > 1e-9, w, 1.0)
     ndc = c[..., :3] * inv_w[..., None]
@@ -101,6 +106,85 @@ def _compare_pcf(shadow_map: jax.Array, u: jax.Array, v: jax.Array,
             + (lit[..., 2] * (1 - fx) + lit[..., 3] * fx) * fy)
 
 
+def gate_refined_visibility(vis_fn, vis_fn_one, pos: jax.Array, scale: int,
+                            block_capacity: int
+                            ) -> tuple[jax.Array, jax.Array]:
+    """Binary shadow gate at full resolution from a strided coarse pass +
+    exact re-evaluation of boundary blocks.
+
+    The deferred shading *gates* each light on ``shadow > 0`` rather than
+    scaling by the PCF fraction (main.wgsl:228-237 ``if shadow > 0.0``), so
+    per-pixel visibility is one bit. Evaluating the comparison taps on a
+    ``scale``-strided grid gives that bit almost everywhere; only cells
+    whose 3x3 neighborhood disagrees can differ from the full-rate gate,
+    and those boundary pixels are re-evaluated exactly on block-compacted
+    (8, 16) screen blocks (ops/compact.py). Result: boundary-exact hard
+    shadows (sharper than the old bilinear-upsample path) at roughly the
+    coarse pass's gather cost — TPU gathers pay per issued row, and shadow
+    taps were the #1 item of the 1080p frame ledger (~14.5 ms of 35).
+
+    vis_fn: world positions (..., 3) -> per-light visibility (..., L) in
+    [0, 1] (channel-last so every light shares one coarse pass).
+    vis_fn_one(i, p): single light i's visibility (...) — the refinement
+    re-evaluates each light only on ITS OWN boundary blocks (per-light
+    plans; boundaries of different lights rarely coincide, so a union plan
+    would pay L taps on every block).
+    pos: (H, W, 3). Returns ((H, W, L) f32 0/1 gates, () i32 max
+    needed-block count across lights, monitoring cfg.shadow_block_capacity).
+    """
+    from . import compact
+
+    H, W = pos.shape[:2]
+    if scale <= 1:
+        return (vis_fn(pos) > 0.0).astype(F32), jnp.int32(0)
+    lo = vis_fn(pos[::scale, ::scale]) > 0.0       # (hl, wl, L) bool
+
+    # boundary cells (per light): the gate differs from a 4-neighbor — a
+    # shadow edge crossing anywhere between the two samples marks BOTH
+    # cells, so the refined band already covers nearest-assignment
+    # misalignment; only features smaller than one coarse cell are missed
+    edge = (lo != jnp.roll(lo, 1, axis=0).at[0].set(lo[0])) \
+        | (lo != jnp.roll(lo, -1, axis=0).at[-1].set(lo[-1])) \
+        | (lo != jnp.roll(lo, 1, axis=1).at[:, 0].set(lo[:, 0])) \
+        | (lo != jnp.roll(lo, -1, axis=1).at[:, -1].set(lo[:, -1]))
+
+    L = lo.shape[-1]
+    hl, wl = lo.shape[:2]
+
+    def up(img):  # exact-integer nearest upsample: broadcast, not gather
+        if hl * scale == H and wl * scale == W:
+            return jnp.repeat(jnp.repeat(img, scale, axis=0), scale, axis=1)
+        return jax.image.resize(img.astype(F32), (H, W) + img.shape[2:],
+                                method="nearest")
+
+    coarse_up = up(lo).astype(F32)                  # (H, W, L)
+
+    bh, bw = 8, 16                                  # fine-grained blocks
+    if H % bh or W % bw:
+        return (vis_fn(pos) > 0.0).astype(F32), jnp.int32(0)
+    n_blocks = (H // bh) * (W // bw)
+    cap = block_capacity if 0 < block_capacity < n_blocks else n_blocks
+    pos_blocks = compact.to_blocks(pos, bh, bw)
+    hi_edge = up(edge)                              # (H, W, L) bool
+    edge_blocks = jnp.any(compact.to_blocks(hi_edge, bh, bw), axis=(1, 2))
+
+    out = coarse_up
+    needed = jnp.int32(0)
+    for li in range(L):
+        plan = compact.plan_blocks(edge_blocks[:, li], cap)
+        pos_c = compact.gather_blocks(pos_blocks, plan)
+        exact = (vis_fn_one(li, pos_c) > 0.0).astype(F32)   # (Kb, bh, bw)
+        refined = compact.from_blocks(compact.scatter_blocks(exact, plan),
+                                      H, W)
+        sel = jnp.broadcast_to((plan.inv >= 0)[:, None, None],
+                               (n_blocks, bh, bw))
+        sel_mask = compact.from_blocks(sel, H, W)
+        out = out.at[..., li].set(
+            jnp.where(sel_mask, refined, coarse_up[..., li]))
+        needed = jnp.maximum(needed, plan.needed)
+    return out, needed
+
+
 def directional_shadow(world_pos: jax.Array, viewproj: jax.Array,
                        shadow_map: jax.Array) -> jax.Array:
     """main.wgsl:75-96 get_directional_light_shadow_value (sans the x-flip,
@@ -109,6 +193,53 @@ def directional_shadow(world_pos: jax.Array, viewproj: jax.Array,
     vis = _compare_pcf(shadow_map, u, v, z)
     inside = (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (v <= 1.0) & (w > 0.0)
     return jnp.where(inside, vis, 1.0)
+
+
+def point_shadow_multi(world_pos: jax.Array, light_positions: jax.Array,
+                       viewprojs: jax.Array, atlas: jax.Array) -> jax.Array:
+    """All point lights' cube shadow lookups in ONE gather round.
+
+    world_pos: (..., 3); light_positions: (P, 3); viewprojs: (P, 6, 4, 4);
+    atlas: (P*6, S, S, 4) windowed (the first 6P views of the engine's
+    atlas). Returns (P, ...) visibility. Batching all lights into a single
+    `take` (instead of P sequential lookup passes) is the multi-light lever
+    for BASELINE config 2: the projections run as one einsum and the PCF
+    rows gather with per-pixel (light, face) offsets in one call.
+    """
+    Pn = light_positions.shape[0]
+    S = atlas.shape[-2]
+    d = world_pos[None, ...] - light_positions[
+        (slice(None),) + (None,) * (world_pos.ndim - 1) + (slice(None),)]
+    ax = jnp.abs(d)
+    is_x = (ax[..., 0] >= ax[..., 1]) & (ax[..., 0] >= ax[..., 2])
+    is_y = (ax[..., 1] > ax[..., 0]) & (ax[..., 1] >= ax[..., 2])
+    face = jnp.where(is_x, jnp.where(d[..., 0] >= 0, 0, 1),
+                     jnp.where(is_y, jnp.where(d[..., 1] >= 0, 2, 3),
+                               jnp.where(d[..., 2] >= 0, 4, 5))).astype(I32)
+
+    # project through all P*6 viewprojs at once (pure ALU), select the
+    # owning face's coordinates per light
+    ph = jnp.concatenate([world_pos, jnp.ones_like(world_pos[..., :1])],
+                         axis=-1)
+    c = jnp.einsum("...j,pfij->pf...i", ph, viewprojs,
+                   preferred_element_type=F32)       # (P, 6, ..., 4)
+    w = c[..., 3]
+    inv_w = 1.0 / jnp.where(jnp.abs(w) > 1e-9, w, 1.0)
+    ndc = c[..., :3] * inv_w[..., None]
+    u_f = ndc[..., 0] * 0.5 + 0.5                    # (P, 6, ...)
+    v_f = 0.5 - ndc[..., 1] * 0.5
+    z_f = ndc[..., 2]
+    onehot = jax.nn.one_hot(face, 6, axis=1, dtype=F32)  # (P, 6, ...)
+    u = jnp.sum(u_f * onehot, axis=1)
+    v = jnp.sum(v_f * onehot, axis=1)
+    z = jnp.sum(z_f * onehot, axis=1)
+    wsel = jnp.sum(w * onehot, axis=1)
+
+    light_idx = jnp.arange(Pn, dtype=I32)[
+        (slice(None),) + (None,) * (world_pos.ndim - 1)]
+    base = (light_idx * 6 + face) * (S * S)
+    vis = _compare_pcf(atlas, u, v, z, base=base)
+    return jnp.where(wsel > 0.0, vis, 1.0)
 
 
 def point_shadow(world_pos: jax.Array, light_pos: jax.Array,

@@ -67,33 +67,36 @@ class ShardedFrameOutput(NamedTuple):
     bin_overflow: jax.Array     # () i32 max bin occupancy across bands
     shadow_overflow: jax.Array  # () i32 max shadow bin occupancy across views
     tex_overflow: jax.Array     # (2,) i32 max [main, fwd] textured blocks
+    big_overflow: jax.Array     # () i32 max big-triangle count (scatter
+    #   binning's cfg.bin_big_capacity monitor)
+    shadow_blocks: jax.Array    # () i32 max shadow-boundary blocks wanted
+    #   (cfg.shadow_block_capacity monitor)
 
 
 def _render_band(scene: SceneGPU, pool, lights: LightsGPU, atlas,
                  camera_raw, params, env, y0, cfg: config.RenderConfig,
-                 band_h: int):
+                 band_h: int, proj_h: Optional[int] = None):
     """Rasterize + shade rows [y0, y0 + band_h) of one camera's frame.
 
     Mirrors frame.render_frame's pass sequence (which mirrors
     src/world_renderer.rs:194-371) but confined to one horizontal band.
+
+    ``proj_h``: height (pixels) the NDC y range maps onto. Defaults to the
+    config's padded height; the render-scale path passes the *single-chip*
+    padded height so the band-divisibility padding adds off-screen rows
+    below the frame instead of rescaling the projection (keeping sharded
+    output pixel-consistent with render_frame at the same render scale).
     """
     cam = framelib._unpack_camera(camera_raw)
-    PW, PH = cfg.padded_width, cfg.padded_height
+    PW, PH = cfg.padded_width, (proj_h or cfg.padded_height)
 
-    world, clip = raster.transform_vertices(
-        scene.vert_pos, scene.vert_instance, scene.inst_model, cam["view_proj"])
-    nm = jnp.take(scene.inst_normal_mat, scene.vert_instance, axis=0)
-    n_w = jnp.einsum("vij,vj->vi", nm, scene.vert_normal, preferred_element_type=F32)
-    t_w = jnp.einsum("vij,vj->vi", nm, scene.vert_tangent, preferred_element_type=F32)
-    b_w = jnp.einsum("vij,vj->vi", nm, scene.vert_bitangent, preferred_element_type=F32)
-    attrs = resolve.VertexAttrs(world=world, uv=scene.vert_uv,
-                                normal=n_w, tangent=t_w, bitangent=b_w)
+    world, clip, attrs = framelib.geometry_stage(scene, cam["view_proj"])
 
     def band_raster(tri_vidx, tri_mask, cull):
         setup = raster.triangle_setup(clip, tri_vidx, tri_mask, PW, PH, cull)
         setup = raster.translate_setup_y(setup, y0)
         bins = raster.bin_triangles(setup, PW, band_h, cfg.tile_h, cfg.tile_w,
-                                    cfg.bin_capacity)
+                                    cfg.bin_capacity, cfg.bin_big_capacity)
         tri_id, depth = raster.rasterize_binned(bins, cfg.tile_h, cfg.tile_w,
                                                 use_pallas=cfg.use_pallas)
         return tri_id, depth, setup, bins
@@ -104,7 +107,7 @@ def _render_band(scene: SceneGPU, pool, lights: LightsGPU, atlas,
                                       scene.tri_deferred, PW, PH, "back")
         setup = raster.translate_setup_y(setup, y0)
         bins = raster.bin_triangles(setup, PW, band_h, cfg.tile_h, cfg.tile_w,
-                                    cfg.bin_capacity)
+                                    cfg.bin_capacity, cfg.bin_big_capacity)
         table = resolve.build_gbuffer_table(
             setup, scene.tri_vidx, attrs, scene.tri_instance,
             scene.inst_object_id, scene.inst_material, scene.mat_record,
@@ -132,23 +135,45 @@ def _render_band(scene: SceneGPU, pool, lights: LightsGPU, atlas,
             texture_scale=cfg.texture_scale,
             tex_block_capacity=cfg.tex_block_capacity)
     bin_overflow = bins.overflow
+    big_overflow = bins.big_overflow
 
     Pn, D = cfg.num_point_lights, cfg.num_directional_lights
     point_shadow_fn = dir_shadow_fn = None
+    shadow_blocks = jnp.int32(0)
     if cfg.enable_shadows and (Pn + D) > 0 and atlas is not None:
-        def point_shadow_fn(i, pos):  # noqa: E306
-            return framelib._lowres_vis(
-                lambda p: shadows.point_shadow(
+        # same batched-gate path as render_frame (keep-in-sync invariant):
+        # one coarse strided pass + boundary-block refinement per band
+        def vis_all(p):
+            outs = []
+            if Pn > 0:
+                pm = shadows.point_shadow_multi(
+                    p, lights.point_position[:Pn],
+                    lights.shadow_viewprojs[:6 * Pn].reshape(Pn, 6, 4, 4),
+                    atlas[:6 * Pn])
+                outs.append(jnp.moveaxis(pm, 0, -1))
+            for i in range(D):
+                outs.append(shadows.directional_shadow(
+                    p, lights.dir_viewproj[i], atlas[6 * Pn + i])[..., None])
+            return jnp.concatenate(outs, axis=-1)
+
+        def vis_one(i, p):
+            if i < Pn:
+                return shadows.point_shadow(
                     p, lights.point_position[i],
                     lights.shadow_viewprojs[6 * i:6 * i + 6],
-                    atlas[6 * i:6 * i + 6]),
-                pos, cfg.shadow_lookup_scale)
+                    atlas[6 * i:6 * i + 6])
+            return shadows.directional_shadow(
+                p, lights.dir_viewproj[i - Pn], atlas[6 * Pn + i - Pn])
+
+        gates, shadow_blocks = shadows.gate_refined_visibility(
+            vis_all, vis_one, g.position, cfg.shadow_lookup_scale,
+            cfg.shadow_block_capacity)
+
+        def point_shadow_fn(i, pos):  # noqa: E306
+            return gates[..., i]
 
         def dir_shadow_fn(i, pos):
-            return framelib._lowres_vis(
-                lambda p: shadows.directional_shadow(
-                    p, lights.dir_viewproj[i], atlas[6 * Pn + i]),
-                pos, cfg.shadow_lookup_scale)
+            return gates[..., Pn + i]
 
     slights = shading.ShadingLights(
         point_position=lights.point_position, point_color=lights.point_color,
@@ -163,7 +188,9 @@ def _render_band(scene: SceneGPU, pool, lights: LightsGPU, atlas,
         sky = envops.skybox_colors(env.env_cube, cam["proj_inv"],
                                    cam["view_inv"][:3, :3], PW // s,
                                    band_h // s, y0=y0 / s,
-                                   full_height=PH // s)
+                                   full_height=PH // s,
+                                   rgbe_win=(env.sky_rgbe if cfg.sky_rgbe
+                                             else None))
         if s > 1:
             sky = framelib._upsample_bilinear(sky, (band_h, PW, 3))
         hdr = jnp.where(g.mask[..., None], hdr, sky)
@@ -176,6 +203,7 @@ def _render_band(scene: SceneGPU, pool, lights: LightsGPU, atlas,
         f_id, _, f_setup, f_bins = band_raster(scene.fwd_tri_vidx,
                                                scene.fwd_tri_mask, "none")
         bin_overflow = jnp.maximum(bin_overflow, f_bins.overflow)
+        big_overflow = jnp.maximum(big_overflow, f_bins.big_overflow)
         f_table = resolve.build_gbuffer_table(
             f_setup, scene.fwd_tri_vidx, attrs, scene.fwd_tri_instance,
             scene.inst_object_id, scene.inst_material, scene.mat_record,
@@ -191,7 +219,7 @@ def _render_band(scene: SceneGPU, pool, lights: LightsGPU, atlas,
     sdr = post.tone_map(hdr, params[framelib.PARAM_TONE_TYPE],
                         params[framelib.PARAM_EXPOSURE])
     return sdr, pick, depth, hdr, bin_overflow, \
-        jnp.stack([tex_needed, fwd_needed])
+        jnp.stack([tex_needed, fwd_needed]), big_overflow, shadow_blocks
 
 
 def _atlas_roundrobin(scene: SceneGPU, lights: LightsGPU,
@@ -206,22 +234,20 @@ def _atlas_roundrobin(scene: SceneGPU, lights: LightsGPU,
                               (views_pad - vp.shape[0], 4, 4))], axis=0)
     my_vp = jax.lax.dynamic_slice_in_dim(
         vp_pad, flat * views_local, views_local, axis=0)
-    world, _ = raster.transform_vertices(
-        scene.vert_pos, scene.vert_instance, scene.inst_model,
-        jnp.eye(4, dtype=F32))
+    world = framelib.world_positions(scene)
     wh = jnp.concatenate([world, jnp.ones_like(world[:, :1])], axis=1)
     clip_views = jnp.einsum("vj,sij->svi", wh, my_vp,
                             preferred_element_type=F32)
-    atlas_local, shadow_ovf = shadows.render_shadow_views(
+    atlas_local, shadow_ovf, big_ovf = shadows.render_shadow_views(
         clip_views, scene.tri_vidx, scene.tri_shadow, cfg.shadow_size,
         cfg.shadow_tile, cfg.shadow_bin_capacity,
-        use_pallas=cfg.use_pallas)
+        use_pallas=cfg.use_pallas, big_capacity=cfg.bin_big_capacity)
     atlas = jax.lax.all_gather(atlas_local, ("dp", "sp"),
                                axis=0, tiled=True)[:n_views]
     win = shadows.window_depth_maps(atlas)
     if cfg.shadow_bf16:
         win = win.astype(jnp.bfloat16)
-    return win, shadow_ovf
+    return win, shadow_ovf, big_ovf
 
 
 def render_shadow_atlas_sharded(scene: SceneGPU, lights: LightsGPU,
@@ -240,19 +266,21 @@ def render_shadow_atlas_sharded(scene: SceneGPU, lights: LightsGPU,
 
     def fn(scene, lights):
         flat = jax.lax.axis_index("dp") * sp + jax.lax.axis_index("sp")
-        atlas, ovf = _atlas_roundrobin(scene, lights, cfg, flat, n_views,
-                                       views_pad, views_local)
-        return atlas, jax.lax.pmax(ovf, ("dp", "sp"))
+        atlas, ovf, big = _atlas_roundrobin(scene, lights, cfg, flat,
+                                            n_views, views_pad, views_local)
+        return (atlas, jax.lax.pmax(ovf, ("dp", "sp")),
+                jax.lax.pmax(big, ("dp", "sp")))
 
     return shard_map(fn, mesh=mesh, in_specs=(P(), P()),
-                     out_specs=(P(), P()), check_vma=False)(scene, lights)
+                     out_specs=(P(), P(), P()), check_vma=False)(scene, lights)
 
 
 def render_frame_sharded(scene: SceneGPU, pool, lights: LightsGPU,
                          camera_raw_batch: jax.Array, params: jax.Array,
                          env: Optional[framelib.EnvGPU],
                          cfg: config.RenderConfig, mesh: Mesh,
-                         atlas: Optional[jax.Array] = None
+                         atlas: Optional[jax.Array] = None,
+                         proj_h: Optional[int] = None
                          ) -> ShardedFrameOutput:
     """Render a batch of views over the mesh. Call under ``jax.jit``.
 
@@ -274,23 +302,33 @@ def render_frame_sharded(scene: SceneGPU, pool, lights: LightsGPU,
         pct = cfg.render_scale_pct
         lw = max(cfg.tile_w, (cfg.width * pct) // 100)
         lh = max(cfg.tile_h, (cfg.height * pct) // 100)
-        # sharded_config may pad lh up for band divisibility — the camera
-        # projection is resolution-independent, so the padded grid still
-        # covers the full FOV; upsample from the output's own shape.
-        cfg_lo = sharded_config(
-            replace(cfg, render_scale_pct=100, width=lw, height=lh), sp)
+        # sharded_config may pad lh further for band divisibility; keep the
+        # projection mapped onto the *single-chip* padded grid (proj_h) so
+        # the extra band rows land below the frame instead of rescaling the
+        # FOV, then crop to lh — pixel-consistent with render_frame.
+        cfg_lo0 = replace(cfg, render_scale_pct=100, width=lw, height=lh)
+        cfg_lo = sharded_config(cfg_lo0, sp)
         out = render_frame_sharded(scene, pool, lights, camera_raw_batch,
-                                   params, env, cfg_lo, mesh, atlas)
+                                   params, env, cfg_lo, mesh, atlas,
+                                   proj_h=cfg_lo0.padded_height)
         H, W = cfg.height, cfg.width
-        hdr = jax.image.resize(out.hdr, (B, H, W, 3), method="bilinear")
+        # crop the band-divisibility padding back to the true low-res size
+        # before upsampling, matching render_frame's crop-to-(lh, lw) —
+        # otherwise the sharded frame is vertically rescaled vs single-chip.
+        hdr = jax.image.resize(out.hdr[:, :lh, :lw], (B, H, W, 3),
+                               method="bilinear")
         sdr = post.tone_map(hdr, params[framelib.PARAM_TONE_TYPE],
                             params[framelib.PARAM_EXPOSURE])
-        pick = jax.image.resize(out.pick_id, (B, H, W), method="nearest")
-        depth = jax.image.resize(out.depth, (B, H, W), method="nearest")
+        pick = jax.image.resize(out.pick_id[:, :lh, :lw], (B, H, W),
+                                method="nearest")
+        depth = jax.image.resize(out.depth[:, :lh, :lw], (B, H, W),
+                                 method="nearest")
         return ShardedFrameOutput(sdr=sdr, pick_id=pick, depth=depth,
                                   hdr=hdr, bin_overflow=out.bin_overflow,
                                   shadow_overflow=out.shadow_overflow,
-                                  tex_overflow=out.tex_overflow)
+                                  tex_overflow=out.tex_overflow,
+                                  big_overflow=out.big_overflow,
+                                  shadow_blocks=out.shadow_blocks)
     if cfg.tiles_y % sp != 0:
         raise ValueError(
             f"tiles_y={cfg.tiles_y} not divisible by sp={sp}; "
@@ -307,22 +345,27 @@ def render_frame_sharded(scene: SceneGPU, pool, lights: LightsGPU,
         flat = dp_i * sp + sp_i
 
         shadow_ovf = jnp.int32(0)
+        shadow_big = jnp.int32(0)
         if atlas is None and cfg.enable_shadows and n_views > 0:
-            atlas, shadow_ovf = _atlas_roundrobin(
+            atlas, shadow_ovf, shadow_big = _atlas_roundrobin(
                 scene, lights, cfg, flat, n_views, views_pad, views_local)
 
         y0 = (sp_i * band_h).astype(F32)
         band = functools.partial(_render_band, scene, pool, lights, atlas,
                                  params=params, env=env, y0=y0, cfg=cfg,
-                                 band_h=band_h)
-        sdr, pick, depth, hdr, bin_ovf, tex_ovf = \
+                                 band_h=band_h, proj_h=proj_h)
+        sdr, pick, depth, hdr, bin_ovf, tex_ovf, big_ovf, shadow_blk = \
             jax.vmap(lambda c: band(c))(cam_local)
         # capacity monitors reduce over the whole mesh (ADVICE r1: the
         # multi-chip path must not silently drop triangles either)
         bin_ovf = jax.lax.pmax(jnp.max(bin_ovf), ("dp", "sp"))
         shadow_ovf = jax.lax.pmax(shadow_ovf, ("dp", "sp"))
         tex_ovf = jax.lax.pmax(jnp.max(tex_ovf, axis=0), ("dp", "sp"))
-        return sdr, pick, depth, hdr, bin_ovf, shadow_ovf, tex_ovf
+        big_ovf = jax.lax.pmax(jnp.maximum(jnp.max(big_ovf), shadow_big),
+                               ("dp", "sp"))
+        shadow_blk = jax.lax.pmax(jnp.max(shadow_blk), ("dp", "sp"))
+        return (sdr, pick, depth, hdr, bin_ovf, shadow_ovf, tex_ovf,
+                big_ovf, shadow_blk)
 
     spec_rep = P()
     out = shard_map(
@@ -330,16 +373,17 @@ def render_frame_sharded(scene: SceneGPU, pool, lights: LightsGPU,
         in_specs=(spec_rep, spec_rep, spec_rep, P("dp"), spec_rep, spec_rep,
                   spec_rep),
         out_specs=(P("dp", "sp"), P("dp", "sp"), P("dp", "sp"), P("dp", "sp"),
-                   spec_rep, spec_rep, spec_rep),
+                   spec_rep, spec_rep, spec_rep, spec_rep, spec_rep),
         check_vma=False,
     )(scene, pool, lights, camera_raw_batch, params, env, atlas)
 
     H, W = cfg.height, cfg.width
-    sdr, pick, depth, hdr, bin_ovf, shadow_ovf, tex_ovf = out
+    sdr, pick, depth, hdr, bin_ovf, shadow_ovf, tex_ovf, big_ovf, sblk = out
     return ShardedFrameOutput(sdr=sdr[:, :H, :W], pick_id=pick[:, :H, :W],
                               depth=depth[:, :H, :W], hdr=hdr[:, :H, :W],
                               bin_overflow=bin_ovf, shadow_overflow=shadow_ovf,
-                              tex_overflow=tex_ovf)
+                              tex_overflow=tex_ovf, big_overflow=big_ovf,
+                              shadow_blocks=sblk)
 
 
 @functools.lru_cache(maxsize=4)

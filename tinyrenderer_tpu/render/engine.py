@@ -149,8 +149,11 @@ class Engine:
             cube = framelib.bake_env_cubemap(eq, self.cfg.env_size,
                                              gamma_decode=self._equirect_is_file)
             irr = self._load_or_bake_irradiance(cube)
-            self._env = framelib.EnvGPU(env_cube=cube, irradiance=irr,
-                                        irradiance_sh=framelib.project_irradiance_sh(irr))
+            from ..ops import sampling as samplinglib
+            self._env = framelib.EnvGPU(
+                env_cube=cube, irradiance=irr,
+                irradiance_sh=framelib.project_irradiance_sh(irr),
+                sky_rgbe=jax.jit(samplinglib.encode_rgbe_windowed)(cube))
         return self._env
 
     def _load_or_bake_irradiance(self, cube) -> jnp.ndarray:
@@ -215,9 +218,9 @@ class Engine:
                 if self._env is not None:
                     irr = framelib.bake_irradiance(self._env.env_cube,
                                                    self.cfg.irradiance_size)
-                    self._env = framelib.EnvGPU(
-                        self._env.env_cube, irr,
-                        framelib.project_irradiance_sh(irr))
+                    self._env = self._env._replace(
+                        irradiance=irr,
+                        irradiance_sh=framelib.project_irradiance_sh(irr))
             elif action == RenderingAction.SAVE_IRRADIANCE:
                 self.write_ibl_to_file(self._ibl_cache_path or "output_ibl.data")
         self._actions.clear()
@@ -260,6 +263,14 @@ class Engine:
 
     def _repack(self) -> None:
         self._atlas = None  # scene/lights changed -> shadow maps stale
+        # The packer's texture pool is sized at construction; a runtime
+        # config change to the pool envelope (e.g. the viewer's parity
+        # preset setting texture_size=1024/mip_levels=10) must rebuild it,
+        # or the preset silently keeps sampling the old pyramid.
+        p = self._packer.pool
+        if (p.size != self.cfg.texture_size or p.levels != self.cfg.mip_levels
+                or p.capacity != self.cfg.max_textures):
+            self._packer = ScenePacker(self.cfg, self.asset_search_paths)
         try:
             self._pack = self._packer.pack(self.world)
         except CapacityError as e:
@@ -268,7 +279,8 @@ class Engine:
             self.cfg = self.cfg.grown_for(
                 c["instances"], c["vertices"], c["triangles"], c["materials"],
                 c["point_lights"], c["directional_lights"], c["textures"],
-                c.get("forward_triangles", 0))
+                c.get("forward_triangles", 0),
+                c.get("unique_vertices", 0))
             self._packer = ScenePacker(self.cfg, self.asset_search_paths)
             self._pack = self._packer.pack(self.world)
         # light-count changes alter the static shadow-view count;
@@ -299,9 +311,13 @@ class Engine:
                 and self.cfg.num_shadow_views > 0):
             # shadow maps depend only on scene+lights: render once, reuse
             # every frame until the next scene edit
-            self._atlas, shadow_ovf = framelib.compiled_shadow_atlas(self.cfg)(
-                self._pack.scene, self._pack.lights)
-            self._queue_overflow(("shadow",), jnp.stack([shadow_ovf]))
+            self._atlas, shadow_ovf, s_big = \
+                framelib.compiled_shadow_atlas(self.cfg)(
+                    self._pack.scene, self._pack.lights)
+            self._queue_overflow(("shadow", "binsbig"),
+                                 jnp.stack([shadow_ovf, s_big]))
+        atlas_inline = (self._atlas is None and self.cfg.enable_shadows
+                        and self.cfg.num_shadow_views > 0)
         out = fn(self._pack.scene,
                  self._packer.pool_for(self.cfg),
                  self._pack.lights, cam_raw, self.params, env, self._atlas)
@@ -309,10 +325,26 @@ class Engine:
         self.last_frame_ms = (time.perf_counter() - t0) * 1e3
         self.last_output = out
         self.frame_index += 1
-        self._queue_overflow(
-            ("bins", "shadow", "tex", "fwdtex"),
-            jnp.stack([out.bin_overflow, out.shadow_overflow,
-                       out.tex_overflow[0], out.tex_overflow[1]]))
+        # The 'shadow' monitor only carries real occupancy when the atlas
+        # was rendered inline this frame; with a precomputed atlas
+        # out.shadow_overflow is a constant-0 sentinel, and feeding it to
+        # the shrink hysteresis would oscillate any grown
+        # shadow_bin_capacity (shrink -> undersized atlas -> regrow, every
+        # SHRINK_AFTER frames). The atlas-time _queue_overflow in render()
+        # already reports the real occupancy for the cached path.
+        if atlas_inline:
+            self._queue_overflow(
+                ("bins", "binsbig", "shadow", "tex", "fwdtex", "shadowblk"),
+                jnp.stack([out.bin_overflow, out.big_overflow,
+                           out.shadow_overflow,
+                           out.tex_overflow[0], out.tex_overflow[1],
+                           out.shadow_blocks]))
+        else:
+            self._queue_overflow(
+                ("bins", "binsbig", "tex", "fwdtex", "shadowblk"),
+                jnp.stack([out.bin_overflow, out.big_overflow,
+                           out.tex_overflow[0], out.tex_overflow[1],
+                           out.shadow_blocks]))
         self._check_overflow()
         return out
 
@@ -326,9 +358,12 @@ class Engine:
     # capacity monitors: (kind, config field, toast label)
     _OVERFLOW_KINDS = {
         "bins": ("bin_capacity", "Raster bin overflow"),
+        "binsbig": ("bin_big_capacity", "Big-triangle list overflow"),
         "shadow": ("shadow_bin_capacity", "Shadow bin overflow"),
         "tex": ("tex_block_capacity", "Textured-block overflow"),
         "fwdtex": ("fwd_tile_capacity", "Forward overlay tile overflow"),
+        "shadowblk": ("shadow_block_capacity",
+                      "Shadow boundary-block overflow"),
     }
 
     def _queue_overflow(self, kinds: tuple, values) -> None:
@@ -365,7 +400,7 @@ class Engine:
                 if cap <= 0:
                     continue  # monitor disabled (dense path by request)
                 if v > cap:
-                    if kind in ("tex", "fwdtex"):
+                    if kind in ("tex", "fwdtex", "shadowblk"):
                         # finer buckets than pow2: the compacted gather
                         # count scales with the capacity, so overshooting
                         # to the next power of two (e.g. 1351 -> 2048 =
@@ -380,7 +415,7 @@ class Engine:
                         f"{label} ({v}); capacity grown to {new_cap}",
                         "warning")
                     self.cfg = replace(self.cfg, **{field: new_cap})
-                    if kind == "shadow":
+                    if kind in ("shadow", "binsbig"):
                         self._atlas = None  # re-render with grown capacity
                     # config changed: older monitors describe the old
                     # envelope — drop them and stop for this frame
@@ -396,7 +431,7 @@ class Engine:
                 if cap > floor and v < int(cap * 0.4):
                     n = self._under_count.get(kind, 0) + 1
                     if n >= self.SHRINK_AFTER:
-                        if kind in ("tex", "fwdtex"):
+                        if kind in ("tex", "fwdtex", "shadowblk"):
                             new_cap = max(floor,
                                           -(-max(v, 1) * 2 // 256) * 256)
                         else:

@@ -45,6 +45,8 @@ class EnvGPU(NamedTuple):
     env_cube: jax.Array      # (6, E, E, 3) environment cubemap
     irradiance: jax.Array    # (6, I, I, 3) diffuse irradiance (bake/cache)
     irradiance_sh: jax.Array  # (9, 3) SH projection used by shading
+    sky_rgbe: Optional[jax.Array] = None  # (6, E, E, 16) u8 windowed RGBE
+    #   display cube (one-gather bilinear sky taps); None = sample env_cube
 
 
 class FrameOutput(NamedTuple):
@@ -58,20 +60,51 @@ class FrameOutput(NamedTuple):
     #   at atlas render time instead)
     tex_overflow: jax.Array  # (2,) i32 [main, forward] textured-block counts
     #   (compaction capacity monitors, ops/compact.py)
+    big_overflow: jax.Array  # () i32 max big-triangle count across rasters
+    #   (cfg.bin_big_capacity monitor; 0 on the dense binning path)
+    shadow_blocks: jax.Array  # () i32 shadow-boundary blocks wanted
+    #   (cfg.shadow_block_capacity monitor; 0 when shadows are off)
 
 
 def _upsample_bilinear(img: jax.Array, shape: tuple) -> jax.Array:
     return jax.image.resize(img, shape, method="bilinear")
 
 
-def _lowres_vis(fn, pos: jax.Array, scale: int) -> jax.Array:
-    """Evaluate a (H, W)-visibility function on a strided position grid and
-    bilinearly upsample — shadow visibility is PCF-soft, so quarter the
-    gathers cost ~nothing visually (cfg.shadow_lookup_scale)."""
-    if scale == 1:
-        return fn(pos)
-    lo = fn(pos[::scale, ::scale])
-    return _upsample_bilinear(lo, pos.shape[:2])
+def geometry_stage(scene: SceneGPU, view_proj: jax.Array,
+                   need_tbn: bool = True):
+    """Expand the instance-shared vertex pool and transform to world/clip.
+
+    One gather widens the (Uc, 14) unique rows to the flattened
+    per-instance layout (scene_gpu.SceneGPU.vert_data/vert_src), then the
+    instance model/normal matrices apply per flattened vertex (MXU batched
+    einsums — the instance-attribute vertex shader,
+    gbuffer_geometry.wgsl:50-85). Returns (world (V, 3), clip (V, 4),
+    resolve.VertexAttrs)."""
+    data = jnp.take(scene.vert_data, scene.vert_src, axis=0)   # (Vc, 14)
+    world, clip = raster.transform_vertices(
+        data[:, 0:3], scene.vert_instance, scene.inst_model, view_proj)
+    nm = jnp.take(scene.inst_normal_mat, scene.vert_instance, axis=0)
+    n_w = jnp.einsum("vij,vj->vi", nm, data[:, 5:8],
+                     preferred_element_type=F32)
+    if need_tbn:
+        t_w = jnp.einsum("vij,vj->vi", nm, data[:, 8:11],
+                         preferred_element_type=F32)
+        b_w = jnp.einsum("vij,vj->vi", nm, data[:, 11:14],
+                         preferred_element_type=F32)
+    else:
+        t_w = b_w = n_w
+    attrs = resolve.VertexAttrs(world=world, uv=data[:, 3:5], normal=n_w,
+                                tangent=t_w, bitangent=b_w)
+    return world, clip, attrs
+
+
+def world_positions(scene: SceneGPU) -> jax.Array:
+    """(V, 3) world-space flattened vertex positions (shadow bake input)."""
+    data = jnp.take(scene.vert_data, scene.vert_src, axis=0)
+    world, _ = raster.transform_vertices(
+        data[:, 0:3], scene.vert_instance, scene.inst_model,
+        jnp.eye(4, dtype=F32))
+    return world
 
 
 def _raster_resolve(clip, tri_vidx, tri_mask, tri_instance, vattrs, scene,
@@ -85,7 +118,7 @@ def _raster_resolve(clip, tri_vidx, tri_mask, tri_instance, vattrs, scene,
     PW, PH = cfg.padded_width, cfg.padded_height
     setup = raster.triangle_setup(clip, tri_vidx, tri_mask, PW, PH, cull)
     bins = raster.bin_triangles(setup, PW, PH, cfg.tile_h, cfg.tile_w,
-                                cfg.bin_capacity)
+                                cfg.bin_capacity, cfg.bin_big_capacity)
     table = resolve.build_gbuffer_table(
         setup, tri_vidx, vattrs, tri_instance, scene.inst_object_id,
         scene.inst_material, scene.mat_record, scene.mat_flat)
@@ -103,7 +136,7 @@ def _raster_resolve(clip, tri_vidx, tri_mask, tri_instance, vattrs, scene,
         # ~22 channels instead of the 53-channel sel tensor)
         r = resolve.resolve_attrs_tiled(tri_id, bins.ids, table,
                                         cfg.tile_h, cfg.tile_w)
-    return tri_id, depth, r, bins.overflow
+    return tri_id, depth, r, bins
 
 
 def _unpack_camera(camera_raw: jax.Array) -> dict:
@@ -128,16 +161,12 @@ def render_frame_forward(scene: SceneGPU, pool: sampling.TexturePoolGPU,
     W, H = cfg.width, cfg.height
     PW, PH = cfg.padded_width, cfg.padded_height
 
-    world, clip = raster.transform_vertices(
-        scene.vert_pos, scene.vert_instance, scene.inst_model, cam["view_proj"])
-    nm = jnp.take(scene.inst_normal_mat, scene.vert_instance, axis=0)
-    n_w = jnp.einsum("vij,vj->vi", nm, scene.vert_normal, preferred_element_type=F32)
-
-    vattrs = resolve.VertexAttrs(world=world, uv=scene.vert_uv,
-                                 normal=n_w, tangent=n_w, bitangent=n_w)
-    tri_id, depth, r, overflow = _raster_resolve(
+    world, clip, vattrs = geometry_stage(scene, cam["view_proj"],
+                                         need_tbn=False)
+    tri_id, depth, r, bins = _raster_resolve(
         clip, scene.tri_vidx, scene.tri_deferred, scene.tri_instance,
         vattrs, scene, cfg, "back")
+    overflow = bins.overflow
     valid = r.valid
     uv, normal, flat = r.uv, r.normal, r.flat
     use_tex = flat[..., 5] > 0.5
@@ -158,7 +187,9 @@ def render_frame_forward(scene: SceneGPU, pool: sampling.TexturePoolGPU,
     if env is not None:
         s = cfg.sky_scale
         sky = envops.skybox_colors(env.env_cube, cam["proj_inv"],
-                                   cam["view_inv"][:3, :3], PW // s, PH // s)
+                                   cam["view_inv"][:3, :3], PW // s, PH // s,
+                                   rgbe_win=(env.sky_rgbe if cfg.sky_rgbe
+                                             else None))
         if s > 1:
             sky = _upsample_bilinear(sky, (PH, PW, 3))
         hdr = jnp.where(valid[..., None], hdr, sky)
@@ -168,31 +199,32 @@ def render_frame_forward(scene: SceneGPU, pool: sampling.TexturePoolGPU,
                        depth=depth[:H, :W], hdr=hdr[:H, :W],
                        bin_overflow=overflow,
                        shadow_overflow=jnp.int32(0),
-                       tex_overflow=jnp.stack([tex_needed, jnp.int32(0)]))
+                       tex_overflow=jnp.stack([tex_needed, jnp.int32(0)]),
+                       big_overflow=bins.big_overflow,
+                       shadow_blocks=jnp.int32(0))
 
 
 def render_shadow_atlas(scene: SceneGPU, lights: LightsGPU,
                         cfg: config.RenderConfig
-                        ) -> tuple[jax.Array, jax.Array]:
+                        ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Windowed shadow atlas (6P+D, S, S, 4) + () i32 shadow-bin overflow
-    monitor. Depends only on scene + lights — the engine caches it across
-    frames and re-renders only on scene/light edits (shadow maps are
-    camera-independent, so a fly-around over a static scene never re-renders
-    them; the reference re-records its shadow passes every frame,
-    src/light_controller.rs:187)."""
-    world, _ = raster.transform_vertices(
-        scene.vert_pos, scene.vert_instance, scene.inst_model,
-        jnp.eye(4, dtype=F32))
+    monitor + () i32 big-triangle overflow monitor. Depends only on scene +
+    lights — the engine caches it across frames and re-renders only on
+    scene/light edits (shadow maps are camera-independent, so a fly-around
+    over a static scene never re-renders them; the reference re-records its
+    shadow passes every frame, src/light_controller.rs:187)."""
+    world = world_positions(scene)
     wh = jnp.concatenate([world, jnp.ones_like(world[:, :1])], axis=1)
     clip_views = jnp.einsum("vj,sij->svi", wh, lights.shadow_viewprojs,
                             preferred_element_type=F32)
-    atlas, overflow = shadows.render_shadow_views(
+    atlas, overflow, big_ovf = shadows.render_shadow_views(
         clip_views, scene.tri_vidx, scene.tri_shadow, cfg.shadow_size,
-        cfg.shadow_tile, cfg.shadow_bin_capacity, use_pallas=cfg.use_pallas)
+        cfg.shadow_tile, cfg.shadow_bin_capacity, use_pallas=cfg.use_pallas,
+        big_capacity=cfg.bin_big_capacity)
     win = shadows.window_depth_maps(atlas)
     if cfg.shadow_bf16:
         win = win.astype(jnp.bfloat16)
-    return win, overflow
+    return win, overflow, big_ovf
 
 
 @functools.lru_cache(maxsize=8)
@@ -236,23 +268,18 @@ def render_frame(scene: SceneGPU, pool: sampling.TexturePoolGPU,
         return FrameOutput(sdr=sdr, pick_id=pick, depth=depth, hdr=hdr,
                            bin_overflow=out.bin_overflow,
                            shadow_overflow=out.shadow_overflow,
-                           tex_overflow=out.tex_overflow)
+                           tex_overflow=out.tex_overflow,
+                           big_overflow=out.big_overflow,
+                           shadow_blocks=out.shadow_blocks)
     cam = _unpack_camera(camera_raw)
     W, H = cfg.width, cfg.height
     PW, PH = cfg.padded_width, cfg.padded_height
 
     # ---- geometry stage: world/clip transforms for the whole vertex pool ----
-    world, clip = raster.transform_vertices(
-        scene.vert_pos, scene.vert_instance, scene.inst_model, cam["view_proj"])
-    nm = jnp.take(scene.inst_normal_mat, scene.vert_instance, axis=0)
-    n_w = jnp.einsum("vij,vj->vi", nm, scene.vert_normal, preferred_element_type=F32)
-    t_w = jnp.einsum("vij,vj->vi", nm, scene.vert_tangent, preferred_element_type=F32)
-    b_w = jnp.einsum("vij,vj->vi", nm, scene.vert_bitangent, preferred_element_type=F32)
-    attrs = resolve.VertexAttrs(world=world, uv=scene.vert_uv,
-                                normal=n_w, tangent=t_w, bitangent=b_w)
+    world, clip, attrs = geometry_stage(scene, cam["view_proj"])
 
     # ---- main visibility raster (GBuffer geometry pass) ----
-    tri_id, depth, r_main, ovf_main = _raster_resolve(
+    tri_id, depth, r_main, m_bins = _raster_resolve(
         clip, scene.tri_vidx, scene.tri_deferred, scene.tri_instance,
         attrs, scene, cfg, "back")
     g, tex_needed = resolve.resolve_gbuffer_from_attrs(
@@ -261,27 +288,53 @@ def render_frame(scene: SceneGPU, pool: sampling.TexturePoolGPU,
         tex_block_capacity=cfg.tex_block_capacity)
 
     # ---- shadow atlas (cached across frames when precomputed) ----
-    overflow = ovf_main
+    overflow = m_bins.overflow
+    big_overflow = m_bins.big_overflow
     shadow_overflow = jnp.int32(0)
+    shadow_blocks = jnp.int32(0)
     P, D = cfg.num_point_lights, cfg.num_directional_lights
     point_shadow_fn = dir_shadow_fn = None
     if cfg.enable_shadows and (P + D) > 0:
         if atlas is None:
-            atlas, shadow_overflow = render_shadow_atlas(scene, lights, cfg)
+            atlas, shadow_overflow, s_big = render_shadow_atlas(
+                scene, lights, cfg)
+            big_overflow = jnp.maximum(big_overflow, s_big)
 
-        def point_shadow_fn(i, pos):  # noqa: E306
-            return _lowres_vis(
-                lambda p: shadows.point_shadow(
+        # All lights' binary gates in one coarse pass + one boundary-block
+        # refinement (shadows.gate_refined_visibility); point lights batch
+        # their cube lookups into a single gather round
+        # (shadows.point_shadow_multi — the BASELINE-config-2 lever).
+        def vis_all(p):
+            outs = []
+            if P > 0:
+                pm = shadows.point_shadow_multi(
+                    p, lights.point_position[:P],
+                    lights.shadow_viewprojs[:6 * P].reshape(P, 6, 4, 4),
+                    atlas[:6 * P])
+                outs.append(jnp.moveaxis(pm, 0, -1))
+            for i in range(D):
+                outs.append(shadows.directional_shadow(
+                    p, lights.dir_viewproj[i], atlas[6 * P + i])[..., None])
+            return jnp.concatenate(outs, axis=-1)
+
+        def vis_one(i, p):
+            if i < P:
+                return shadows.point_shadow(
                     p, lights.point_position[i],
                     lights.shadow_viewprojs[6 * i:6 * i + 6],
-                    atlas[6 * i:6 * i + 6]),
-                pos, cfg.shadow_lookup_scale)
+                    atlas[6 * i:6 * i + 6])
+            return shadows.directional_shadow(
+                p, lights.dir_viewproj[i - P], atlas[6 * P + i - P])
+
+        gates, shadow_blocks = shadows.gate_refined_visibility(
+            vis_all, vis_one, g.position, cfg.shadow_lookup_scale,
+            cfg.shadow_block_capacity)
+
+        def point_shadow_fn(i, pos):  # noqa: E306
+            return gates[..., i]
 
         def dir_shadow_fn(i, pos):
-            return _lowres_vis(
-                lambda p: shadows.directional_shadow(
-                    p, lights.dir_viewproj[i], atlas[6 * P + i]),
-                pos, cfg.shadow_lookup_scale)
+            return gates[..., P + i]
 
     # ---- deferred shading ----
     slights = shading.ShadingLights(
@@ -296,7 +349,9 @@ def render_frame(scene: SceneGPU, pool: sampling.TexturePoolGPU,
     if env is not None:
         s = cfg.sky_scale
         sky = envops.skybox_colors(env.env_cube, cam["proj_inv"],
-                                   cam["view_inv"][:3, :3], PW // s, PH // s)
+                                   cam["view_inv"][:3, :3], PW // s, PH // s,
+                                   rgbe_win=(env.sky_rgbe if cfg.sky_rgbe
+                                             else None))
         if s > 1:
             sky = _upsample_bilinear(sky, (PH, PW, 3))
         hdr = jnp.where(g.mask[..., None], hdr, sky)
@@ -311,7 +366,7 @@ def render_frame(scene: SceneGPU, pool: sampling.TexturePoolGPU,
         f_setup = raster.triangle_setup(clip, scene.fwd_tri_vidx,
                                         scene.fwd_tri_mask, PW, PH, "none")
         f_bins = raster.bin_triangles(f_setup, PW, PH, cfg.tile_h, cfg.tile_w,
-                                      cfg.bin_capacity)
+                                      cfg.bin_capacity, cfg.bin_big_capacity)
         f_id, _ = raster.rasterize_binned(f_bins, cfg.tile_h, cfg.tile_w,
                                           use_pallas=cfg.use_pallas)
         f_table = resolve.build_gbuffer_table(
@@ -319,6 +374,7 @@ def render_frame(scene: SceneGPU, pool: sampling.TexturePoolGPU,
             scene.inst_object_id, scene.inst_material, scene.mat_record,
             scene.mat_flat)
         overflow = jnp.maximum(overflow, f_bins.overflow)
+        big_overflow = jnp.maximum(big_overflow, f_bins.big_overflow)
         f_color, f_alpha, f_oid, f_valid, fwd_needed = \
             resolve.forward_overlay_tiles(
                 f_id, f_bins, f_table, pool, cfg.tile_h, cfg.tile_w,
@@ -341,7 +397,9 @@ def render_frame(scene: SceneGPU, pool: sampling.TexturePoolGPU,
     return FrameOutput(sdr=sdr[:H, :W], pick_id=pick[:H, :W],
                        depth=depth[:H, :W], hdr=hdr[:H, :W],
                        bin_overflow=overflow, shadow_overflow=shadow_overflow,
-                       tex_overflow=jnp.stack([tex_needed, fwd_needed]))
+                       tex_overflow=jnp.stack([tex_needed, fwd_needed]),
+                       big_overflow=big_overflow,
+                       shadow_blocks=shadow_blocks)
 
 
 @functools.lru_cache(maxsize=8)

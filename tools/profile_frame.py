@@ -32,7 +32,8 @@ def main() -> None:
     ap.add_argument("--rounds", type=int, default=5)
     ap.add_argument("--frames", type=int, default=8)
     ap.add_argument("--set", default="all",
-                    choices=["all", "filters", "rates", "passes", "layout", "shadow"])
+                    choices=["all", "filters", "rates", "passes", "layout",
+                             "shadow", "r3"])
     args = ap.parse_args()
 
     from dataclasses import replace
@@ -55,6 +56,19 @@ def main() -> None:
     N = args.frames
 
     groups = {
+        "r3": {
+            # round-3 levers: gate-refined shadows, RGBE one-gather sky
+            "full": base,                      # scale-4 gates + rgbe sky
+            "shadowscale-2": replace(base, shadow_lookup_scale=2),
+            "shadowscale-8": replace(base, shadow_lookup_scale=8),
+            "no-shadows": replace(base, enable_shadows=False),
+            "f32-sky": replace(base, sky_rgbe=False),
+            "sky-full": replace(base, sky_scale=1),
+            "no-ibl": replace(base, enable_ibl=False),
+            "preset": base.performance_preset(),
+            "stoch-only": replace(base, texture_filter="stochastic",
+                                  windowed_pool=False),
+        },
         "passes": {
             "full": base,
             "no-shadows": replace(base, enable_shadows=False),
