@@ -107,3 +107,87 @@ def test_engine_set_skybox_changes_environment(tmp_path):
     # sky pixels turn red-dominant
     assert (after[..., 0].mean() - after[..., 2].mean()) > \
            (before[..., 0].mean() - before[..., 2].mean()) + 10
+
+
+def test_native_pool_preserves_oversized_textures(tmp_path):
+    """cfg.native_texture_pool keeps each record at its own size: an asset
+    LARGER than the fixed pyramid samples losslessly (the fixed pool
+    downsamples it). Reference: per-texture storage, src/texture.rs:98-252."""
+    import os
+
+    import jax.numpy as jnp
+    import numpy as np
+    from PIL import Image
+
+    from tinyrenderer_tpu.config import RenderConfig
+    from tinyrenderer_tpu.ops import sampling
+    from tinyrenderer_tpu.render.scene_gpu import ScenePacker
+
+    # a 128^2 checkerboard in a 32^2 fixed pool: 4px checker survives only
+    # at native size
+    rng = np.random.default_rng(3)
+    img = np.zeros((128, 128, 4), np.uint8)
+    img[..., 3] = 255
+    cells = (np.add.outer(np.arange(128) // 4, np.arange(128) // 4) % 2)
+    img[..., 0] = np.where(cells, 230, 30)
+    img[..., 1] = rng.integers(0, 255, (128, 128))
+    img[..., 2] = 128
+    p = os.path.join(str(tmp_path), "checker.png")
+    Image.fromarray(img, "RGBA").save(p)
+
+    cfg = RenderConfig(texture_size=32, mip_levels=4)
+    packer = ScenePacker(cfg, asset_search_paths=(str(tmp_path),))
+    slot = packer.pool.get_or_load(p, "Albedo")
+    rec = packer.pool.get_or_make_record(
+        (slot, 1, 2, 3))  # albedo=checker, defaults for the rest
+
+    native = packer.native_pool_gpu(windowed=True)
+    fixed = packer.texture_pool_gpu(windowed=True)
+
+    n = 64
+    u = (np.arange(n, dtype=np.float32) + 0.5) / n * 0.5  # magnified region
+    uv = jnp.asarray(np.stack(np.meshgrid(u, u, indexing="xy"), axis=-1))
+    recs = jnp.full((n, n), rec, jnp.int32)
+    lvl = jnp.zeros((n, n), jnp.float32)
+
+    out_n = np.asarray(sampling.sample_pool_mip(native, recs, uv, lvl,
+                                                filter="trilinear"))
+    out_f = np.asarray(sampling.sample_pool_mip(fixed, recs, uv, lvl,
+                                                filter="trilinear"))
+    # ground truth: bilinear sample of the original 128^2 image
+    gt = img[..., 0].astype(np.float32) / 255.0
+    px = np.clip(np.asarray(uv)[..., 0] * 128 - 0.5, 0, 127)
+    py = np.clip(np.asarray(uv)[..., 1] * 128 - 0.5, 0, 127)
+    x0, y0 = np.floor(px).astype(int), np.floor(py).astype(int)
+    x1, y1 = np.minimum(x0 + 1, 127), np.minimum(y0 + 1, 127)
+    fx, fy = px - x0, py - y0
+    ref = ((gt[y0, x0] * (1 - fx) + gt[y0, x1] * fx) * (1 - fy)
+           + (gt[y1, x0] * (1 - fx) + gt[y1, x1] * fx) * fy)
+
+    err_native = np.abs(out_n[..., 0] - ref).mean()
+    err_fixed = np.abs(out_f[..., 0] - ref).mean()
+    assert err_native < 0.01, err_native      # u8 quantization only
+    assert err_fixed > 5 * err_native          # the pyramid blurred it away
+
+
+def test_native_pool_engine_renders(tmp_path):
+    """reference_parity (native_texture_pool=True) renders end-to-end."""
+    import numpy as np
+
+    from tinyrenderer_tpu.config import RenderConfig
+    from tinyrenderer_tpu.render.engine import Engine
+    from tinyrenderer_tpu.scene import demo
+
+    cfg = RenderConfig(width=128, height=64, tile_h=16, tile_w=128,
+                       env_size=16, irradiance_size=8, texture_size=32,
+                       mip_levels=3, use_pallas=False).reference_parity()
+    # keep the tiny test envelope (reference_parity resets pool fields)
+    from dataclasses import replace
+    cfg = replace(cfg, texture_size=32, mip_levels=3)
+    eng = Engine.from_world(
+        demo.build_demo_world(n_cubes=4, textured_every=1),
+        camera=demo.build_demo_camera(128, 64), cfg=cfg)
+    out = eng.run_frame(0.0)
+    img = np.asarray(out.sdr)
+    assert np.isfinite(img.astype(np.float32)).all()
+    assert img.max() > 30  # not a black frame

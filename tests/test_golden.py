@@ -28,26 +28,91 @@ CFG = RenderConfig(
 )
 
 
-def _render(scene_name: str) -> np.ndarray:
+def _build_engine(scene_name: str) -> Engine:
     if scene_name == "demo":
-        eng = Engine.from_world(demo.build_demo_world(n_cubes=9),
-                                camera=demo.build_demo_camera(CFG.width, CFG.height),
-                                cfg=CFG)
-    elif scene_name == "demo_textured":
+        return Engine.from_world(demo.build_demo_world(n_cubes=9),
+                                 camera=demo.build_demo_camera(CFG.width, CFG.height),
+                                 cfg=CFG)
+    if scene_name == "demo_textured":
         # exercises the textured-material path (block-compacted sampling,
         # default texture slots) end to end
-        eng = Engine.from_world(demo.build_demo_world(n_cubes=9,
-                                                      textured_every=2),
-                                camera=demo.build_demo_camera(CFG.width, CFG.height),
-                                cfg=CFG)
-    elif scene_name == "test_lvl":
+        return Engine.from_world(demo.build_demo_world(n_cubes=9,
+                                                       textured_every=2),
+                                 camera=demo.build_demo_camera(CFG.width, CFG.height),
+                                 cfg=CFG)
+    if scene_name == "test_lvl":
         path = "/root/reference/levels/test.lvl"
         if not os.path.exists(path):
             pytest.skip("reference level unavailable")
-        eng = Engine(cfg=CFG, level_path=path)
-    else:
-        raise ValueError(scene_name)
-    return np.asarray(eng.run_frame(0.0).sdr)
+        return Engine(cfg=CFG, level_path=path)
+    raise ValueError(scene_name)
+
+
+def _render(scene_name: str) -> np.ndarray:
+    return np.asarray(_build_engine(scene_name).run_frame(0.0).sdr)
+
+
+def _render_unstable_mask(scene_name: str, img: np.ndarray) -> np.ndarray:
+    """Sensitivity mask: pixels whose value is backend-ambiguous. Two
+    probes, unioned (both ride frame *arguments* — atlas / params vector —
+    so neither retraces):
+
+    - shadow-atlas ±1 texel: the light-view rasterizer legitimately
+      differs by one texel at silhouettes between CPU and TPU (depth
+      races, MXU plane-dot reassociation), and one flipped atlas texel
+      moves a screen shadow edge by that texel's whole footprint.
+      Rendering with a 3x3 max- and min-filtered atlas brackets every
+      single-texel outcome; pixels that differ are exactly those a
+      one-texel atlas change can reach.
+    - compare-bias ±5e-4 NDC (frame.PARAM_SHADOW_BIAS): pixels whose PCF
+      compare margin is within noise of the gate threshold.
+    - camera jitter ±~0.25 px: pixels not stable to a quarter-pixel
+      viewpoint change. Under heavy texture minification one screen pixel
+      spans many texels, so ANY sub-texel UV difference (MXU plane-dot
+      reassociation) picks a different texel — those pixels are
+      backend-ambiguous by construction, and exactly the set this probe
+      flips."""
+    import jax.numpy as jnp
+
+    from tinyrenderer_tpu.ops import shadows
+    from tinyrenderer_tpu.render import frame as framelib
+
+    eng = _build_engine(scene_name)
+    np.asarray(eng.run_frame(0.0).sdr)        # warms the cached atlas
+    m = np.zeros(img.shape[:2], bool)
+
+    eng.set_param(framelib.PARAM_SHADOW_BIAS, 5e-4)
+    a = np.asarray(eng.run_frame(0.0).sdr)
+    eng.set_param(framelib.PARAM_SHADOW_BIAS, -5e-4)
+    b = np.asarray(eng.run_frame(0.0).sdr)
+    eng.set_param(framelib.PARAM_SHADOW_BIAS, 0.0)
+    m |= np.abs(a.astype(np.int16) - b.astype(np.int16)).max(axis=-1) > 2
+
+    if eng._atlas is not None:
+        atlas = eng._atlas
+        raw = np.asarray(atlas[..., 0])       # windowed -> raw depth maps
+        pad = np.pad(raw, ((0, 0), (1, 1), (1, 1)), mode="edge")
+        taps = np.stack([pad[:, dy:dy + raw.shape[1], dx:dx + raw.shape[2]]
+                         for dy in range(3) for dx in range(3)])
+        outs = []
+        for op in (np.max, np.min):
+            eng._atlas = shadows.window_depth_maps(jnp.asarray(op(taps, axis=0)))
+            outs.append(np.asarray(eng.run_frame(0.0).sdr))
+        eng._atlas = atlas
+        m |= np.abs(outs[0].astype(np.int16)
+                    - outs[1].astype(np.int16)).max(axis=-1) > 2
+
+    # camera jitter: 0.25 px of angular offset at the golden resolution
+    theta = 0.25 * (45.0 * np.pi / 180.0) / img.shape[0]
+    orient = eng.camera.orientation.copy()
+    jit = []
+    for s in (1.0, -1.0):
+        eng.camera.orientation = orient + np.float32(s * theta)
+        jit.append(np.asarray(eng.run_frame(0.0).sdr))
+    eng.camera.orientation = orient
+    m |= np.abs(jit[0].astype(np.int16)
+                - jit[1].astype(np.int16)).max(axis=-1) > 2
+    return m
 
 
 def _compare_or_regen(name: str, img: np.ndarray, request) -> None:
@@ -56,6 +121,9 @@ def _compare_or_regen(name: str, img: np.ndarray, request) -> None:
     if request.config.getoption("--regen-goldens") or not os.path.exists(path):
         os.makedirs(GOLDEN_DIR, exist_ok=True)
         Image.fromarray(img, "RGB").save(path)
+        np.savez_compressed(
+            os.path.join(GOLDEN_DIR, f"{name}_unstable.npz"),
+            unstable=_render_unstable_mask(name, img))
         if not request.config.getoption("--regen-goldens"):
             pytest.skip(f"golden {name} created; re-run to compare")
         return

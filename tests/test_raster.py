@@ -205,6 +205,36 @@ def test_scatter_binning_big_overflow_monitor(rng):
         np.sort(np.asarray(dense.ids), axis=-1))
 
 
+def test_select_eval_kernel_matches_tiled(rng):
+    """resolve.select_eval_pallas (VMEM one-hot select + plane eval) must
+    match resolve_attrs_tiled exactly — one-hot selection copies table rows
+    bit-for-bit at any matmul precision, and the plane evaluation is the
+    same elementwise math."""
+    from tinyrenderer_tpu.ops import resolve
+
+    V, T = 60, 40
+    ndc = rng.uniform(-1.1, 1.1, size=(V, 3)).astype(np.float32)
+    ndc[:, 2] = rng.uniform(0.05, 0.95, size=V)
+    clip = _clip_from_ndc(ndc)
+    tri = jnp.asarray(rng.integers(0, V, size=(T, 3)).astype(np.int32))
+    mask = jnp.ones((T,), bool)
+    setup = raster.triangle_setup(clip, tri, mask, 256, 64, "none")
+    bins = raster.bin_triangles(setup, 256, 64, 8, 128, 64)
+    tri_id, _ = raster.rasterize_binned(bins, 8, 128, use_pallas=False)
+
+    table = np.zeros((T, resolve.ROW_D), np.float32)
+    table[:, :] = rng.random((T, resolve.ROW_D))
+    table = jnp.where(setup.valid[:, None], jnp.asarray(table), 0.0)
+
+    a = resolve.resolve_attrs_tiled(tri_id, bins.ids, table, 8, 128)
+    b = resolve.resolve_attrs_pallas(tri_id, bins.ids, table, 8, 128,
+                                     counts=bins.counts)
+    for f in a._fields:
+        np.testing.assert_allclose(np.asarray(getattr(a, f)),
+                                   np.asarray(getattr(b, f)),
+                                   rtol=1e-5, atol=1e-6, err_msg=f)
+
+
 def test_pallas_multiblock_bins_match(rng):
     """bin_capacity > 4096 exercises the kernel's bin-block revisit path
     (grid dim 2 + running depth race over output blocks) — must agree

@@ -168,6 +168,19 @@ def test_sharded_512(engine):
     assert (d > 16).mean() < 1e-3
 
 
+def test_sharded_ssr_is_documented_config_error(engine):
+    """SSR crosses band boundaries; the sharded path must refuse it with a
+    clear error instead of silently rendering wrong reflections."""
+    from dataclasses import replace
+    scene, pool, lights, cam, params, env = _args(engine)
+    mesh = parallel.make_mesh(4, dp=1)
+    cfg_s = replace(parallel.sharded_config(engine.cfg, mesh.shape["sp"]),
+                    enable_ssr=True)
+    with pytest.raises(ValueError, match="band boundaries"):
+        parallel.render_frame_sharded(scene, pool, lights, cam[None],
+                                      params, env, cfg_s, mesh)
+
+
 def test_sharded_render_scale(engine):
     """cfg.render_scale_pct parity: the sharded render-scale frame must be
     pixel-consistent with the single-chip render_frame at the same scale —

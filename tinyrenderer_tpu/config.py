@@ -118,6 +118,12 @@ class RenderConfig:
     # bilinear tap vs four f32 gathers; sub-LSB after tone mapping). Off in
     # reference_parity (bit-exact f32 sampling).
     sky_rgbe: bool = True
+    # Native-size texture storage: each material record keeps its own
+    # dimensions and level count (src/texture.rs:98-252) instead of
+    # resampling into the fixed texture_size pyramid — parity for assets
+    # of ANY size, at the cost of two small table gathers per tap. The
+    # quality path (reference_parity); the pyramid remains the speed path.
+    native_texture_pool: bool = False
     # Material filtering: 'trilinear' (reference parity, 8 gathers),
     # 'dithered' (Bayer-dithered trilinear, 4 gathers — default),
     # 'bilinear' (nearest mip, 4 gathers).
@@ -196,7 +202,8 @@ class RenderConfig:
         on because it is bit-exact."""
         return replace(self, texture_filter="trilinear",
                        shadow_lookup_scale=1, sky_scale=1, texture_scale=1,
-                       texture_size=1024, mip_levels=10, sky_rgbe=False)
+                       texture_size=1024, mip_levels=10, sky_rgbe=False,
+                       native_texture_pool=True)
 
     @property
     def tiles_y(self) -> int:

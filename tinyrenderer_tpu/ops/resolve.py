@@ -17,10 +17,13 @@ object_id, material params.
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from . import sampling
 
@@ -311,17 +314,146 @@ def resolve_attrs_tiled(tri_id: jax.Array, bin_ids: jax.Array,
     )
 
 
+def _select_eval_kernel(counts_ref, tid_ref, ids_ref, rows_ref, out_ref,
+                        *, tile_h: int, tile_w: int, chunk: int):
+    """Per-tile one-hot select + plane evaluation, onehot kept in VMEM.
+
+    The jnp select materializes the (tiles, P, K) one-hot tensor in HBM
+    (~1 GB/frame at 1080p, K=256) because XLA does not fuse elementwise
+    producers into dot operands. Here each tile builds its one-hot chunk
+    in VMEM, accumulates sel = table^T @ onehot on the MXU, evaluates the
+    numerator/denominator planes in-register, and writes only the 22
+    result channels.
+    """
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    count = counts_ref[i, j]
+    P = tile_h * tile_w
+    Dp = rows_ref.shape[-1]          # padded table width
+
+    tid = tid_ref[0, 0].reshape(1, P).astype(F32)
+    nchunks = pl.cdiv(count, chunk)
+
+    def body(c, acc):
+        idf = ids_ref[0, 0, pl.ds(c * chunk, chunk), :]      # (chunk, 1) f32
+        t = rows_ref[0, 0, pl.ds(c * chunk, chunk), :]       # (chunk, Dp)
+        onehot = ((idf == tid) & (idf >= 0.0)).astype(F32)   # (chunk, P)
+        return acc + jax.lax.dot_general(
+            t, onehot, (((0,), (0,)), ((), ())),
+            preferred_element_type=F32)                      # (Dp, P)
+
+    acc = jax.lax.fori_loop(0, nchunks,
+                            body, jnp.zeros((Dp, P), F32))
+
+    ox = (j * tile_w).astype(F32) + 0.5
+    oy = (i * tile_h).astype(F32) + 0.5
+    xs = jax.lax.broadcasted_iota(I32, (1, P), 1).astype(F32)
+    px = jnp.remainder(xs, float(tile_w)) + ox               # (1, P)
+    py = jnp.floor_divide(xs, float(tile_w)) + oy
+
+    denom = acc[0:1] * px + acc[1:2] * py + acc[2:3]         # (1, P)
+    denom = jnp.where(jnp.abs(denom) > 1e-20, denom, 1.0)
+    b = acc[3:_PLANES].reshape(_N_ATTR, 3, P)
+    attrs = (b[:, 0] * px + b[:, 1] * py + b[:, 2]) / denom  # (14, P)
+    consts = acc[CONST_FLAT:ROW_D]                           # (8, P)
+    n_pad = out_ref.shape[-2] - (_N_ATTR + (ROW_D - CONST_FLAT))
+    out = jnp.concatenate(
+        [attrs, consts, jnp.zeros((n_pad, P), F32)], axis=0)
+    out_ref[0, 0] = out
+
+
+def select_eval_pallas(tri_id: jax.Array, bin_ids: jax.Array,
+                       table: jax.Array, tile_h: int, tile_w: int,
+                       chunk: int = 128,
+                       counts: jax.Array | None = None) -> jax.Array:
+    """(H, W) winner ids + (ty, tx, K) bins + (T, ROW_D) table ->
+    (H, W, 22) evaluated channels [attrs 14 | flat 6 | record | oid],
+    numerically identical to resolve_attrs_tiled's pre-normalize output
+    (one-hot selection copies rows exactly at any matmul precision)."""
+    H, W = tri_id.shape
+    ty, tx, K = bin_ids.shape
+    T, D = table.shape
+    pad = (-D) % 8
+    table_p = jnp.pad(table, ((0, 0), (0, pad))) if pad else table
+    Dp = table_p.shape[1]
+    rows_tile = jnp.take(table_p, jnp.clip(bin_ids, 0, T - 1), axis=0)
+    rows_tile = jnp.where((bin_ids >= 0)[..., None], rows_tile, 0.0)
+    idsf = bin_ids.astype(F32)[..., None]                    # (ty, tx, K, 1)
+    tid_tiles = tri_id.reshape(ty, tile_h, tx, tile_w).transpose(0, 2, 1, 3)
+
+    P = tile_h * tile_w
+    C_OUT = 24                                               # 22 padded to 8
+    if counts is None:  # valid ids are a contiguous prefix of each bin
+        counts = jnp.sum((bin_ids >= 0).astype(I32), axis=2)
+    kernel = functools.partial(_select_eval_kernel, tile_h=tile_h,
+                               tile_w=tile_w, chunk=min(chunk, K))
+    interpret = jax.default_backend() != "tpu"
+    out_tiles = pl.pallas_call(
+        kernel,
+        grid=(ty, tx),
+        interpret=interpret,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, tile_h, tile_w), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, K, 1), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, K, Dp), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, C_OUT, P), lambda i, j: (i, j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((ty, tx, C_OUT, P), F32),
+        cost_estimate=pl.CostEstimate(
+            flops=int(K * P * (2 * Dp + 8)) * ty * tx,
+            bytes_accessed=rows_tile.size * 4 + tri_id.size * 4
+            + ty * tx * C_OUT * P * 4,
+            transcendentals=0),
+    )(counts, tid_tiles, idsf, rows_tile)
+
+    out = out_tiles.reshape(ty, tx, C_OUT, tile_h, tile_w)
+    out = out.transpose(0, 3, 1, 4, 2).reshape(ty * tile_h, tx * tile_w,
+                                               C_OUT)
+    return out[..., :22]
+
+
+def resolve_attrs_pallas(tri_id: jax.Array, bin_ids: jax.Array,
+                         table: jax.Array, tile_h: int, tile_w: int,
+                         counts: jax.Array | None = None) -> ResolvedAttrs:
+    """ResolvedAttrs via the VMEM select+eval kernel (TPU fast path;
+    bit-compatible with resolve_attrs_tiled)."""
+    out = select_eval_pallas(tri_id, bin_ids, table, tile_h, tile_w,
+                             counts=counts)
+    valid = tri_id >= 0
+    return ResolvedAttrs(
+        world=out[..., 0:3],
+        uv=out[..., 3:5],
+        normal=_safe_normalize(out[..., 5:8]),
+        tangent=_safe_normalize(out[..., 8:11]),
+        bitangent=_safe_normalize(out[..., 11:14]),
+        flat=out[..., 14:20],
+        record=jnp.round(out[..., 20]).astype(I32),
+        object_id=jnp.where(valid, jnp.round(out[..., 21]).astype(I32), 0),
+        valid=valid,
+    )
+
+
 def resolve_attrs_onehot(tri_id: jax.Array, setup, bin_ids: jax.Array,
                          tri_vidx: jax.Array, tri_instance: jax.Array,
                          attrs: "VertexAttrs", inst_object_id: jax.Array,
                          inst_material: jax.Array, mat_record: jax.Array,
                          mat_flat: jax.Array,
-                         tile_h: int, tile_w: int) -> ResolvedAttrs:
+                         tile_h: int, tile_w: int,
+                         use_pallas: bool = False,
+                         counts: jax.Array | None = None) -> ResolvedAttrs:
     """Gather-free per-pixel attribute resolve (two-pass variant: the fused
     Pallas path selects rows inside the raster kernel instead)."""
     table = build_gbuffer_table(setup, tri_vidx, attrs, tri_instance,
                                 inst_object_id, inst_material,
                                 mat_record, mat_flat)
+    if use_pallas:
+        return resolve_attrs_pallas(tri_id, bin_ids, table, tile_h, tile_w,
+                                    counts=counts)
     return resolve_attrs_tiled(tri_id, bin_ids, table, tile_h, tile_w)
 
 
@@ -490,12 +622,15 @@ def resolve_gbuffer_onehot(tri_id: jax.Array, depth: jax.Array, setup,
                            tile_h: int, tile_w: int,
                            texture_filter: str = "dithered",
                            texture_scale: int = 1,
-                           tex_block_capacity: int = 0
+                           tex_block_capacity: int = 0,
+                           use_pallas: bool = False,
+                           counts: jax.Array | None = None
                            ) -> tuple[GBuffer, jax.Array]:
     """Two-pass gather-free GBuffer resolve (select pass + epilogue)."""
     r = resolve_attrs_onehot(tri_id, setup, bin_ids, tri_vidx, tri_instance,
                              attrs, inst_object_id, inst_material,
-                             mat_record, mat_flat, tile_h, tile_w)
+                             mat_record, mat_flat, tile_h, tile_w,
+                             use_pallas=use_pallas, counts=counts)
     return resolve_gbuffer_from_attrs(r, tri_id, depth, pool,
                                       texture_filter, texture_scale,
                                       tex_block_capacity)

@@ -354,6 +354,9 @@ def sample_pool_mip(pool: TexturePoolGPU, tex: jax.Array, uv: jax.Array,
     - 'stochastic': dithered mip choice + stochastic-bilinear footprint —
       1 gather, ordered-dither noise at texel scale (speed preset).
     """
+    if isinstance(pool, NativeTexturePoolGPU):
+        return sample_native_pool_mip(pool, tex, uv, level_f, wrap=wrap,
+                                      filter=filter)
     nlev = len(pool.level_sizes)
     lf = jnp.clip(level_f, 0.0, nlev - 1.0)
     if filter == "trilinear":
@@ -463,6 +466,168 @@ def sample_cubemap(cube: jax.Array, d: jax.Array) -> jax.Array:
 
     return ((tex(x0, y0) * (1 - fx) + tex(x1, y0) * fx) * (1 - fy)
             + (tex(x0, y1) * (1 - fx) + tex(x1, y1) * fx) * fy)
+
+
+@jax.tree_util.register_pytree_node_class
+class NativeTexturePoolGPU:
+    """Flattened NATIVE-size per-record mip chains (cfg.native_texture_pool).
+
+    Unlike TexturePoolGPU's uniform pyramid, each record keeps its own
+    dimensions and level count (the reference's per-texture storage,
+    src/texture.rs:98-252) — parity holds for assets of any size with no
+    resampling loss. Addressing goes through two small device tables
+    (per-record base info + per-(record, level) regions), costing two
+    extra 16-byte gathers per tap; this is the quality path, the fixed
+    pyramid remains the speed path.
+    """
+
+    def __init__(self, texels, base_tab, level_tab, max_levels, base_size,
+                 windowed=False, base_channels=9, u8=True):
+        self.texels = texels        # (N, C | 4C)
+        self.base_tab = base_tab    # (R, 4) i32: w0, h0, n_levels, 0
+        self.level_tab = level_tab  # (R * Lmax, 4) i32: offset, w, h, 0
+        self.max_levels = int(max_levels)
+        self.base_size = int(base_size)   # max base dim (mip_level_from_uv)
+        self.windowed = bool(windowed)
+        self.base_channels = int(base_channels)
+        self.u8 = bool(u8)
+
+    @property
+    def level_sizes(self):
+        # mip_level_from_uv compatibility: level 0 at the largest base;
+        # the sampler rebiasess per record (log2(w_rec / base_size))
+        return (self.base_size,) * self.max_levels
+
+    def _decode(self, rows):
+        if self.u8:
+            return rows.astype(jnp.float32) * (1.0 / 255.0)
+        return rows
+
+    def tree_flatten(self):
+        return ((self.texels, self.base_tab, self.level_tab),
+                (self.max_levels, self.base_size, self.windowed,
+                 self.base_channels, self.u8))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+
+def pack_native_pool(chains: list, windowed: bool = False,
+                     wrap: bool = True, u8: bool = True
+                     ) -> NativeTexturePoolGPU:
+    """chains: [record -> [(h, w, C) f32 per level]] (native sizes)."""
+    R = len(chains)
+    Lmax = max(len(c) for c in chains) if chains else 1
+    base_size = max(max(c[0].shape[:2]) for c in chains) if chains else 1
+    C = chains[0][0].shape[-1] if chains else 9
+    parts, base_rows, level_rows = [], [], []
+    off = 0
+    for c in chains:
+        h0, w0 = c[0].shape[:2]
+        base_rows.append([w0, h0, len(c), 0])
+        for li in range(Lmax):
+            m = c[min(li, len(c) - 1)]      # clamp: replicate last level
+            if li < len(c):
+                h, w = m.shape[:2]
+                rows = window_rows(m, wrap) if windowed else m
+                parts.append(rows.reshape(h * w, -1))
+                level_rows.append([off, w, h, 0])
+                off += h * w
+            else:
+                level_rows.append(level_rows[-1])  # clamped region
+    flat = (np.concatenate(parts, axis=0) if parts
+            else np.zeros((1, C * (4 if windowed else 1)), np.float32))
+    if u8:
+        flat = np.clip(flat * 255.0 + 0.5, 0, 255).astype(np.uint8)
+    return NativeTexturePoolGPU(
+        jnp.asarray(flat), jnp.asarray(np.array(base_rows, np.int32)),
+        jnp.asarray(np.array(level_rows, np.int32)), Lmax, base_size,
+        windowed=windowed, base_channels=C, u8=u8)
+
+
+def _sample_native_level(pool: NativeTexturePoolGPU, rec: jax.Array,
+                         uv: jax.Array, level_i: jax.Array, wrap: bool,
+                         stochastic: bool = False) -> jax.Array:
+    """One bilinear (or stochastic 1-texel) tap at a per-pixel level."""
+    tab = jnp.take(pool.level_tab,
+                   rec * pool.max_levels + level_i, axis=0)  # (..., 4)
+    off, w, h = tab[..., 0], tab[..., 1], tab[..., 2]
+    wf, hf = w.astype(F32), h.astype(F32)
+    u = uv[..., 0] * wf - 0.5
+    v = uv[..., 1] * hf - 0.5
+    if wrap:
+        u = jnp.mod(u, wf)
+        v = jnp.mod(v, hf)
+    x0 = jnp.floor(u)
+    y0 = jnp.floor(v)
+    fx = (u - x0)[..., None]
+    fy = (v - y0)[..., None]
+    x0i = x0.astype(I32)
+    y0i = y0.astype(I32)
+
+    if stochastic:
+        tu = _bayer_threshold(u.shape[-2:], phase=1)
+        tv = _bayer_threshold(v.shape[-2:], phase=2)
+        xi = x0i + ((u - x0) > tu).astype(I32)
+        yi = y0i + ((v - y0) > tv).astype(I32)
+        xi = jnp.mod(xi, w) if wrap else jnp.clip(xi, 0, w - 1)
+        yi = jnp.mod(yi, h) if wrap else jnp.clip(yi, 0, h - 1)
+        row = pool._decode(jnp.take(pool.texels, off + yi * w + xi, axis=0))
+        return row[..., :pool.base_channels]
+
+    if pool.windowed:
+        x0c = jnp.clip(x0i, 0, w - 1) if not wrap else jnp.mod(x0i, w)
+        y0c = jnp.clip(y0i, 0, h - 1) if not wrap else jnp.mod(y0i, h)
+        row = pool._decode(jnp.take(pool.texels, off + y0c * w + x0c, axis=0))
+        C = pool.base_channels
+        c00, c10 = row[..., 0:C], row[..., C:2 * C]
+        c01, c11 = row[..., 2 * C:3 * C], row[..., 3 * C:4 * C]
+        return ((c00 * (1 - fx) + c10 * fx) * (1 - fy)
+                + (c01 * (1 - fx) + c11 * fx) * fy)
+
+    def texel(xi, yi):
+        xi = jnp.mod(xi, w) if wrap else jnp.clip(xi, 0, w - 1)
+        yi = jnp.mod(yi, h) if wrap else jnp.clip(yi, 0, h - 1)
+        return pool._decode(jnp.take(pool.texels, off + yi * w + xi, axis=0))
+
+    return ((texel(x0i, y0i) * (1 - fx) + texel(x0i + 1, y0i) * fx)
+            * (1 - fy)
+            + (texel(x0i, y0i + 1) * (1 - fx)
+               + texel(x0i + 1, y0i + 1) * fx) * fy)
+
+
+def sample_native_pool_mip(pool: NativeTexturePoolGPU, rec: jax.Array,
+                           uv: jax.Array, level_f: jax.Array,
+                           wrap: bool = True,
+                           filter: str = "trilinear") -> jax.Array:
+    """Mip-filtered native-pool sample. ``level_f`` is computed against
+    ``pool.base_size`` (mip_level_from_uv); each record rebiasess by
+    log2(its base / pool base) so derivative-driven level selection is
+    exact per texture size."""
+    base = jnp.take(pool.base_tab, rec, axis=0)              # (..., 4)
+    w0 = base[..., 0].astype(F32)
+    nlev = base[..., 2].astype(F32)
+    bias = jnp.log2(jnp.maximum(w0, 1.0)) - jnp.log2(float(pool.base_size))
+    lf = jnp.clip(level_f + bias, 0.0, nlev - 1.0)
+    if filter == "trilinear":
+        lo = jnp.floor(lf).astype(I32)
+        hi = jnp.minimum(lo + 1, (nlev - 1.0).astype(I32))
+        frac = (lf - lo.astype(F32))[..., None]
+        out_lo = _sample_native_level(pool, rec, uv, lo, wrap)
+        out_hi = _sample_native_level(pool, rec, uv, hi, wrap)
+        return out_lo * (1.0 - frac) + out_hi * frac
+    lo = jnp.floor(lf).astype(I32)
+    frac = lf - lo.astype(F32)
+    thresh = _bayer_threshold((lf.shape[-2], lf.shape[-1]))
+    level = jnp.minimum(lo + (frac > thresh).astype(I32),
+                        (nlev - 1.0).astype(I32))
+    if filter == "stochastic":
+        return _sample_native_level(pool, rec, uv, level, wrap,
+                                    stochastic=True)
+    if filter == "bilinear":
+        level = jnp.clip(jnp.round(lf), 0.0, nlev - 1.0).astype(I32)
+    return _sample_native_level(pool, rec, uv, level, wrap)
 
 
 def encode_rgbe_windowed(cube: jax.Array) -> jax.Array:

@@ -79,7 +79,7 @@ def _project(world_pos: jax.Array, viewproj: jax.Array) -> tuple[jax.Array, ...]
 
 
 def _compare_pcf(shadow_map: jax.Array, u: jax.Array, v: jax.Array,
-                 ref_z: jax.Array, base=0) -> jax.Array:
+                 ref_z: jax.Array, base=0, bias=0.0) -> jax.Array:
     """2x2 PCF 'Greater' comparison sample — the analog of
     textureSampleCompareLevel with a linear comparison sampler
     (light_render_data.rs:49-58). Returns visibility in [0, 1].
@@ -88,6 +88,14 @@ def _compare_pcf(shadow_map: jax.Array, u: jax.Array, v: jax.Array,
     :func:`window_depth_maps`; ``base`` is a per-pixel flat offset
     (layer * S * S) selecting the layer. The whole 2x2 PCF footprint
     arrives in ONE gather.
+
+    ``bias`` (NDC units, traced scalar — a live GlobalParams knob, the
+    functional realization of the reference's declared-but-unread
+    GlobalCPUParams.shadow_bias, src/global_params.rs:26-29): positive
+    values bias the compare toward lit (acne removal). Rendering a golden
+    at bias=+d and -d also yields the exact set of pixels whose compare
+    margin is within d — the numerically-unstable set excluded from the
+    strict on-chip verification gate (utils/verify.py).
     """
     S = shadow_map.shape[-2]
     fu = u * S - 0.5
@@ -101,7 +109,7 @@ def _compare_pcf(shadow_map: jax.Array, u: jax.Array, v: jax.Array,
     flat = shadow_map.reshape(-1, 4)
     win = jnp.take(flat, base + y0 * S + x0, axis=0)   # (..., 4)
     # atlas may be bf16 (cfg.shadow_bf16) — compare in f32
-    lit = (ref_z[..., None] > win.astype(F32)).astype(F32)
+    lit = (ref_z[..., None] + bias > win.astype(F32)).astype(F32)
     return ((lit[..., 0] * (1 - fx) + lit[..., 1] * fx) * (1 - fy)
             + (lit[..., 2] * (1 - fx) + lit[..., 3] * fx) * fy)
 
@@ -186,17 +194,18 @@ def gate_refined_visibility(vis_fn, vis_fn_one, pos: jax.Array, scale: int,
 
 
 def directional_shadow(world_pos: jax.Array, viewproj: jax.Array,
-                       shadow_map: jax.Array) -> jax.Array:
+                       shadow_map: jax.Array, bias=0.0) -> jax.Array:
     """main.wgsl:75-96 get_directional_light_shadow_value (sans the x-flip,
     which our consistent bake convention eliminates)."""
     u, v, z, w = _project(world_pos, viewproj)
-    vis = _compare_pcf(shadow_map, u, v, z)
+    vis = _compare_pcf(shadow_map, u, v, z, bias=bias)
     inside = (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (v <= 1.0) & (w > 0.0)
     return jnp.where(inside, vis, 1.0)
 
 
 def point_shadow_multi(world_pos: jax.Array, light_positions: jax.Array,
-                       viewprojs: jax.Array, atlas: jax.Array) -> jax.Array:
+                       viewprojs: jax.Array, atlas: jax.Array,
+                       bias=0.0) -> jax.Array:
     """All point lights' cube shadow lookups in ONE gather round.
 
     world_pos: (..., 3); light_positions: (P, 3); viewprojs: (P, 6, 4, 4);
@@ -238,12 +247,13 @@ def point_shadow_multi(world_pos: jax.Array, light_positions: jax.Array,
     light_idx = jnp.arange(Pn, dtype=I32)[
         (slice(None),) + (None,) * (world_pos.ndim - 1)]
     base = (light_idx * 6 + face) * (S * S)
-    vis = _compare_pcf(atlas, u, v, z, base=base)
+    vis = _compare_pcf(atlas, u, v, z, base=base, bias=bias)
     return jnp.where(wsel > 0.0, vis, 1.0)
 
 
 def point_shadow(world_pos: jax.Array, light_pos: jax.Array,
-                 face_viewprojs: jax.Array, face_maps: jax.Array) -> jax.Array:
+                 face_viewprojs: jax.Array, face_maps: jax.Array,
+                 bias=0.0) -> jax.Array:
     """Cube shadow lookup (main.wgsl:98-117): select the face by the major
     axis of (fragment - light), then compare through that face's own
     viewproj — bake/lookup exactness by construction.
@@ -273,5 +283,5 @@ def point_shadow(world_pos: jax.Array, light_pos: jax.Array,
             v = jnp.where(m, vf, v)
             z = jnp.where(m, zf, z)
             w = jnp.where(m, wf, w)
-    vis = _compare_pcf(face_maps, u, v, z, base=face * (S * S))
+    vis = _compare_pcf(face_maps, u, v, z, base=face * (S * S), bias=bias)
     return jnp.where(w > 0.0, vis, 1.0)

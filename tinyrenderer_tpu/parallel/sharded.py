@@ -133,7 +133,8 @@ def _render_band(scene: SceneGPU, pool, lights: LightsGPU, atlas,
             cfg.tile_h, cfg.tile_w,
             texture_filter=cfg.texture_filter,
             texture_scale=cfg.texture_scale,
-            tex_block_capacity=cfg.tex_block_capacity)
+            tex_block_capacity=cfg.tex_block_capacity,
+            use_pallas=cfg.use_pallas, counts=bins.counts)
     bin_overflow = bins.overflow
     big_overflow = bins.big_overflow
 
@@ -143,17 +144,20 @@ def _render_band(scene: SceneGPU, pool, lights: LightsGPU, atlas,
     if cfg.enable_shadows and (Pn + D) > 0 and atlas is not None:
         # same batched-gate path as render_frame (keep-in-sync invariant):
         # one coarse strided pass + boundary-block refinement per band
+        sbias = params[framelib.PARAM_SHADOW_BIAS]
+
         def vis_all(p):
             outs = []
             if Pn > 0:
                 pm = shadows.point_shadow_multi(
                     p, lights.point_position[:Pn],
                     lights.shadow_viewprojs[:6 * Pn].reshape(Pn, 6, 4, 4),
-                    atlas[:6 * Pn])
+                    atlas[:6 * Pn], bias=sbias)
                 outs.append(jnp.moveaxis(pm, 0, -1))
             for i in range(D):
                 outs.append(shadows.directional_shadow(
-                    p, lights.dir_viewproj[i], atlas[6 * Pn + i])[..., None])
+                    p, lights.dir_viewproj[i], atlas[6 * Pn + i],
+                    bias=sbias)[..., None])
             return jnp.concatenate(outs, axis=-1)
 
         def vis_one(i, p):
@@ -161,9 +165,10 @@ def _render_band(scene: SceneGPU, pool, lights: LightsGPU, atlas,
                 return shadows.point_shadow(
                     p, lights.point_position[i],
                     lights.shadow_viewprojs[6 * i:6 * i + 6],
-                    atlas[6 * i:6 * i + 6])
+                    atlas[6 * i:6 * i + 6], bias=sbias)
             return shadows.directional_shadow(
-                p, lights.dir_viewproj[i - Pn], atlas[6 * Pn + i - Pn])
+                p, lights.dir_viewproj[i - Pn], atlas[6 * Pn + i - Pn],
+                bias=sbias)
 
         gates, shadow_blocks = shadows.gate_refined_visibility(
             vis_all, vis_one, g.position, cfg.shadow_lookup_scale,
@@ -294,6 +299,15 @@ def render_frame_sharded(scene: SceneGPU, pool, lights: LightsGPU,
     B = camera_raw_batch.shape[0]
     if B % dp != 0:
         raise ValueError(f"camera batch {B} not divisible by dp={dp}")
+    if cfg.enable_ssr:
+        # documented config error (module docstring): the SSR ray march
+        # reads arbitrary screen rows, which crosses band boundaries; a
+        # correct implementation needs a band-halo exchange that the
+        # reference's pass-through SSR does not justify.
+        raise ValueError(
+            "enable_ssr is not supported by the sharded frame: the "
+            "screen-space ray march crosses band boundaries "
+            "(see parallel/sharded.py docstring)")
     if cfg.render_scale_pct != 100:
         # Reduced internal resolution, same contract as render_frame: the
         # bands render at pct/100 scale, HDR upsamples bilinearly (pick/

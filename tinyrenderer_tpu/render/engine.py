@@ -379,18 +379,23 @@ class Engine:
         grow that capacity for the next frame (grow-by-reallocating at
         raster scope, like src/light_render_data.rs:145-152 for lights).
         Values are polled asynchronously (like the pick readback) so the
-        check NEVER blocks the frame loop: a stale not-ready backlog is
-        dropped instead of force-fetched — an overflow condition persists
-        while the scene exceeds the capacity, so every subsequent frame
-        re-reports it and nothing is lost."""
+        check normally never blocks the frame loop; every 8th frame the
+        oldest entry is force-fetched — over the remote-TPU tunnel
+        ``is_ready`` can stay false indefinitely (the same pathology as
+        block_until_ready, CLAUDE.md), and dropping every not-ready
+        monitor would mean capacities never grow in a fetch-free render
+        loop. One tiny forced fetch per 8 frames bounds both the blocking
+        cost and the growth latency."""
+        force = self.frame_index % 8 == 0
         while self._overflow_inflight:
             kinds, head = self._overflow_inflight[0]
-            ready = getattr(head, "is_ready", lambda: True)()
+            ready = getattr(head, "is_ready", lambda: True)() or force
             if not ready:
                 if len(self._overflow_inflight) >= 4:
                     self._overflow_inflight.pop(0)  # stale; newer re-reports
                     continue
                 break
+            force = False  # at most one blocking fetch per frame
             self._overflow_inflight.pop(0)
             vals = np.asarray(head)
             for kind, v in zip(kinds, vals):

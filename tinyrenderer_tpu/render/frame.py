@@ -34,11 +34,12 @@ PARAM_EXPOSURE = 0        # "random_param"
 PARAM_TONE_TYPE = 1       # 0..3
 PARAM_SSR_THICKNESS = 2
 PARAM_SSR_STRENGTH = 3
-NUM_PARAMS = 4
+PARAM_SHADOW_BIAS = 4     # NDC units; + biases the compare toward lit
+NUM_PARAMS = 5
 
 
 def default_params() -> jnp.ndarray:
-    return jnp.array([1.0, 1.0, 0.25, 0.0], F32)
+    return jnp.array([1.0, 1.0, 0.25, 0.0, 0.0], F32)
 
 
 class EnvGPU(NamedTuple):
@@ -132,10 +133,17 @@ def _raster_resolve(clip, tri_vidx, tri_mask, tri_instance, vattrs, scene,
     else:
         tri_id, depth = raster.rasterize_binned(bins, cfg.tile_h, cfg.tile_w,
                                                 use_pallas=cfg.use_pallas)
-        # tiled-domain select + plane eval (untiles only the evaluated
-        # ~22 channels instead of the 53-channel sel tensor)
-        r = resolve.resolve_attrs_tiled(tri_id, bins.ids, table,
-                                        cfg.tile_h, cfg.tile_w)
+        if cfg.use_pallas:
+            # VMEM select+eval kernel: no HBM one-hot tensor, writes only
+            # the 22 evaluated channels
+            r = resolve.resolve_attrs_pallas(tri_id, bins.ids, table,
+                                             cfg.tile_h, cfg.tile_w,
+                                             counts=bins.counts)
+        else:
+            # tiled-domain select + plane eval (untiles only the evaluated
+            # ~22 channels instead of the 53-channel sel tensor)
+            r = resolve.resolve_attrs_tiled(tri_id, bins.ids, table,
+                                            cfg.tile_h, cfg.tile_w)
     return tri_id, depth, r, bins
 
 
@@ -304,17 +312,20 @@ def render_frame(scene: SceneGPU, pool: sampling.TexturePoolGPU,
         # refinement (shadows.gate_refined_visibility); point lights batch
         # their cube lookups into a single gather round
         # (shadows.point_shadow_multi — the BASELINE-config-2 lever).
+        sbias = params[PARAM_SHADOW_BIAS]
+
         def vis_all(p):
             outs = []
             if P > 0:
                 pm = shadows.point_shadow_multi(
                     p, lights.point_position[:P],
                     lights.shadow_viewprojs[:6 * P].reshape(P, 6, 4, 4),
-                    atlas[:6 * P])
+                    atlas[:6 * P], bias=sbias)
                 outs.append(jnp.moveaxis(pm, 0, -1))
             for i in range(D):
                 outs.append(shadows.directional_shadow(
-                    p, lights.dir_viewproj[i], atlas[6 * P + i])[..., None])
+                    p, lights.dir_viewproj[i], atlas[6 * P + i],
+                    bias=sbias)[..., None])
             return jnp.concatenate(outs, axis=-1)
 
         def vis_one(i, p):
@@ -322,9 +333,10 @@ def render_frame(scene: SceneGPU, pool: sampling.TexturePoolGPU,
                 return shadows.point_shadow(
                     p, lights.point_position[i],
                     lights.shadow_viewprojs[6 * i:6 * i + 6],
-                    atlas[6 * i:6 * i + 6])
+                    atlas[6 * i:6 * i + 6], bias=sbias)
             return shadows.directional_shadow(
-                p, lights.dir_viewproj[i - P], atlas[6 * P + i - P])
+                p, lights.dir_viewproj[i - P], atlas[6 * P + i - P],
+                bias=sbias)
 
         gates, shadow_blocks = shadows.gate_refined_visibility(
             vis_all, vis_one, g.position, cfg.shadow_lookup_scale,

@@ -26,6 +26,11 @@ class GlobalParams:
                                  metadata=ui_param(min=0.0, max=2.0))
     ssr_strength: float = field(default=0.0,
                                 metadata=ui_param(min=0.0, max=1.0))
+    # Live shadow compare bias (NDC units; + = toward lit / acne removal).
+    # The reference declares this knob but never reads it in a shader
+    # (src/global_params.rs:26-29); here it is functional.
+    shadow_bias: float = field(default=0.0,
+                               metadata=ui_param(min=-0.01, max=0.01))
 
     def to_device(self) -> jnp.ndarray:
         v = [0.0] * framelib.NUM_PARAMS
@@ -33,6 +38,7 @@ class GlobalParams:
         v[framelib.PARAM_TONE_TYPE] = float(self.tone_mapping_type)
         v[framelib.PARAM_SSR_THICKNESS] = float(self.ssr_thickness)
         v[framelib.PARAM_SSR_STRENGTH] = float(self.ssr_strength)
+        v[framelib.PARAM_SHADOW_BIAS] = float(self.shadow_bias)
         return jnp.asarray(v, jnp.float32)
 
 

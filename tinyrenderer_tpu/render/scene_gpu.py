@@ -279,8 +279,23 @@ class ScenePacker:
             self._pool_dirty = False
         return self._pool_gpu[key]
 
-    def pool_for(self, cfg) -> sampling.TexturePoolGPU:
+    def native_pool_gpu(self, windowed: bool = True
+                        ) -> sampling.NativeTexturePoolGPU:
+        """Native-size per-record pool (cfg.native_texture_pool — the
+        reference's own-size texture storage, src/texture.rs:98-252)."""
+        key = ("native", windowed)
+        if self._pool_gpu.get(key) is None or self._pool_dirty:
+            if self._pool_dirty:
+                self._pool_gpu = {}
+            self._pool_gpu[key] = sampling.pack_native_pool(
+                self.pool.native_record_chains(), windowed=windowed)
+            self._pool_dirty = False
+        return self._pool_gpu[key]
+
+    def pool_for(self, cfg):
         """The pool matching a RenderConfig's layout flags."""
+        if cfg.native_texture_pool:
+            return self.native_pool_gpu(cfg.windowed_pool)
         return self.texture_pool_gpu(cfg.windowed_pool, cfg.morton_pool)
 
     def scalar_pool_gpu(self) -> sampling.TexturePoolGPU:

@@ -43,10 +43,20 @@ def main() -> None:
     from tinyrenderer_tpu.render import frame as framelib
     from tinyrenderer_tpu.render.engine import Engine
 
+    import numpy as np
+
     eng = Engine(cfg=RenderConfig(width=args.width, height=args.height),
                  level_path="/root/reference/levels/test.lvl")
     eng.update(0.0)
     eng._drain_actions()
+    # settle the capacity monitors (force-fetch the async queue) so every
+    # variant measures the steady-state envelope, not a pre-growth config
+    # that silently skips work (under-textured frames look fast)
+    for _ in range(3):
+        out = eng.run_frame(0.0)
+        np.asarray(out.tex_overflow)  # sync -> monitors ready next check
+    print(f"settled: tex cap {eng.cfg.tex_block_capacity}, "
+          f"shadow blocks cap {eng.cfg.shadow_block_capacity}", flush=True)
     env = eng._ensure_env()
     base = eng.cfg
     scene = eng._pack.scene
