@@ -235,6 +235,40 @@ def test_select_eval_kernel_matches_tiled(rng):
                                    rtol=1e-5, atol=1e-6, err_msg=f)
 
 
+def test_select_eval_kernel_streams_large_bins(rng):
+    """Grown bin capacities (K > 2048, e.g. 8192 for high-poly scenes)
+    stream K through the kernel's innermost grid dimension with a scratch
+    accumulator — whole-K VMEM blocks blew the 16 MB scoped-vmem limit on
+    hardware. Padding bins to K=4096 (nk=2 slices) must not change the
+    result vs the K-as-binned reference path."""
+    from tinyrenderer_tpu.ops import resolve
+
+    V, T = 60, 40
+    ndc = rng.uniform(-1.1, 1.1, size=(V, 3)).astype(np.float32)
+    ndc[:, 2] = rng.uniform(0.05, 0.95, size=V)
+    clip = _clip_from_ndc(ndc)
+    tri = jnp.asarray(rng.integers(0, V, size=(T, 3)).astype(np.int32))
+    mask = jnp.ones((T,), bool)
+    setup = raster.triangle_setup(clip, tri, mask, 256, 64, "none")
+    bins = raster.bin_triangles(setup, 256, 64, 8, 128, 64)
+    tri_id, _ = raster.rasterize_binned(bins, 8, 128, use_pallas=False)
+
+    table = jnp.where(setup.valid[:, None],
+                      jnp.asarray(rng.random((T, resolve.ROW_D)),
+                                  jnp.float32), 0.0)
+    K = 4096
+    ids_big = jnp.pad(bins.ids, ((0, 0), (0, 0), (0, K - bins.ids.shape[2])),
+                      constant_values=-1)
+    a = resolve.resolve_attrs_pallas(tri_id, bins.ids, table, 8, 128,
+                                     counts=bins.counts)
+    b = resolve.resolve_attrs_pallas(tri_id, ids_big, table, 8, 128,
+                                     counts=bins.counts)
+    for f in a._fields:
+        np.testing.assert_allclose(np.asarray(getattr(a, f)),
+                                   np.asarray(getattr(b, f)),
+                                   rtol=1e-6, atol=1e-7, err_msg=f)
+
+
 def test_pallas_multiblock_bins_match(rng):
     """bin_capacity > 4096 exercises the kernel's bin-block revisit path
     (grid dim 2 + running depth race over output blocks) — must agree

@@ -315,7 +315,8 @@ def resolve_attrs_tiled(tri_id: jax.Array, bin_ids: jax.Array,
 
 
 def _select_eval_kernel(counts_ref, tid_ref, ids_ref, rows_ref, out_ref,
-                        *, tile_h: int, tile_w: int, chunk: int):
+                        acc_ref, *, tile_h: int, tile_w: int, chunk: int,
+                        kblock: int, nk: int):
     """Per-tile one-hot select + plane evaluation, onehot kept in VMEM.
 
     The jnp select materializes the (tiles, P, K) one-hot tensor in HBM
@@ -324,15 +325,29 @@ def _select_eval_kernel(counts_ref, tid_ref, ids_ref, rows_ref, out_ref,
     in VMEM, accumulates sel = table^T @ onehot on the MXU, evaluates the
     numerator/denominator planes in-register, and writes only the 22
     result channels.
+
+    The bin dimension K is streamed through the innermost grid dimension
+    in ``kblock`` slices with the (Dp, P) accumulator in VMEM scratch
+    (persistent across grid steps), so VMEM use is bounded by kblock —
+    grown bin capacities (8192+ for high-poly scenes) would otherwise
+    blow the 16 MB scoped-vmem limit with whole-K operand blocks.
     """
     i = pl.program_id(0)
     j = pl.program_id(1)
+    k = pl.program_id(2)
     count = counts_ref[i, j]
     P = tile_h * tile_w
     Dp = rows_ref.shape[-1]          # padded table width
 
+    @pl.when(k == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
     tid = tid_ref[0, 0].reshape(1, P).astype(F32)
-    nchunks = pl.cdiv(count, chunk)
+    # valid ids are a contiguous prefix: rows of this k-slice that are
+    # in [0, count - k*kblock) still need the matmul
+    local = jnp.clip(count - k * kblock, 0, kblock)
+    nchunks = pl.cdiv(local, chunk)
 
     def body(c, acc):
         idf = ids_ref[0, 0, pl.ds(c * chunk, chunk), :]      # (chunk, 1) f32
@@ -342,24 +357,25 @@ def _select_eval_kernel(counts_ref, tid_ref, ids_ref, rows_ref, out_ref,
             t, onehot, (((0,), (0,)), ((), ())),
             preferred_element_type=F32)                      # (Dp, P)
 
-    acc = jax.lax.fori_loop(0, nchunks,
-                            body, jnp.zeros((Dp, P), F32))
+    acc_ref[...] = jax.lax.fori_loop(0, nchunks, body, acc_ref[...])
 
-    ox = (j * tile_w).astype(F32) + 0.5
-    oy = (i * tile_h).astype(F32) + 0.5
-    xs = jax.lax.broadcasted_iota(I32, (1, P), 1).astype(F32)
-    px = jnp.remainder(xs, float(tile_w)) + ox               # (1, P)
-    py = jnp.floor_divide(xs, float(tile_w)) + oy
+    @pl.when(k == nk - 1)
+    def _finish():
+        acc = acc_ref[...]
+        ox = (j * tile_w).astype(F32) + 0.5
+        oy = (i * tile_h).astype(F32) + 0.5
+        xs = jax.lax.broadcasted_iota(I32, (1, P), 1).astype(F32)
+        px = jnp.remainder(xs, float(tile_w)) + ox           # (1, P)
+        py = jnp.floor_divide(xs, float(tile_w)) + oy
 
-    denom = acc[0:1] * px + acc[1:2] * py + acc[2:3]         # (1, P)
-    denom = jnp.where(jnp.abs(denom) > 1e-20, denom, 1.0)
-    b = acc[3:_PLANES].reshape(_N_ATTR, 3, P)
-    attrs = (b[:, 0] * px + b[:, 1] * py + b[:, 2]) / denom  # (14, P)
-    consts = acc[CONST_FLAT:ROW_D]                           # (8, P)
-    n_pad = out_ref.shape[-2] - (_N_ATTR + (ROW_D - CONST_FLAT))
-    out = jnp.concatenate(
-        [attrs, consts, jnp.zeros((n_pad, P), F32)], axis=0)
-    out_ref[0, 0] = out
+        denom = acc[0:1] * px + acc[1:2] * py + acc[2:3]     # (1, P)
+        denom = jnp.where(jnp.abs(denom) > 1e-20, denom, 1.0)
+        b = acc[3:_PLANES].reshape(_N_ATTR, 3, P)
+        attrs = (b[:, 0] * px + b[:, 1] * py + b[:, 2]) / denom
+        consts = acc[CONST_FLAT:ROW_D]                       # (8, P)
+        n_pad = out_ref.shape[-2] - (_N_ATTR + (ROW_D - CONST_FLAT))
+        out_ref[0, 0] = jnp.concatenate(
+            [attrs, consts, jnp.zeros((n_pad, P), F32)], axis=0)
 
 
 def select_eval_pallas(tri_id: jax.Array, bin_ids: jax.Array,
@@ -385,25 +401,35 @@ def select_eval_pallas(tri_id: jax.Array, bin_ids: jax.Array,
     C_OUT = 24                                               # 22 padded to 8
     if counts is None:  # valid ids are a contiguous prefix of each bin
         counts = jnp.sum((bin_ids >= 0).astype(I32), axis=2)
+    # stream K through the innermost grid dim so VMEM stays bounded when
+    # bin capacity grows (largest power-of-two divisor of K, <= 2048)
+    kblock = K
+    while kblock > 2048 and kblock % 2 == 0:
+        kblock //= 2
+    nk = K // kblock
     kernel = functools.partial(_select_eval_kernel, tile_h=tile_h,
-                               tile_w=tile_w, chunk=min(chunk, K))
+                               tile_w=tile_w, chunk=min(chunk, kblock),
+                               kblock=kblock, nk=nk)
     interpret = jax.default_backend() != "tpu"
     out_tiles = pl.pallas_call(
         kernel,
-        grid=(ty, tx),
+        grid=(ty, tx, nk),
         interpret=interpret,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, tile_h, tile_w), lambda i, j: (i, j, 0, 0),
+            pl.BlockSpec((1, 1, tile_h, tile_w),
+                         lambda i, j, k: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, K, 1), lambda i, j: (i, j, 0, 0),
+            pl.BlockSpec((1, 1, kblock, 1), lambda i, j, k: (i, j, k, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, K, Dp), lambda i, j: (i, j, 0, 0),
+            pl.BlockSpec((1, 1, kblock, Dp), lambda i, j, k: (i, j, k, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, C_OUT, P), lambda i, j: (i, j, 0, 0),
+        out_specs=pl.BlockSpec((1, 1, C_OUT, P),
+                               lambda i, j, k: (i, j, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((ty, tx, C_OUT, P), F32),
+        scratch_shapes=[pltpu.VMEM((Dp, P), F32)],
         cost_estimate=pl.CostEstimate(
             flops=int(K * P * (2 * Dp + 8)) * ty * tx,
             bytes_accessed=rows_tile.size * 4 + tri_id.size * 4
