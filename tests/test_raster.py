@@ -287,3 +287,91 @@ def test_pallas_multiblock_bins_match(rng):
     # depth: the kernel's MXU plane dot and the jnp broadcast chain round
     # differently on ill-conditioned slivers (order-of-summation)
     np.testing.assert_allclose(np.asarray(da), np.asarray(db), atol=1e-4)
+
+
+def _random_scene(rng, V=120, T=300):
+    ndc = rng.uniform(-1.2, 1.2, size=(V, 3)).astype(np.float32)
+    ndc[:, 2] = rng.uniform(0.05, 0.95, size=V)
+    w = rng.uniform(0.5, 2.0, size=(V, 1)).astype(np.float32)
+    clip = jnp.asarray(np.concatenate([ndc * w, w], axis=1).astype(np.float32))
+    tri = jnp.asarray(rng.integers(0, V, size=(T, 3)).astype(np.int32))
+    return clip, tri
+
+
+@pytest.mark.parametrize("th,tw,kmax", [(8, 128, 256), (16, 128, 512),
+                                        (64, 128, 128)])
+def test_stream_raster_matches_dense(rng, th, tw, kmax):
+    """CSR stream binning + raster must reproduce the dense path exactly
+    whenever nothing overflows (same pair sets, same depth race)."""
+    clip, tri = _random_scene(rng)
+    mask = jnp.ones((tri.shape[0],), bool)
+    setup = raster.triangle_setup(clip, tri, mask, 256, 128, "none")
+    bins = raster.bin_triangles_dense(setup, 256, 128, th, tw, 1024)
+    id_d, z_d = raster.rasterize_binned(bins, th, tw, use_pallas=True)
+
+    sb = raster.bin_triangles_stream(setup, 256, 128, th, tw,
+                                     stream_capacity=8192)
+    assert int(sb.stream_overflow) <= 8192
+    ty, tx = sb.counts.shape
+    id_s, z_s = raster.rasterize_stream(sb, ty, tx, th, tw, kmax=kmax)
+    if int(sb.overflow) <= kmax:
+        np.testing.assert_array_equal(np.asarray(id_d), np.asarray(id_s))
+        np.testing.assert_array_equal(np.asarray(z_d), np.asarray(z_s))
+
+    # per-tile segment sets == dense bin sets
+    ids_dense = np.asarray(bins.ids)
+    starts = np.asarray(sb.starts)
+    sid = np.asarray(sb.ids)
+    for t in range(ty * tx):
+        i, j = divmod(t, tx)
+        seg = sorted(sid[starts[t]:starts[t + 1]].tolist())
+        dn = sorted(x for x in ids_dense[i, j].tolist() if x >= 0)
+        assert seg == dn, f"tile {t}"
+
+
+def test_stream_select_eval_matches_dense(rng):
+    """resolve_attrs_stream == resolve_attrs_pallas on the same bins;
+    in particular padding grid steps must not re-accumulate the segment's
+    last block (the select is a sum, not an idempotent max)."""
+    from tinyrenderer_tpu.ops import resolve
+
+    clip, tri = _random_scene(rng)
+    mask = jnp.ones((tri.shape[0],), bool)
+    setup = raster.triangle_setup(clip, tri, mask, 256, 128, "none")
+    th, tw = 8, 128
+    bins = raster.bin_triangles_dense(setup, 256, 128, th, tw, 1024)
+    tri_id, _ = raster.rasterize_binned(bins, th, tw, use_pallas=True)
+    sb = raster.bin_triangles_stream(setup, 256, 128, th, tw,
+                                     stream_capacity=8192)
+    ty, tx = sb.counts.shape
+    table = jnp.where(setup.valid[:, None],
+                      jnp.asarray(rng.random((tri.shape[0], resolve.ROW_D)),
+                                  jnp.float32), 0.0)
+    a = resolve.resolve_attrs_pallas(tri_id, bins.ids, table, th, tw,
+                                     counts=bins.counts)
+    # kmax=256 forces nb > 1 padding steps for most tiles (counts ~tens)
+    b = resolve.resolve_attrs_stream(tri_id, sb, table, th, tw, kmax=256)
+    for f in a._fields:
+        np.testing.assert_allclose(np.asarray(getattr(a, f)),
+                                   np.asarray(getattr(b, f)),
+                                   rtol=1e-6, atol=1e-7, err_msg=f)
+
+
+def test_stream_truncation_monitors(rng):
+    """Overflowing the stream drops the highest-tile pairs and reports the
+    wanted total through stream_overflow (engine growth semantics)."""
+    clip, tri = _random_scene(rng)
+    mask = jnp.ones((tri.shape[0],), bool)
+    setup = raster.triangle_setup(clip, tri, mask, 256, 128, "none")
+    sb_full = raster.bin_triangles_stream(setup, 256, 128, 8, 128,
+                                          stream_capacity=8192)
+    total = int(sb_full.stream_overflow)
+    assert total > 2048
+    sb = raster.bin_triangles_stream(setup, 256, 128, 8, 128,
+                                     stream_capacity=2048)
+    assert int(sb.stream_overflow) == total  # wanted, not clipped
+    starts = np.asarray(sb.starts)
+    assert starts[-1] <= 2048
+    # the retained prefix matches the untruncated stream
+    np.testing.assert_array_equal(np.asarray(sb.ids),
+                                  np.asarray(sb_full.ids[:2048]))

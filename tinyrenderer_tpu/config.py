@@ -72,6 +72,16 @@ class RenderConfig:
     # used when the triangle pool exceeds the dense-binning crossover).
     # Monitored + grown like bin_capacity.
     bin_big_capacity: int = 512
+    # CSR stream raster: per-tile bins are contiguous segments of ONE
+    # tile-major sorted (tile, id) stream (raster.StreamBins) instead of
+    # the dense capacity-padded (tiles, K) lists — every gather and every
+    # kernel DMA scales with actual pair counts, not tiles * bin_capacity
+    # (the round-2 1.3 Mtris/s wall). Applies to the main/forward-pipeline
+    # visibility raster + select when use_pallas and not fused_resolve.
+    stream_raster: bool = True
+    # Total (tile, triangle) pair capacity of the stream (multiple of
+    # 2048 — the kernel's DMA block). Monitored + grown like bin_capacity.
+    stream_capacity: int = 32768
 
     # Shadows.
     shadow_size: int = SHADOW_SIZE

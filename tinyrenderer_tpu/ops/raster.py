@@ -336,6 +336,118 @@ def bin_triangles_scatter(setup: TriangleSetup, width: int, height: int,
                 big_overflow=big_overflow)
 
 
+class StreamBins(NamedTuple):
+    """CSR bins: one tile-major stream instead of dense (tiles, K) lists.
+
+    The dense layout pays every per-slot cost (the ids->rows gather, the
+    kernel DMA) on ``tiles * K`` slots even when mean occupancy is a few
+    percent of the grown capacity K — the 1.3 Mtris/s wall of round 2.
+    Here the per-tile bins are contiguous segments of ONE sorted
+    (tile, id) stream located by ``starts``; every gather and every DMA
+    is over actual (tile, triangle) pairs + one capacity pad, so cost
+    tracks occupancy, not capacity.
+    """
+
+    ids: jax.Array       # (Ls,) i32 triangle ids, tile-major, -1 padded
+    rows: jax.Array      # (Ls, 16) f32 gathered setup rows (0 for pad)
+    starts: jax.Array    # (n_tiles + 1,) i32 CSR segment offsets
+    counts: jax.Array    # (tiles_y, tiles_x) i32 per-tile pair count
+    overflow: jax.Array  # () i32 max per-tile count (cfg.bin_capacity
+    #   monitor — bounds the kernel's per-tile block walk)
+    stream_overflow: jax.Array  # () i32 total pairs wanted
+    #   (cfg.stream_capacity monitor)
+    big_overflow: jax.Array     # () i32 big-triangle count
+    #   (cfg.bin_big_capacity monitor)
+
+
+def bin_triangles_stream(setup: TriangleSetup, width: int, height: int,
+                         tile_h: int, tile_w: int, stream_capacity: int,
+                         big_capacity: int = 512) -> StreamBins:
+    """Bucket triangles into a CSR (tile, id) stream, O(T log T) total.
+
+    Small triangles (bbox spans <= 2x2 tiles) expand to at most 4 pairs;
+    big ones are selected into a ``big_capacity`` list, dense-binned
+    against the tile grid (cheap: they are few) and their (tile, id)
+    pairs join the same stream. ONE global lexicographic sort puts all
+    pairs in tile-major id-minor order; per-tile bins are contiguous
+    segments located by searchsorted. If the total pair count exceeds
+    ``stream_capacity`` the highest tiles lose triangles (bottom screen
+    rows) until the engine grows the envelope — same drop-and-grow
+    semantics as the dense path's per-tile capacity K.
+    """
+    tiles_y = -(-height // tile_h)
+    tiles_x = -(-width // tile_w)
+    n_tiles = tiles_y * tiles_x
+    T = setup.rows.shape[0]
+    Lc = min(T, big_capacity)
+    Ls = stream_capacity
+
+    txmin, tymin, txmax, tymax, ok = _tile_ranges(
+        setup, width, height, tile_h, tile_w, tiles_y, tiles_x)
+    span_x = txmax - txmin + 1
+    span_y = tymax - tymin + 1
+    small = ok & (span_x <= 2) & (span_y <= 2)
+    big = ok & ~small
+
+    # ---- big pairs: ascending-id top-K list, dense-binned ----
+    tri_ids = jnp.arange(T, dtype=I32)
+    order_big = jnp.where(big, tri_ids, T)
+    if T < Lc:
+        order_big = jnp.pad(order_big, (0, Lc - T), constant_values=T)
+    big_ids = jnp.sort(order_big)[:Lc]                       # (Lc,) T-padded
+    big_overflow = jnp.sum(big.astype(I32))
+
+    safe_big = jnp.clip(big_ids, 0, T - 1)
+    b_xmin = jnp.take(txmin, safe_big)
+    b_ymin = jnp.take(tymin, safe_big)
+    b_xmax = jnp.take(txmax, safe_big)
+    b_ymax = jnp.take(tymax, safe_big)
+    ty = jnp.arange(tiles_y, dtype=I32)
+    tx = jnp.arange(tiles_x, dtype=I32)
+    hit_b = ((big_ids < T)[None, None, :]
+             & (ty[:, None, None] >= b_ymin[None, None, :])
+             & (ty[:, None, None] <= b_ymax[None, None, :])
+             & (tx[None, :, None] >= b_xmin[None, None, :])
+             & (tx[None, :, None] <= b_xmax[None, None, :]))  # (ty, tx, Lc)
+    tile_idx = (ty[:, None] * tiles_x + tx[None, :])[..., None]
+    bkeys = jnp.where(hit_b, tile_idx, n_tiles).reshape(-1)   # (n_tiles*Lc,)
+    bvals = jnp.broadcast_to(big_ids[None, None, :], hit_b.shape).reshape(-1)
+
+    # ---- small pairs: <= 4 per triangle ----
+    e = jnp.arange(4, dtype=I32)
+    ey, ex = e // 2, e % 2
+    etile_y = tymin[None, :] + ey[:, None]                    # (4, T)
+    etile_x = txmin[None, :] + ex[:, None]
+    evalid = small[None, :] & (ey[:, None] < span_y[None, :]) \
+        & (ex[:, None] < span_x[None, :])
+    ekeys = jnp.where(evalid, etile_y * tiles_x + etile_x, n_tiles).reshape(-1)
+    eids = jnp.broadcast_to(tri_ids[None, :], (4, T)).reshape(-1)
+
+    allk = jnp.concatenate([ekeys, bkeys])
+    allv = jnp.concatenate([eids, bvals])
+    st, si = jax.lax.sort((allk, allv), num_keys=2)           # tile-major
+    stream_overflow = jnp.sum((allk < n_tiles).astype(I32))
+
+    L = st.shape[0]
+    if L < Ls:
+        st = jnp.pad(st, (0, Ls - L), constant_values=n_tiles)
+        si = jnp.pad(si, (0, Ls - L), constant_values=0)
+    else:
+        st, si = st[:Ls], si[:Ls]
+
+    starts = jnp.searchsorted(st, jnp.arange(n_tiles + 1, dtype=I32)
+                              ).astype(I32)
+    counts = (starts[1:] - starts[:-1]).reshape(tiles_y, tiles_x)
+    overflow = jnp.max(counts)
+
+    ids = jnp.where(st < n_tiles, si, -1)
+    rows = jnp.take(setup.rows, jnp.clip(ids, 0, T - 1), axis=0)
+    rows = jnp.where((ids >= 0)[:, None], rows, 0.0)
+    return StreamBins(ids=ids, rows=rows, starts=starts, counts=counts,
+                      overflow=overflow, stream_overflow=stream_overflow,
+                      big_overflow=big_overflow)
+
+
 # dense-vs-scatter crossover: the dense hit tensor + per-tile sort is
 # cheap below a few thousand triangles and quadratic-ish above
 _SCATTER_MIN_T = 4096
@@ -616,6 +728,164 @@ def rasterize_binned(bins: Bins, tile_h: int, tile_w: int,
 def _untile(tiles: jax.Array) -> jax.Array:
     ty, tx, th, tw = tiles.shape
     return tiles.transpose(0, 2, 1, 3).reshape(ty * th, tx * tw)
+
+
+# ---------------------------------------------------------------------------
+# CSR stream raster: per-tile segments of the sorted stream, located by
+# scalar-prefetched offsets. Out-of-segment grid steps map to a repeated
+# block index, so Pallas skips their DMA — per-frame bandwidth tracks the
+# actual pair count, not tiles * capacity.
+# ---------------------------------------------------------------------------
+
+def _stream_block(start, end, b, kb: int, nblocks: int):
+    """Block index for step b of a tile whose segment is [start, end).
+
+    Walks the segment's blocks first..last, then clamps to the last
+    segment block (repeated index -> no DMA on padding steps). Must be
+    computed identically in the index_map and the kernel body."""
+    sblk = start // kb
+    eblk = jnp.maximum((end - 1) // kb, sblk)   # empty segment -> sblk
+    return jnp.minimum(jnp.minimum(sblk + b, eblk), nblocks - 1)
+
+
+def _raster_stream_kernel(starts_ref, rows_ref, id_out_ref, z_out_ref,
+                          *, tile_h: int, tile_w: int, chunk: int,
+                          kb: int, nblocks: int, tiles_x: int):
+    """Per-tile visibility raster over the CSR stream.
+
+    Identical depth race to _raster_kernel; the bin is the stream
+    segment [starts[t], starts[t+1]), walked in ``kb`` blocks by grid
+    dim 2. Rows outside the segment (neighbor tiles sharing the block)
+    are masked out of the cover test."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    b = pl.program_id(2)
+    t = i * tiles_x + j
+    start = starts_ref[t]
+    end = starts_ref[t + 1]
+    blk = _stream_block(start, end, b, kb, nblocks)
+    base = blk * kb
+    lo = jnp.clip(start - base, 0, kb)
+    hi = jnp.clip(end - base, 0, kb)
+    # padding steps revisit the segment's last block (repeated index -> no
+    # DMA); the depth race is idempotent, but skip their compute anyway
+    sblk = start // kb
+    eblk = jnp.maximum((end - 1) // kb, sblk)
+    fresh = (sblk + b) <= jnp.minimum(eblk, nblocks - 1)
+    hi = jnp.where(fresh, hi, lo)
+
+    P = tile_h * tile_w
+    ox = (j * tile_w).astype(F32) + 0.5
+    oy = (i * tile_h).astype(F32) + 0.5
+    xs = jax.lax.broadcasted_iota(I32, (1, P), 1).astype(F32)
+    pixx = jnp.remainder(xs, float(tile_w)) + ox
+    pixy = jnp.floor_divide(xs, float(tile_w)) + oy
+    basis = jnp.concatenate([pixx, pixy, jnp.ones_like(pixx)], axis=0)
+
+    def body(c, carry):
+        best_z, best_id = carry
+        s = rows_ref[pl.ds(c * chunk, chunk), :]       # (chunk, 16)
+        rowpos = c * chunk + jax.lax.broadcasted_iota(I32, (chunk, 1), 0)
+        seg = (rowpos >= lo) & (rowpos < hi)           # (chunk, 1)
+
+        def plane_dot(lo_col):
+            return jax.lax.dot_general(
+                s[:, lo_col:lo_col + 3], basis, (((1,), (0,)), ((), ())),
+                preferred_element_type=F32,
+                precision=jax.lax.Precision.HIGHEST)   # (chunk, P) on MXU
+
+        l0 = plane_dot(_E0X)
+        l1 = plane_dot(_E1X)
+        l2 = plane_dot(_E2X)
+        z = plane_dot(_ZX)
+        idf = s[:, _IDF][:, None]
+
+        covered = ((l0 >= 0.0) & (l1 >= 0.0) & (l2 >= 0.0)
+                   & (idf > 0.0) & seg)
+        cand = jnp.where(covered, z, -1.0)
+        chunk_z = jnp.max(cand, axis=0)
+        chunk_id = jnp.max(jnp.where(cand >= chunk_z[None], idf, 0.0), axis=0)
+        upd = (chunk_z > best_z) | ((chunk_z == best_z) & (chunk_id > best_id))
+        return (jnp.where(upd, chunk_z, best_z),
+                jnp.where(upd, chunk_id, best_id))
+
+    init = (jnp.zeros((P,), F32), jnp.zeros((P,), F32))
+    best_z, best_id = jax.lax.fori_loop(lo // chunk, pl.cdiv(hi, chunk),
+                                        body, init)
+    blk_id = best_id.reshape(tile_h, tile_w).astype(I32) - 1
+    blk_z = best_z.reshape(tile_h, tile_w)
+
+    @pl.when(b == 0)
+    def _init():
+        id_out_ref[0, 0] = blk_id
+        z_out_ref[0, 0] = blk_z
+
+    @pl.when(b > 0)
+    def _combine():
+        cur_z = z_out_ref[0, 0]
+        cur_id = id_out_ref[0, 0]
+        upd = (blk_z > cur_z) | ((blk_z == cur_z) & (blk_id > cur_id))
+        id_out_ref[0, 0] = jnp.where(upd, blk_id, cur_id)
+        z_out_ref[0, 0] = jnp.where(upd, blk_z, cur_z)
+
+
+def rasterize_stream(sbins: StreamBins, tiles_y: int, tiles_x: int,
+                     tile_h: int, tile_w: int, kmax: int,
+                     chunk: int = 32) -> tuple[jax.Array, jax.Array]:
+    """Visibility raster over CSR stream bins.
+
+    kmax bounds the per-tile segment length the kernel will walk
+    (cfg.bin_capacity — monitored via sbins.overflow); longer segments
+    lose their tail until the engine grows the envelope. Returns
+    (tri_id, depth) exactly as rasterize_binned."""
+    Ls = sbins.rows.shape[0]
+    kb = min(2048, Ls)
+    assert Ls % kb == 0, "stream capacity must be a multiple of 2048"
+    nblocks = Ls // kb
+    # a kmax-long segment can straddle cdiv(kmax, kb) + 1 blocks
+    nb = min(-(-kmax // kb) + 1, nblocks)
+    grid = (tiles_y, tiles_x, nb)
+
+    kernel = functools.partial(_raster_stream_kernel, tile_h=tile_h,
+                               tile_w=tile_w, chunk=min(chunk, kb), kb=kb,
+                               nblocks=nblocks, tiles_x=tiles_x)
+
+    def rows_map(i, j, b, starts):
+        t = i * tiles_x + j
+        return (_stream_block(starts[t], starts[t + 1], b, kb, nblocks), 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((kb, SETUP_COLS), rows_map,
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, tile_h, tile_w),
+                         lambda i, j, b, starts: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tile_h, tile_w),
+                         lambda i, j, b, starts: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    interpret = jax.default_backend() != "tpu"
+    id_tiles, z_tiles = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        interpret=interpret,
+        out_shape=[
+            jax.ShapeDtypeStruct((tiles_y, tiles_x, tile_h, tile_w), I32),
+            jax.ShapeDtypeStruct((tiles_y, tiles_x, tile_h, tile_w), F32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=int(Ls * tile_h * tile_w * 16),
+            bytes_accessed=sbins.rows.size * 4
+            + tiles_y * tiles_x * tile_h * tile_w * 8,
+            transcendentals=0),
+    )(sbins.starts, sbins.rows)
+    return _untile(id_tiles), _untile(z_tiles)
 
 
 def _rasterize_binned_jnp(bins: Bins, tile_h: int, tile_w: int

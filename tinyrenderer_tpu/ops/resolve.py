@@ -464,6 +464,166 @@ def resolve_attrs_pallas(tri_id: jax.Array, bin_ids: jax.Array,
     )
 
 
+def _select_eval_stream_kernel(starts_ref, tid_ref, ids_ref, rows_ref,
+                               out_ref, acc_ref, *, tile_h: int, tile_w: int,
+                               chunk: int, kb: int, nb: int, nblocks: int,
+                               tiles_x: int):
+    """CSR-stream variant of _select_eval_kernel: the tile's bin is the
+    stream segment [starts[t], starts[t+1]) walked in ``kb`` blocks by
+    grid dim 2 (raster.StreamBins). Rows outside the segment — neighbor
+    tiles sharing a block — are masked out of the one-hot, so cost and
+    DMA track actual pair counts, not tiles * capacity."""
+    from . import raster
+
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    b = pl.program_id(2)
+    t = i * tiles_x + j
+    start = starts_ref[t]
+    end = starts_ref[t + 1]
+    blk = raster._stream_block(start, end, b, kb, nblocks)
+    base = blk * kb
+    lo = jnp.clip(start - base, 0, kb)
+    hi = jnp.clip(end - base, 0, kb)
+    # padding steps (b past the segment's last block) clamp to a repeated
+    # block index; unlike the raster's idempotent depth race, the select
+    # ACCUMULATES — each block must contribute exactly once
+    sblk = start // kb
+    eblk = jnp.maximum((end - 1) // kb, sblk)
+    fresh = (sblk + b) <= jnp.minimum(eblk, nblocks - 1)
+    hi = jnp.where(fresh, hi, lo)
+
+    P = tile_h * tile_w
+    Dp = rows_ref.shape[-1]
+
+    @pl.when(b == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    tid = tid_ref[0, 0].reshape(1, P).astype(F32)
+
+    def body(c, acc):
+        idf = ids_ref[pl.ds(c * chunk, chunk), :]            # (chunk, 1) f32
+        trow = rows_ref[pl.ds(c * chunk, chunk), :]          # (chunk, Dp)
+        rowpos = c * chunk + jax.lax.broadcasted_iota(I32, (chunk, 1), 0)
+        seg = (rowpos >= lo) & (rowpos < hi)
+        onehot = ((idf == tid) & (idf >= 0.0) & seg).astype(F32)  # (chunk, P)
+        return acc + jax.lax.dot_general(
+            trow, onehot, (((0,), (0,)), ((), ())),
+            preferred_element_type=F32)                      # (Dp, P)
+
+    acc_ref[...] = jax.lax.fori_loop(lo // chunk, pl.cdiv(hi, chunk),
+                                     body, acc_ref[...])
+
+    @pl.when(b == nb - 1)
+    def _finish():
+        acc = acc_ref[...]
+        ox = (j * tile_w).astype(F32) + 0.5
+        oy = (i * tile_h).astype(F32) + 0.5
+        xs = jax.lax.broadcasted_iota(I32, (1, P), 1).astype(F32)
+        px = jnp.remainder(xs, float(tile_w)) + ox           # (1, P)
+        py = jnp.floor_divide(xs, float(tile_w)) + oy
+
+        denom = acc[0:1] * px + acc[1:2] * py + acc[2:3]     # (1, P)
+        denom = jnp.where(jnp.abs(denom) > 1e-20, denom, 1.0)
+        bpl = acc[3:_PLANES].reshape(_N_ATTR, 3, P)
+        attrs = (bpl[:, 0] * px + bpl[:, 1] * py + bpl[:, 2]) / denom
+        consts = acc[CONST_FLAT:ROW_D]                       # (8, P)
+        n_pad = out_ref.shape[-2] - (_N_ATTR + (ROW_D - CONST_FLAT))
+        out_ref[0, 0] = jnp.concatenate(
+            [attrs, consts, jnp.zeros((n_pad, P), F32)], axis=0)
+
+
+def select_eval_stream(tri_id: jax.Array, sbins, table: jax.Array,
+                       tile_h: int, tile_w: int, kmax: int,
+                       chunk: int = 128) -> jax.Array:
+    """select_eval_pallas over CSR stream bins (raster.StreamBins).
+
+    The dense variant gathers + DMAs (tiles, K, Dp) table rows — at a
+    grown K that is tens of times the actual occupancy. Here the table
+    is gathered once on the stream (one row per actual (tile, triangle)
+    pair) and each tile walks only its segment's blocks."""
+    H, W = tri_id.shape
+    ty, tx = sbins.counts.shape
+    T, D = table.shape
+    pad = (-D) % 8
+    table_p = jnp.pad(table, ((0, 0), (0, pad))) if pad else table
+    Dp = table_p.shape[1]
+    rows = jnp.take(table_p, jnp.clip(sbins.ids, 0, T - 1), axis=0)
+    rows = jnp.where((sbins.ids >= 0)[:, None], rows, 0.0)   # (Ls, Dp)
+    idsf = sbins.ids.astype(F32)[:, None]                    # (Ls, 1)
+    tid_tiles = tri_id.reshape(ty, tile_h, tx, tile_w).transpose(0, 2, 1, 3)
+
+    from . import raster
+    P = tile_h * tile_w
+    C_OUT = 24
+    Ls = sbins.ids.shape[0]
+    kb = min(2048, Ls)
+    nblocks = Ls // kb
+    nb = min(-(-kmax // kb) + 1, nblocks)
+    kernel = functools.partial(_select_eval_stream_kernel, tile_h=tile_h,
+                               tile_w=tile_w, chunk=min(chunk, kb), kb=kb,
+                               nb=nb, nblocks=nblocks, tiles_x=tx)
+
+    def stream_map(i, j, b, starts):
+        t = i * tx + j
+        return (raster._stream_block(starts[t], starts[t + 1], b, kb,
+                                     nblocks), 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(ty, tx, nb),
+        in_specs=[
+            pl.BlockSpec((1, 1, tile_h, tile_w),
+                         lambda i, j, b, starts: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((kb, 1), stream_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((kb, Dp), stream_map, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, C_OUT, P),
+                               lambda i, j, b, starts: (i, j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((Dp, P), F32)],
+    )
+    interpret = jax.default_backend() != "tpu"
+    out_tiles = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        interpret=interpret,
+        out_shape=jax.ShapeDtypeStruct((ty, tx, C_OUT, P), F32),
+        cost_estimate=pl.CostEstimate(
+            flops=int(Ls * P * (2 * Dp + 8)),
+            bytes_accessed=rows.size * 4 + tri_id.size * 4
+            + ty * tx * C_OUT * P * 4,
+            transcendentals=0),
+    )(sbins.starts, tid_tiles, idsf, rows)
+
+    out = out_tiles.reshape(ty, tx, C_OUT, tile_h, tile_w)
+    out = out.transpose(0, 3, 1, 4, 2).reshape(ty * tile_h, tx * tile_w,
+                                               C_OUT)
+    return out[..., :22]
+
+
+def resolve_attrs_stream(tri_id: jax.Array, sbins, table: jax.Array,
+                         tile_h: int, tile_w: int, kmax: int
+                         ) -> ResolvedAttrs:
+    """ResolvedAttrs via the CSR-stream select+eval kernel (bit-compatible
+    with resolve_attrs_pallas on the same bin contents)."""
+    out = select_eval_stream(tri_id, sbins, table, tile_h, tile_w, kmax)
+    valid = tri_id >= 0
+    return ResolvedAttrs(
+        world=out[..., 0:3],
+        uv=out[..., 3:5],
+        normal=_safe_normalize(out[..., 5:8]),
+        tangent=_safe_normalize(out[..., 8:11]),
+        bitangent=_safe_normalize(out[..., 11:14]),
+        flat=out[..., 14:20],
+        record=jnp.round(out[..., 20]).astype(I32),
+        object_id=jnp.where(valid, jnp.round(out[..., 21]).astype(I32), 0),
+        valid=valid,
+    )
+
+
 def resolve_attrs_onehot(tri_id: jax.Array, setup, bin_ids: jax.Array,
                          tri_vidx: jax.Array, tri_instance: jax.Array,
                          attrs: "VertexAttrs", inst_object_id: jax.Array,

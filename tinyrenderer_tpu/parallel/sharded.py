@@ -71,6 +71,8 @@ class ShardedFrameOutput(NamedTuple):
     #   binning's cfg.bin_big_capacity monitor)
     shadow_blocks: jax.Array    # () i32 max shadow-boundary blocks wanted
     #   (cfg.shadow_block_capacity monitor)
+    stream_overflow: jax.Array  # () i32 max CSR stream pairs wanted across
+    #   bands (cfg.stream_capacity monitor; 0 on the dense path)
 
 
 def _render_band(scene: SceneGPU, pool, lights: LightsGPU, atlas,
@@ -123,6 +125,28 @@ def _render_band(scene: SceneGPU, pool, lights: LightsGPU, atlas,
             texture_filter=cfg.texture_filter,
             texture_scale=cfg.texture_scale,
             tex_block_capacity=cfg.tex_block_capacity)
+    elif cfg.use_pallas and cfg.stream_raster:
+        # CSR stream path, like frame._raster_resolve (keep-in-sync)
+        setup = raster.triangle_setup(clip, scene.tri_vidx,
+                                      scene.tri_deferred, PW, PH, "back")
+        setup = raster.translate_setup_y(setup, y0)
+        bins = raster.bin_triangles_stream(
+            setup, PW, band_h, cfg.tile_h, cfg.tile_w, cfg.stream_capacity,
+            cfg.bin_big_capacity)
+        ty, tx = bins.counts.shape
+        tri_id, depth = raster.rasterize_stream(
+            bins, ty, tx, cfg.tile_h, cfg.tile_w, kmax=cfg.bin_capacity)
+        table = resolve.build_gbuffer_table(
+            setup, scene.tri_vidx, attrs, scene.tri_instance,
+            scene.inst_object_id, scene.inst_material, scene.mat_record,
+            scene.mat_flat)
+        r = resolve.resolve_attrs_stream(tri_id, bins, table, cfg.tile_h,
+                                         cfg.tile_w, kmax=cfg.bin_capacity)
+        g, tex_needed = resolve.resolve_gbuffer_from_attrs(
+            r, tri_id, depth, pool,
+            texture_filter=cfg.texture_filter,
+            texture_scale=cfg.texture_scale,
+            tex_block_capacity=cfg.tex_block_capacity)
     else:
         tri_id, depth, setup, bins = band_raster(scene.tri_vidx,
                                                  scene.tri_deferred, "back")
@@ -137,6 +161,7 @@ def _render_band(scene: SceneGPU, pool, lights: LightsGPU, atlas,
             use_pallas=cfg.use_pallas, counts=bins.counts)
     bin_overflow = bins.overflow
     big_overflow = bins.big_overflow
+    stream_overflow = getattr(bins, "stream_overflow", jnp.int32(0))
 
     Pn, D = cfg.num_point_lights, cfg.num_directional_lights
     point_shadow_fn = dir_shadow_fn = None
@@ -224,7 +249,8 @@ def _render_band(scene: SceneGPU, pool, lights: LightsGPU, atlas,
     sdr = post.tone_map(hdr, params[framelib.PARAM_TONE_TYPE],
                         params[framelib.PARAM_EXPOSURE])
     return sdr, pick, depth, hdr, bin_overflow, \
-        jnp.stack([tex_needed, fwd_needed]), big_overflow, shadow_blocks
+        jnp.stack([tex_needed, fwd_needed]), big_overflow, shadow_blocks, \
+        stream_overflow
 
 
 def _atlas_roundrobin(scene: SceneGPU, lights: LightsGPU,
@@ -342,7 +368,8 @@ def render_frame_sharded(scene: SceneGPU, pool, lights: LightsGPU,
                                   shadow_overflow=out.shadow_overflow,
                                   tex_overflow=out.tex_overflow,
                                   big_overflow=out.big_overflow,
-                                  shadow_blocks=out.shadow_blocks)
+                                  shadow_blocks=out.shadow_blocks,
+                                  stream_overflow=out.stream_overflow)
     if cfg.tiles_y % sp != 0:
         raise ValueError(
             f"tiles_y={cfg.tiles_y} not divisible by sp={sp}; "
@@ -368,8 +395,8 @@ def render_frame_sharded(scene: SceneGPU, pool, lights: LightsGPU,
         band = functools.partial(_render_band, scene, pool, lights, atlas,
                                  params=params, env=env, y0=y0, cfg=cfg,
                                  band_h=band_h, proj_h=proj_h)
-        sdr, pick, depth, hdr, bin_ovf, tex_ovf, big_ovf, shadow_blk = \
-            jax.vmap(lambda c: band(c))(cam_local)
+        (sdr, pick, depth, hdr, bin_ovf, tex_ovf, big_ovf, shadow_blk,
+         stream_ovf) = jax.vmap(lambda c: band(c))(cam_local)
         # capacity monitors reduce over the whole mesh (ADVICE r1: the
         # multi-chip path must not silently drop triangles either)
         bin_ovf = jax.lax.pmax(jnp.max(bin_ovf), ("dp", "sp"))
@@ -378,8 +405,9 @@ def render_frame_sharded(scene: SceneGPU, pool, lights: LightsGPU,
         big_ovf = jax.lax.pmax(jnp.maximum(jnp.max(big_ovf), shadow_big),
                                ("dp", "sp"))
         shadow_blk = jax.lax.pmax(jnp.max(shadow_blk), ("dp", "sp"))
+        stream_ovf = jax.lax.pmax(jnp.max(stream_ovf), ("dp", "sp"))
         return (sdr, pick, depth, hdr, bin_ovf, shadow_ovf, tex_ovf,
-                big_ovf, shadow_blk)
+                big_ovf, shadow_blk, stream_ovf)
 
     spec_rep = P()
     out = shard_map(
@@ -387,17 +415,20 @@ def render_frame_sharded(scene: SceneGPU, pool, lights: LightsGPU,
         in_specs=(spec_rep, spec_rep, spec_rep, P("dp"), spec_rep, spec_rep,
                   spec_rep),
         out_specs=(P("dp", "sp"), P("dp", "sp"), P("dp", "sp"), P("dp", "sp"),
-                   spec_rep, spec_rep, spec_rep, spec_rep, spec_rep),
+                   spec_rep, spec_rep, spec_rep, spec_rep, spec_rep,
+                   spec_rep),
         check_vma=False,
     )(scene, pool, lights, camera_raw_batch, params, env, atlas)
 
     H, W = cfg.height, cfg.width
-    sdr, pick, depth, hdr, bin_ovf, shadow_ovf, tex_ovf, big_ovf, sblk = out
+    (sdr, pick, depth, hdr, bin_ovf, shadow_ovf, tex_ovf, big_ovf, sblk,
+     stream_ovf) = out
     return ShardedFrameOutput(sdr=sdr[:, :H, :W], pick_id=pick[:, :H, :W],
                               depth=depth[:, :H, :W], hdr=hdr[:, :H, :W],
                               bin_overflow=bin_ovf, shadow_overflow=shadow_ovf,
                               tex_overflow=tex_ovf, big_overflow=big_ovf,
-                              shadow_blocks=sblk)
+                              shadow_blocks=sblk,
+                              stream_overflow=stream_ovf)
 
 
 @functools.lru_cache(maxsize=4)

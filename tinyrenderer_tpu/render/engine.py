@@ -334,17 +334,18 @@ class Engine:
         # already reports the real occupancy for the cached path.
         if atlas_inline:
             self._queue_overflow(
-                ("bins", "binsbig", "shadow", "tex", "fwdtex", "shadowblk"),
+                ("bins", "binsbig", "shadow", "tex", "fwdtex", "shadowblk",
+                 "stream"),
                 jnp.stack([out.bin_overflow, out.big_overflow,
                            out.shadow_overflow,
                            out.tex_overflow[0], out.tex_overflow[1],
-                           out.shadow_blocks]))
+                           out.shadow_blocks, out.stream_overflow]))
         else:
             self._queue_overflow(
-                ("bins", "binsbig", "tex", "fwdtex", "shadowblk"),
+                ("bins", "binsbig", "tex", "fwdtex", "shadowblk", "stream"),
                 jnp.stack([out.bin_overflow, out.big_overflow,
                            out.tex_overflow[0], out.tex_overflow[1],
-                           out.shadow_blocks]))
+                           out.shadow_blocks, out.stream_overflow]))
         self._check_overflow()
         return out
 
@@ -364,6 +365,7 @@ class Engine:
         "fwdtex": ("fwd_tile_capacity", "Forward overlay tile overflow"),
         "shadowblk": ("shadow_block_capacity",
                       "Shadow boundary-block overflow"),
+        "stream": ("stream_capacity", "Raster stream overflow"),
     }
 
     def _queue_overflow(self, kinds: tuple, values) -> None:

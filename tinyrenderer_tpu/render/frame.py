@@ -65,6 +65,14 @@ class FrameOutput(NamedTuple):
     #   (cfg.bin_big_capacity monitor; 0 on the dense binning path)
     shadow_blocks: jax.Array  # () i32 shadow-boundary blocks wanted
     #   (cfg.shadow_block_capacity monitor; 0 when shadows are off)
+    stream_overflow: jax.Array  # () i32 total (tile, triangle) pairs the
+    #   CSR stream raster wanted (cfg.stream_capacity monitor; 0 on the
+    #   dense binning path)
+
+
+def _sovf(bins) -> jax.Array:
+    """stream-capacity monitor value for either bins flavor."""
+    return getattr(bins, "stream_overflow", jnp.int32(0))
 
 
 def _upsample_bilinear(img: jax.Array, shape: tuple) -> jax.Array:
@@ -118,6 +126,21 @@ def _raster_resolve(clip, tri_vidx, tri_mask, tri_instance, vattrs, scene,
     Returns (tri_id, depth, ResolvedAttrs, overflow)."""
     PW, PH = cfg.padded_width, cfg.padded_height
     setup = raster.triangle_setup(clip, tri_vidx, tri_mask, PW, PH, cull)
+    if cfg.use_pallas and cfg.stream_raster and not cfg.fused_resolve:
+        # CSR stream path: gathers + kernel DMA scale with actual
+        # (tile, triangle) pairs, not tiles * bin_capacity
+        sbins = raster.bin_triangles_stream(
+            setup, PW, PH, cfg.tile_h, cfg.tile_w, cfg.stream_capacity,
+            cfg.bin_big_capacity)
+        table = resolve.build_gbuffer_table(
+            setup, tri_vidx, vattrs, tri_instance, scene.inst_object_id,
+            scene.inst_material, scene.mat_record, scene.mat_flat)
+        ty, tx = sbins.counts.shape
+        tri_id, depth = raster.rasterize_stream(
+            sbins, ty, tx, cfg.tile_h, cfg.tile_w, kmax=cfg.bin_capacity)
+        r = resolve.resolve_attrs_stream(tri_id, sbins, table, cfg.tile_h,
+                                         cfg.tile_w, kmax=cfg.bin_capacity)
+        return tri_id, depth, r, sbins
     bins = raster.bin_triangles(setup, PW, PH, cfg.tile_h, cfg.tile_w,
                                 cfg.bin_capacity, cfg.bin_big_capacity)
     table = resolve.build_gbuffer_table(
@@ -209,7 +232,8 @@ def render_frame_forward(scene: SceneGPU, pool: sampling.TexturePoolGPU,
                        shadow_overflow=jnp.int32(0),
                        tex_overflow=jnp.stack([tex_needed, jnp.int32(0)]),
                        big_overflow=bins.big_overflow,
-                       shadow_blocks=jnp.int32(0))
+                       shadow_blocks=jnp.int32(0),
+                       stream_overflow=_sovf(bins))
 
 
 def render_shadow_atlas(scene: SceneGPU, lights: LightsGPU,
@@ -278,7 +302,8 @@ def render_frame(scene: SceneGPU, pool: sampling.TexturePoolGPU,
                            shadow_overflow=out.shadow_overflow,
                            tex_overflow=out.tex_overflow,
                            big_overflow=out.big_overflow,
-                           shadow_blocks=out.shadow_blocks)
+                           shadow_blocks=out.shadow_blocks,
+                           stream_overflow=out.stream_overflow)
     cam = _unpack_camera(camera_raw)
     W, H = cfg.width, cfg.height
     PW, PH = cfg.padded_width, cfg.padded_height
@@ -411,7 +436,8 @@ def render_frame(scene: SceneGPU, pool: sampling.TexturePoolGPU,
                        bin_overflow=overflow, shadow_overflow=shadow_overflow,
                        tex_overflow=jnp.stack([tex_needed, fwd_needed]),
                        big_overflow=big_overflow,
-                       shadow_blocks=shadow_blocks)
+                       shadow_blocks=shadow_blocks,
+                       stream_overflow=_sovf(m_bins))
 
 
 @functools.lru_cache(maxsize=8)

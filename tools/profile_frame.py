@@ -33,7 +33,7 @@ def main() -> None:
     ap.add_argument("--frames", type=int, default=8)
     ap.add_argument("--set", default="all",
                     choices=["all", "filters", "rates", "passes", "layout",
-                             "shadow", "r3"])
+                             "shadow", "r3", "stream"])
     args = ap.parse_args()
 
     from dataclasses import replace
@@ -78,6 +78,12 @@ def main() -> None:
             "preset": base.performance_preset(),
             "stoch-only": replace(base, texture_filter="stochastic",
                                   windowed_pool=False),
+        },
+        "stream": {
+            # CSR stream raster (round-3): gathers/DMA track pair counts
+            "stream": base,                    # stream_raster=True default
+            "dense": replace(base, stream_raster=False),
+            "stream-fused": replace(base, fused_resolve=True),  # dense fused
         },
         "passes": {
             "full": base,
