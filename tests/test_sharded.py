@@ -168,17 +168,38 @@ def test_sharded_512(engine):
     assert (d > 16).mean() < 1e-3
 
 
-def test_sharded_ssr_is_documented_config_error(engine):
-    """SSR crosses band boundaries; the sharded path must refuse it with a
-    clear error instead of silently rendering wrong reflections."""
+def test_sharded_ssr_matches_single_chip(engine):
+    """SSR crosses band boundaries: the sharded band all_gathers the
+    frame's depth + pre-SSR HDR as tap buffers (VERDICT r2 item 7). The
+    march itself is frame-global arithmetic on band-local pixels, so away
+    from band seams the reflection must match the single-chip frame."""
     from dataclasses import replace
     scene, pool, lights, cam, params, env = _args(engine)
     mesh = parallel.make_mesh(4, dp=1)
     cfg_s = replace(parallel.sharded_config(engine.cfg, mesh.shape["sp"]),
                     enable_ssr=True)
-    with pytest.raises(ValueError, match="band boundaries"):
-        parallel.render_frame_sharded(scene, pool, lights, cam[None],
-                                      params, env, cfg_s, mesh)
+    # make the reflections visible: full strength (the reference ships
+    # strength 0 — a pass-through)
+    p = np.array(params)
+    p[framelib.PARAM_SSR_STRENGTH] = 1.0
+    params = jnp.asarray(p)
+
+    single = framelib.compiled_frame(cfg_s)(scene, pool, lights, cam,
+                                            params, env)
+    out = parallel.compiled_sharded_frame(cfg_s, mesh)(
+        scene, pool, lights, cam[None], params, env)
+    a = np.asarray(out.sdr[0]).astype(np.int16)
+    b = np.asarray(single.sdr).astype(np.int16)
+    d = np.abs(a - b).max(axis=-1)
+    # same boundary-row tolerance as the base parity test: band-local
+    # plane/mip arithmetic flips isolated pixels, and an SSR ray whose tap
+    # lands on such a pixel inherits the flip
+    assert (d > 1).mean() < 1e-2, f"{(d > 1).sum()} pixels differ"
+    band_h = cfg_s.padded_height // 4
+    interior = np.ones(d.shape[0], bool)
+    for k in range(5):
+        interior[max(0, k * band_h - 1):k * band_h + 1] = False
+    assert (d[interior] <= 1).mean() > 0.999, "interior rows must match"
 
 
 def test_sharded_render_scale(engine):

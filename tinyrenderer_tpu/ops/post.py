@@ -57,7 +57,9 @@ def screen_space_reflections(hdr: jax.Array, depth: jax.Array,
                              thickness: jax.Array, strength: jax.Array,
                              num_steps: int = 256,
                              mask: jax.Array = None,
-                             roughness: jax.Array = None) -> jax.Array:
+                             roughness: jax.Array = None,
+                             tap_hdr: jax.Array = None,
+                             y0: jax.Array = None) -> jax.Array:
     """Texture-space SSR with the reference's 256-step range
     (screen_space_reflection.wgsl:58-121), restructured TPU-first.
 
@@ -77,8 +79,18 @@ def screen_space_reflections(hdr: jax.Array, depth: jax.Array,
 
     Blended by ``strength`` (the reference ships its SSR storing the
     source color, :135 — strength 0 reproduces that).
+
+    Band use (parallel/sharded.py): per-pixel inputs (hdr, position,
+    normal, mask, roughness) may cover only a horizontal band of the
+    frame while the ray TAPS read full-frame buffers — pass the
+    all-gathered frame as ``depth``/``tap_hdr`` and the band's first
+    screen row as ``y0`` (the projection is frame-global already; y0
+    only anchors the self-hit pixel test).
     """
-    H, W = depth.shape
+    H, W = depth.shape                    # tap space: the full frame
+    Bh = position.shape[0]                # per-pixel rows (== H unbanded)
+    tap_hdr = hdr if tap_hdr is None else tap_hdr
+    y0 = jnp.int32(0) if y0 is None else y0
     view = position - camera_pos[None, None, :]
     view = view / jnp.maximum(jnp.linalg.norm(view, axis=-1, keepdims=True), 1e-9)
     refl = view - 2.0 * jnp.sum(view * normal, axis=-1, keepdims=True) * normal
@@ -96,8 +108,8 @@ def screen_space_reflections(hdr: jax.Array, depth: jax.Array,
     def coarse_body(i, carry):
         t_hit, hit_found = carry
         t = step_len * 4.0 * (i + 1.0)
-        u, v, ray_z = _project_ray_points(position, refl, jnp.full((H, W), t, F32),
-                                          view_proj)
+        u, v, ray_z = _project_ray_points(position, refl,
+                                          jnp.full((Bh, W), t, F32), view_proj)
         xi = jnp.clip((u * Wc).astype(jnp.int32), 0, Wc - 1)
         yi = jnp.clip((v * Hc).astype(jnp.int32), 0, Hc - 1)
         scene_z = jnp.take(dmax.reshape(-1), yi * Wc + xi)
@@ -112,7 +124,7 @@ def screen_space_reflections(hdr: jax.Array, depth: jax.Array,
 
     t_hit, coarse_found = jax.lax.fori_loop(
         0, coarse_steps, coarse_body,
-        (jnp.zeros((H, W), F32), jnp.zeros((H, W), bool)))
+        (jnp.zeros((Bh, W), F32), jnp.zeros((Bh, W), bool)))
 
     # bisection refine inside (t_hit - 4*step, t_hit]: 8 full-res taps give
     # step_len/64 precision — finer than the reference's linear step.
@@ -143,15 +155,15 @@ def screen_space_reflections(hdr: jax.Array, depth: jax.Array,
     # self-hit rejection: a glancing ray that converges back onto (or next
     # to) its own pixel is reflecting its own surface — the source of
     # smear streaks along walls
-    px = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
-    py = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    px = jax.lax.broadcasted_iota(jnp.int32, (Bh, W), 1)
+    py = jax.lax.broadcasted_iota(jnp.int32, (Bh, W), 0) + y0
     hit_found = hit_found & ((jnp.abs(xi - px) + jnp.abs(yi - py)) > 2)
 
     if mask is not None:
         # background pixels carry no valid GBuffer position/normal — the
         # reference's SSR likewise only shades lit geometry
         hit_found = hit_found & mask
-    refl_color = jnp.take(hdr.reshape(-1, 3), yi * W + xi, axis=0)
+    refl_color = jnp.take(tap_hdr.reshape(-1, 3), yi * W + xi, axis=0)
     blend = strength * hit_found.astype(F32)[..., None]
     if roughness is not None:
         # only smooth surfaces mirror: scale by (1 - roughness)^2 so the

@@ -16,9 +16,11 @@ translate here, so this layer is designed TPU-first from scratch:
   *flattened* (dp, sp) grid and combined with one tiled ``all_gather`` over
   ICI — the only collective in the steady-state frame.
 
-SSR is intentionally absent from the sharded path: its screen-space ray
-march crosses band boundaries, and the reference ships it as an effective
-pass-through anyway (src/shaders/screen_space_reflection.wgsl:135).
+SSR crosses band boundaries (the ray march taps arbitrary screen rows), so
+the sharded band all_gathers the frame's depth + pre-SSR HDR over ``sp``
+as tap buffers — two more tiled ICI collectives, only when cfg.enable_ssr
+(the reference ships SSR as an effective pass-through,
+src/shaders/screen_space_reflection.wgsl:135).
 """
 
 from __future__ import annotations
@@ -246,6 +248,22 @@ def _render_band(scene: SceneGPU, pool, lights: LightsGPU, atlas,
         hdr = hdr * (1.0 - f_alpha[..., None]) + f_color * f_alpha[..., None]
         pick = jnp.where(f_valid & (f_alpha > 0.5), f_oid, pick)
 
+    if cfg.enable_ssr:
+        # The SSR march taps arbitrary screen rows, which crosses band
+        # boundaries: all_gather the frame's depth + HDR over ``sp`` (one
+        # tiled ICI collective each) as the TAP buffers while the per-pixel
+        # inputs stay band-local — post.screen_space_reflections' band mode.
+        # Gathered rows beyond the projection grid (band-divisibility
+        # padding) are cropped so v*rows matches the single-chip tap grid.
+        full_depth = jax.lax.all_gather(depth, "sp", axis=0, tiled=True)[:PH]
+        full_hdr = jax.lax.all_gather(hdr, "sp", axis=0, tiled=True)[:PH]
+        hdr = post.screen_space_reflections(
+            hdr, full_depth, g.position, g.normal, cam["view_proj"],
+            cam["position"], params[framelib.PARAM_SSR_THICKNESS],
+            params[framelib.PARAM_SSR_STRENGTH], mask=g.mask,
+            roughness=g.rough_metal_ao[..., 0], tap_hdr=full_hdr,
+            y0=y0.astype(I32))
+
     sdr = post.tone_map(hdr, params[framelib.PARAM_TONE_TYPE],
                         params[framelib.PARAM_EXPOSURE])
     return sdr, pick, depth, hdr, bin_overflow, \
@@ -325,15 +343,6 @@ def render_frame_sharded(scene: SceneGPU, pool, lights: LightsGPU,
     B = camera_raw_batch.shape[0]
     if B % dp != 0:
         raise ValueError(f"camera batch {B} not divisible by dp={dp}")
-    if cfg.enable_ssr:
-        # documented config error (module docstring): the SSR ray march
-        # reads arbitrary screen rows, which crosses band boundaries; a
-        # correct implementation needs a band-halo exchange that the
-        # reference's pass-through SSR does not justify.
-        raise ValueError(
-            "enable_ssr is not supported by the sharded frame: the "
-            "screen-space ray march crosses band boundaries "
-            "(see parallel/sharded.py docstring)")
     if cfg.render_scale_pct != 100:
         # Reduced internal resolution, same contract as render_frame: the
         # bands render at pct/100 scale, HDR upsamples bilinearly (pick/
