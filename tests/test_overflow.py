@@ -101,6 +101,26 @@ def test_repack_rebuilds_pool_on_config_change():
     assert eng._packer.pool.levels == 4
 
 
+def test_first_frame_settles_synchronously():
+    """A fresh Engine's very first frame must already be correct: render()
+    force-fetches the occupancy monitors and re-renders until nothing
+    grows. Previously the async monitors needed ~8-30 frames to settle,
+    so a one-shot render (the headless CLI at 1080p) shipped black
+    compacted blocks wherever the guessed tex_block_capacity fell short."""
+    from dataclasses import replace
+
+    cfg = replace(SMALL_BINS, bin_capacity=256, tex_block_capacity=2)
+    eng = Engine.from_world(demo.build_demo_world(n_cubes=9,
+                                                  textured_every=2),
+                            camera=demo.build_demo_camera(128, 64), cfg=cfg)
+    first = np.asarray(eng.run_frame(0.0).sdr)
+    assert eng.cfg.tex_block_capacity > 2  # grew BEFORE the frame returned
+    for _ in range(12):
+        out = eng.run_frame(0.0)
+    # the settled steady state renders exactly the same image
+    assert np.array_equal(first, np.asarray(out.sdr))
+
+
 def test_capacity_shrinks_after_sustained_underuse():
     """A transient big scene must not degrade compacted-pass cost forever:
     after SHRINK_AFTER consecutive frames under 40% occupancy the envelope

@@ -95,6 +95,7 @@ class Engine:
         self.last_frame_ms = 0.0
         self._overflow_inflight: list = []
         self._under_count: dict = {}  # shrink-hysteresis counters
+        self._settled = False  # capacities verified against this scene
         self._atlas = None  # cached shadow atlas (scene/light-dependent)
 
         if level_path is not None:
@@ -102,6 +103,20 @@ class Engine:
 
         # Startup parity with App::new (src/app.rs:106): enqueue the env bake.
         self.add_action(RenderingAction.GENERATE_CUBEMAP)
+
+    @property
+    def cfg(self) -> config.RenderConfig:
+        return self._cfg
+
+    @cfg.setter
+    def cfg(self, value: config.RenderConfig) -> None:
+        # ANY envelope change (resolution, presets, capacity grow/shrink,
+        # light counts) re-arms the synchronous first-frame settle in
+        # render(): guessed capacities must be re-verified before a frame
+        # under the new config is handed out.
+        if getattr(self, "_cfg", None) != value:
+            self._settled = False
+        self._cfg = value
 
     @classmethod
     def from_world(cls, world: World, camera: Optional[Camera] = None,
@@ -300,6 +315,26 @@ class Engine:
         self._needs_pack = False
 
     def render(self) -> framelib.FrameOutput:
+        """One frame, correct by construction.
+
+        The first frame after a scene/config change renders with *guessed*
+        compacted-pass capacities; any block beyond a capacity would ship
+        unshaded (black). Steady-state frames poll the occupancy monitors
+        asynchronously (never blocking the loop), but an unsettled frame
+        is fetched **synchronously** and re-rendered until nothing grows —
+        so a fresh Engine's very first frame (the headless CLI, a
+        screenshot) is already right, at the one-time cost of the monitor
+        fetch + the grown-capacity retrace it would have paid a few frames
+        later anyway."""
+        out = self._render_once()
+        for _ in range(4):  # growth converges: capacity >= observed want
+            if self._settled or not self._settle_sync():
+                self._settled = True
+                break
+            out = self._render_once()
+        return out
+
+    def _render_once(self) -> framelib.FrameOutput:
         if self._pack is None or self._needs_pack:
             self._repack()
         self._drain_actions()
@@ -346,7 +381,8 @@ class Engine:
                 jnp.stack([out.bin_overflow, out.big_overflow,
                            out.tex_overflow[0], out.tex_overflow[1],
                            out.shadow_blocks, out.stream_overflow]))
-        self._check_overflow()
+        if self._settled:
+            self._check_overflow()
         return out
 
     # consecutive under-occupancy frames before a capacity shrinks
@@ -399,8 +435,25 @@ class Engine:
                 break
             force = False  # at most one blocking fetch per frame
             self._overflow_inflight.pop(0)
-            vals = np.asarray(head)
-            for kind, v in zip(kinds, vals):
+            if self._apply_monitor_values(kinds, np.asarray(head)):
+                return
+
+    def _settle_sync(self) -> bool:
+        """Force-fetch every queued monitor NOW; True if a capacity grew.
+        Shrink accounting is skipped: a settling frame is not evidence of
+        sustained under-occupancy."""
+        while self._overflow_inflight:
+            kinds, head = self._overflow_inflight.pop(0)
+            if self._apply_monitor_values(kinds, np.asarray(head),
+                                          shrink=False):
+                return True
+        return False
+
+    def _apply_monitor_values(self, kinds, vals, shrink: bool = True) -> bool:
+        """Grow/shrink capacities from one fetched monitor stack.
+        Returns True when the config changed (remaining queued monitors
+        describe the old envelope and were dropped)."""
+        for kind, v in zip(kinds, vals):
                 v = int(v)
                 field, label = self._OVERFLOW_KINDS[kind]
                 cap = getattr(self.cfg, field)
@@ -428,14 +481,14 @@ class Engine:
                     # envelope — drop them and stop for this frame
                     self._overflow_inflight.clear()
                     self._under_count.clear()
-                    return
+                    return True
                 # shrink with hysteresis: a transient big scene must not
                 # degrade compacted-pass cost forever (the compacted gather
                 # count scales with the capacity). After SHRINK_AFTER
                 # consecutive frames under 40% occupancy, re-bucket to the
                 # observed value — never below the config-default floor.
                 floor = self._capacity_floor(field)
-                if cap > floor and v < int(cap * 0.4):
+                if shrink and cap > floor and v < int(cap * 0.4):
                     n = self._under_count.get(kind, 0) + 1
                     if n >= self.SHRINK_AFTER:
                         if kind in ("tex", "fwdtex", "shadowblk"):
@@ -452,11 +505,12 @@ class Engine:
                                 self._atlas = None
                             self._overflow_inflight.clear()
                             self._under_count.clear()
-                            return
+                            return True
                         n = 0
                     self._under_count[kind] = n
-                else:
+                elif shrink:
                     self._under_count[kind] = 0
+        return False
 
     def on_end_frame(self) -> None:
         self.world.on_end_frame()
