@@ -93,6 +93,13 @@ def resolve_gbuffer(tri_id: jax.Array, depth: jax.Array, setup_rows: jax.Array,
                     pool: sampling.TexturePoolGPU) -> GBuffer:
     """Full GBuffer resolve including material evaluation.
 
+    REFERENCE IMPLEMENTATION — not on any frame path. This is the plain
+    per-pixel-gather resolve the production paths (select_rows_onehot /
+    select_eval_pallas / select_eval_stream) are differential-tested
+    against; it stays because it is the readable spec of what they
+    compute. Production avoids its per-pixel table gathers (~5 ms/frame
+    at 1080p, CLAUDE.md gather-cost rules).
+
     mat_tex_slots: (M, 4) int32 [albedo, normal, roughness, metalness].
     mat_flat: (M, 6) f32 [albedo rgb, roughness, metalness, use_textures].
     """
