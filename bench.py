@@ -40,7 +40,11 @@ BASELINE_MS = 16.0
 WARMUP = 2
 ITERS = 15          # frames per scan
 REPS = 4            # timed scan repetitions (percentiles over these)
-RETRIES = 3
+RETRIES = 5
+# tunnel outages last minutes, not seconds: escalate the backoff so a
+# round-end bench survives a transient outage instead of recording a
+# failure 6 seconds into it
+_BACKOFF_S = (2.0, 15.0, 60.0, 180.0, 300.0)
 
 _TRANSIENT = ("ABORTED", "UNAVAILABLE", "DEADLINE", "INTERNAL",
               "RESOURCE_EXHAUSTED", "Socket closed", "Connection reset")
@@ -60,7 +64,7 @@ def _retry(fn, attempts: int = RETRIES, label: str = ""):
             print(f"# transient TPU error on {label or 'op'} "
                   f"(attempt {a + 1}/{attempts}): {msg.splitlines()[0][:120]}",
                   file=sys.stderr)
-            time.sleep(2.0 * (a + 1))
+            time.sleep(_BACKOFF_S[min(a, len(_BACKOFF_S) - 1)])
     raise last
 
 
