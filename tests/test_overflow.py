@@ -37,7 +37,8 @@ def test_shadow_bin_overflow_grows_capacity():
     for _ in range(4):
         eng.run_frame(0.0)
         toast_seen = toast_seen or any(
-            "Shadow bin overflow" in t.message for t in eng.notifier.active())
+            "Shadow bin overflow" in t.message
+            for t in eng.notifier.history())
     assert eng.cfg.shadow_bin_capacity > 8
     assert toast_seen
     # the grown capacity triggers an atlas re-render; settle and verify
@@ -56,7 +57,7 @@ def test_bin_overflow_grows_capacity():
     for _ in range(4):  # async monitor may take a frame to land
         eng.run_frame(0.0)
         toast_seen = toast_seen or any(
-            "overflow" in t.message for t in eng.notifier.active())
+            "overflow" in t.message for t in eng.notifier.history())
     assert eng.cfg.bin_capacity > 8
     assert toast_seen
     # after growth, a settled frame reports no overflow beyond capacity
@@ -119,6 +120,25 @@ def test_first_frame_settles_synchronously():
         out = eng.run_frame(0.0)
     # the settled steady state renders exactly the same image
     assert np.array_equal(first, np.asarray(out.sdr))
+
+
+def test_multi_field_overflow_grows_in_one_config_change():
+    """All values in one monitor stack describe the same envelope, so two
+    overflowed fields must grow in ONE config change (one retrace) — not
+    one per frame, which made a fresh under-capacity scene pay a compile
+    per overflowed field."""
+    import jax.numpy as jnp
+
+    from tinyrenderer_tpu.render.engine import Engine
+
+    eng = Engine(cfg=RenderConfig(tex_block_capacity=2, fwd_tile_capacity=2))
+    configs_seen = {id(eng.cfg)}
+    eng._queue_overflow(("tex", "fwdtex"), jnp.asarray([300, 40], jnp.int32))
+    eng._check_overflow()
+    configs_seen.add(id(eng.cfg))
+    assert eng.cfg.tex_block_capacity >= 300
+    assert eng.cfg.fwd_tile_capacity >= 40
+    assert len(configs_seen) == 2  # exactly one replace() applied both
 
 
 def test_capacity_shrinks_after_sustained_underuse():

@@ -453,6 +453,11 @@ class Engine:
         """Grow/shrink capacities from one fetched monitor stack.
         Returns True when the config changed (remaining queued monitors
         describe the old envelope and were dropped)."""
+        # All values in one stack describe the same envelope, and an
+        # overflow count is a valid lower bound on the needed capacity
+        # regardless of the other fields — grow every overflowed field in
+        # ONE config change (one retrace), not one per frame.
+        grown = {}
         for kind, v in zip(kinds, vals):
                 v = int(v)
                 field, label = self._OVERFLOW_KINDS[kind]
@@ -474,14 +479,10 @@ class Engine:
                     self.notifier.push(
                         f"{label} ({v}); capacity grown to {new_cap}",
                         "warning")
-                    self.cfg = replace(self.cfg, **{field: new_cap})
+                    grown[field] = new_cap
                     if kind in ("shadow", "binsbig"):
                         self._atlas = None  # re-render with grown capacity
-                    # config changed: older monitors describe the old
-                    # envelope — drop them and stop for this frame
-                    self._overflow_inflight.clear()
-                    self._under_count.clear()
-                    return True
+                    continue
                 # shrink with hysteresis: a transient big scene must not
                 # degrade compacted-pass cost forever (the compacted gather
                 # count scales with the capacity). After SHRINK_AFTER
@@ -500,16 +501,21 @@ class Engine:
                         if new_cap < cap:
                             log.info("%s %d << %d; shrinking %s to %d",
                                      label, v, cap, field, new_cap)
-                            self.cfg = replace(self.cfg, **{field: new_cap})
+                            grown[field] = new_cap
                             if kind == "shadow":
                                 self._atlas = None
-                            self._overflow_inflight.clear()
-                            self._under_count.clear()
-                            return True
+                            continue
                         n = 0
                     self._under_count[kind] = n
                 elif shrink:
                     self._under_count[kind] = 0
+        if grown:
+            self.cfg = replace(self.cfg, **grown)
+            # config changed: older queued monitors describe the old
+            # envelope — drop them
+            self._overflow_inflight.clear()
+            self._under_count.clear()
+            return True
         return False
 
     def on_end_frame(self) -> None:

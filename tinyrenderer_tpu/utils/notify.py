@@ -33,3 +33,9 @@ class Notifier:
         now = time.monotonic()
         self._items = [n for n in self._items if not n.expired(now)]
         return list(self._items)
+
+    def history(self) -> List[Notification]:
+        """Every toast not yet pruned by active() — expiry-independent, so
+        assertions about *what was pushed* don't race the 5 s TTL (a slow
+        retrace between push and check expires the toast wall-clock)."""
+        return list(self._items)
