@@ -185,6 +185,22 @@ def test_ssr_blend_active():
     assert not changed[pick == 0].any()
 
 
+def test_bf16_attrs_frame_close(reference_level_path):
+    """cfg.bf16_attrs writes the normal/TBN/flat resolve channels as bf16
+    (≥8 mantissa bits on normalized-downstream or 8-bit-color data): the
+    frame must stay visually identical — a few ±1-LSB shading shifts at
+    most, no structural change."""
+    from dataclasses import replace
+    a = np.asarray(Engine(cfg=TINY, level_path=reference_level_path)
+                   .run_frame(0.0).sdr)
+    out = Engine(cfg=replace(TINY, bf16_attrs=True),
+                 level_path=reference_level_path).run_frame(0.0)
+    b = np.asarray(out.sdr)
+    # pick ids ride the exact f32 output — identical by construction
+    d = np.abs(a.astype(np.int16) - b.astype(np.int16)).max(axis=-1)
+    assert (d > 2).mean() < 0.01, f"{(d > 2).sum()} pixels differ"
+
+
 def test_shadow_bf16_atlas_close(reference_level_path):
     """cfg.shadow_bf16 halves the windowed PCF row; the quantized compare
     must not visibly change the frame (back-face bake bias dominates the

@@ -62,6 +62,41 @@ def test_directional_viewproj_maps_origin_inside():
     assert nearer[2] > farther[2]
 
 
+def test_shadow_multi_matches_per_light_lookups():
+    """shadows.shadow_multi (one gather round for P cubes + D directionals)
+    must reproduce point_shadow_multi + directional_shadow exactly — same
+    taps, same compares, just one batched `take`."""
+    import jax.numpy as jnp
+
+    from tinyrenderer_tpu.ops import shadows as S
+
+    rng = np.random.default_rng(11)
+    Pn, D, size = 2, 2, 32
+    pts = [(rng.uniform(-4, 4, 3).astype(F32), np.ones(3, F32))
+           for _ in range(Pn)]
+    dirs = [(rng.uniform(-1, -0.2, 3).astype(F32), np.ones(3, F32))
+            for _ in range(D)]
+    packed = L.pack_lights(pts, dirs)
+    atlas = S.window_depth_maps(
+        jnp.asarray(rng.uniform(0, 1, (6 * Pn + D, size, size)), jnp.float32))
+    pos = jnp.asarray(rng.uniform(-30, 30, (8, 16, 3)), jnp.float32)
+    vps = jnp.asarray(packed.shadow_viewprojs)
+
+    multi = S.shadow_multi(pos, jnp.asarray(packed.point_position[:Pn]),
+                           vps[:6 * Pn].reshape(Pn, 6, 4, 4),
+                           jnp.asarray(packed.dir_viewproj[:D]), atlas,
+                           bias=1e-4)
+    pm = S.point_shadow_multi(pos, jnp.asarray(packed.point_position[:Pn]),
+                              vps[:6 * Pn].reshape(Pn, 6, 4, 4),
+                              atlas[:6 * Pn], bias=1e-4)
+    np.testing.assert_array_equal(np.asarray(multi[:Pn]), np.asarray(pm))
+    for i in range(D):
+        dv = S.directional_shadow(pos, vps[6 * Pn + i], atlas[6 * Pn + i],
+                                  bias=1e-4)
+        np.testing.assert_array_equal(np.asarray(multi[Pn + i]),
+                                      np.asarray(dv))
+
+
 def test_pack_lights_ordering_contract():
     p1 = (np.array([1, 2, 3], F32), np.ones(3, F32))
     p2 = (np.array([4, 5, 6], F32), np.ones(3, F32))

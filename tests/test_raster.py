@@ -357,6 +357,44 @@ def test_stream_select_eval_matches_dense(rng):
                                    rtol=1e-6, atol=1e-7, err_msg=f)
 
 
+def test_select_eval_bf16_split_outputs(rng):
+    """cfg.bf16_attrs splits the select+eval output: world/uv/record/oid
+    stay f32 (bit-identical to the f32 path — same accumulator, same
+    plane math), normals/TBN/flat ride a bf16 output (within bf16
+    rounding of the f32 path). Covers the dense and stream kernels."""
+    from tinyrenderer_tpu.ops import resolve
+
+    clip, tri = _random_scene(rng)
+    mask = jnp.ones((tri.shape[0],), bool)
+    setup = raster.triangle_setup(clip, tri, mask, 256, 128, "none")
+    th, tw = 8, 128
+    bins = raster.bin_triangles_dense(setup, 256, 128, th, tw, 1024)
+    tri_id, _ = raster.rasterize_binned(bins, th, tw, use_pallas=True)
+    sb = raster.bin_triangles_stream(setup, 256, 128, th, tw,
+                                     stream_capacity=8192)
+    table = jnp.where(setup.valid[:, None],
+                      jnp.asarray(rng.random((tri.shape[0], resolve.ROW_D)),
+                                  jnp.float32), 0.0)
+    pairs = [
+        (resolve.resolve_attrs_pallas(tri_id, bins.ids, table, th, tw,
+                                      counts=bins.counts),
+         resolve.resolve_attrs_pallas(tri_id, bins.ids, table, th, tw,
+                                      counts=bins.counts, bf16=True)),
+        (resolve.resolve_attrs_stream(tri_id, sb, table, th, tw, kmax=256),
+         resolve.resolve_attrs_stream(tri_id, sb, table, th, tw, kmax=256,
+                                      bf16=True)),
+    ]
+    for a, b in pairs:  # same kernel, same accumulation order
+        for f in ("world", "uv", "record", "object_id", "valid"):
+            np.testing.assert_array_equal(np.asarray(getattr(a, f)),
+                                          np.asarray(getattr(b, f)),
+                                          err_msg=f)
+        for f in ("normal", "tangent", "bitangent", "flat"):
+            np.testing.assert_allclose(np.asarray(getattr(a, f)),
+                                       np.asarray(getattr(b, f)),
+                                       atol=2e-2, err_msg=f)
+
+
 def test_stream_truncation_monitors(rng):
     """Overflowing the stream drops the highest-tile pairs and reports the
     wanted total through stream_overflow (engine growth semantics)."""

@@ -146,6 +146,13 @@ class RenderConfig:
     # at 1080p (the fused kernel's (D, P) VMEM carry serializes against its
     # MXU selects), so it is the default; the fused kernel remains available.
     fused_resolve: bool = False
+    # bf16 select+eval output channels: the resolve kernels write the
+    # precision-tolerant channels (geometric normal/tangent/bitangent —
+    # normalized downstream — and the flat material params) as bfloat16,
+    # cutting ~1/3 of the kernel-output + untile HBM traffic. world/uv/
+    # record/object-id stay f32 (uv feeds texel addressing; record/oid are
+    # exact integers). Off by default pending on-chip A/B.
+    bf16_attrs: bool = False
     # Material sampling rate: 1 = per pixel; 2 = sample the composite
     # record on a half-res grid and bilinearly upsample (4x fewer texture
     # gathers, softens texture detail — a speed preset option).

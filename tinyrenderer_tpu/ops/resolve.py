@@ -321,8 +321,47 @@ def resolve_attrs_tiled(tri_id: jax.Array, bin_ids: jax.Array,
     )
 
 
-def _select_eval_kernel(counts_ref, tid_ref, ids_ref, rows_ref, out_ref,
-                        acc_ref, *, tile_h: int, tile_w: int, chunk: int,
+def _write_eval(acc, i, j, out_refs, tile_h: int, tile_w: int) -> None:
+    """Shared finish step of the select+eval kernels: evaluate the
+    numerator/denominator planes of the accumulated (Dp, P) selection at
+    this tile's pixel centers and write the 22 result channels.
+
+    One out ref: all channels f32 (rows [attrs 14 | flat 6 | record | oid],
+    padded to the ref's row count). Two out refs (cfg.bf16_attrs): the
+    f32 ref carries [world3 uv2 record oid] and the bf16 ref carries
+    [normal3 tangent3 bitangent3 flat6] — the channels that tolerate 8
+    mantissa bits (normals are normalized downstream; flat params are
+    8-bit colors) — cutting ~1/3 of the output + untile HBM traffic."""
+    P = tile_h * tile_w
+    ox = (j * tile_w).astype(F32) + 0.5
+    oy = (i * tile_h).astype(F32) + 0.5
+    xs = jax.lax.broadcasted_iota(I32, (1, P), 1).astype(F32)
+    px = jnp.remainder(xs, float(tile_w)) + ox               # (1, P)
+    py = jnp.floor_divide(xs, float(tile_w)) + oy
+
+    denom = acc[0:1] * px + acc[1:2] * py + acc[2:3]         # (1, P)
+    denom = jnp.where(jnp.abs(denom) > 1e-20, denom, 1.0)
+    b = acc[3:_PLANES].reshape(_N_ATTR, 3, P)
+    attrs = (b[:, 0] * px + b[:, 1] * py + b[:, 2]) / denom  # (14, P)
+    consts = acc[CONST_FLAT:ROW_D]                           # (8, P)
+    if len(out_refs) == 2:
+        outf_ref, outh_ref = out_refs
+        nf = outf_ref.shape[-2] - 7
+        outf_ref[0, 0] = jnp.concatenate(
+            [attrs[0:5], consts[6:8], jnp.zeros((nf, P), F32)], axis=0)
+        nh = outh_ref.shape[-2] - 15
+        outh_ref[0, 0] = jnp.concatenate(
+            [attrs[5:14], consts[0:6],
+             jnp.zeros((nh, P), F32)], axis=0).astype(jnp.bfloat16)
+    else:
+        (out_ref,) = out_refs
+        n_pad = out_ref.shape[-2] - (_N_ATTR + (ROW_D - CONST_FLAT))
+        out_ref[0, 0] = jnp.concatenate(
+            [attrs, consts, jnp.zeros((n_pad, P), F32)], axis=0)
+
+
+def _select_eval_kernel(counts_ref, tid_ref, ids_ref, rows_ref, *refs,
+                        tile_h: int, tile_w: int, chunk: int,
                         kblock: int, nk: int):
     """Per-tile one-hot select + plane evaluation, onehot kept in VMEM.
 
@@ -339,6 +378,7 @@ def _select_eval_kernel(counts_ref, tid_ref, ids_ref, rows_ref, out_ref,
     grown bin capacities (8192+ for high-poly scenes) would otherwise
     blow the 16 MB scoped-vmem limit with whole-K operand blocks.
     """
+    *out_refs, acc_ref = refs
     i = pl.program_id(0)
     j = pl.program_id(1)
     k = pl.program_id(2)
@@ -368,31 +408,40 @@ def _select_eval_kernel(counts_ref, tid_ref, ids_ref, rows_ref, out_ref,
 
     @pl.when(k == nk - 1)
     def _finish():
-        acc = acc_ref[...]
-        ox = (j * tile_w).astype(F32) + 0.5
-        oy = (i * tile_h).astype(F32) + 0.5
-        xs = jax.lax.broadcasted_iota(I32, (1, P), 1).astype(F32)
-        px = jnp.remainder(xs, float(tile_w)) + ox           # (1, P)
-        py = jnp.floor_divide(xs, float(tile_w)) + oy
+        _write_eval(acc_ref[...], i, j, out_refs, tile_h, tile_w)
 
-        denom = acc[0:1] * px + acc[1:2] * py + acc[2:3]     # (1, P)
-        denom = jnp.where(jnp.abs(denom) > 1e-20, denom, 1.0)
-        b = acc[3:_PLANES].reshape(_N_ATTR, 3, P)
-        attrs = (b[:, 0] * px + b[:, 1] * py + b[:, 2]) / denom
-        consts = acc[CONST_FLAT:ROW_D]                       # (8, P)
-        n_pad = out_ref.shape[-2] - (_N_ATTR + (ROW_D - CONST_FLAT))
-        out_ref[0, 0] = jnp.concatenate(
-            [attrs, consts, jnp.zeros((n_pad, P), F32)], axis=0)
+
+def _split_out_shapes(ty: int, tx: int, P: int):
+    """(out_shape, out_specs) for the bf16_attrs split-output layout:
+    8 f32 rows [world3 uv2 record oid pad] + 16 bf16 rows
+    [normal3 tangent3 bitangent3 flat6 pad]."""
+    def spec(c):
+        return pl.BlockSpec((1, 1, c, P), lambda *g: (g[0], g[1], 0, 0),
+                            memory_space=pltpu.VMEM)
+    shapes = (jax.ShapeDtypeStruct((ty, tx, 8, P), F32),
+              jax.ShapeDtypeStruct((ty, tx, 16, P), jnp.bfloat16))
+    return shapes, (spec(8), spec(16))
+
+
+def _untile(out_tiles: jax.Array, ty: int, tx: int, tile_h: int,
+            tile_w: int, keep: int) -> jax.Array:
+    c = out_tiles.shape[-2]
+    out = out_tiles.reshape(ty, tx, c, tile_h, tile_w)
+    out = out.transpose(0, 3, 1, 4, 2).reshape(ty * tile_h, tx * tile_w, c)
+    return out[..., :keep]
 
 
 def select_eval_pallas(tri_id: jax.Array, bin_ids: jax.Array,
                        table: jax.Array, tile_h: int, tile_w: int,
                        chunk: int = 128,
-                       counts: jax.Array | None = None) -> jax.Array:
+                       counts: jax.Array | None = None,
+                       bf16: bool = False):
     """(H, W) winner ids + (ty, tx, K) bins + (T, ROW_D) table ->
     (H, W, 22) evaluated channels [attrs 14 | flat 6 | record | oid],
     numerically identical to resolve_attrs_tiled's pre-normalize output
-    (one-hot selection copies rows exactly at any matmul precision)."""
+    (one-hot selection copies rows exactly at any matmul precision).
+    With ``bf16`` returns ((H, W, 7) f32 [world3 uv2 record oid],
+    (H, W, 9+6) bf16 [normal/tangent/bitangent 9 | flat 6])."""
     H, W = tri_id.shape
     ty, tx, K = bin_ids.shape
     T, D = table.shape
@@ -417,6 +466,15 @@ def select_eval_pallas(tri_id: jax.Array, bin_ids: jax.Array,
     kernel = functools.partial(_select_eval_kernel, tile_h=tile_h,
                                tile_w=tile_w, chunk=min(chunk, kblock),
                                kblock=kblock, nk=nk)
+    if bf16:
+        out_shape, out_specs = _split_out_shapes(ty, tx, P)
+        out_bytes = ty * tx * P * (8 * 4 + 16 * 2)
+    else:
+        out_shape = jax.ShapeDtypeStruct((ty, tx, C_OUT, P), F32)
+        out_specs = pl.BlockSpec((1, 1, C_OUT, P),
+                                 lambda i, j, k: (i, j, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        out_bytes = ty * tx * C_OUT * P * 4
     interpret = jax.default_backend() != "tpu"
     out_tiles = pl.pallas_call(
         kernel,
@@ -432,31 +490,50 @@ def select_eval_pallas(tri_id: jax.Array, bin_ids: jax.Array,
             pl.BlockSpec((1, 1, kblock, Dp), lambda i, j, k: (i, j, k, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, C_OUT, P),
-                               lambda i, j, k: (i, j, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((ty, tx, C_OUT, P), F32),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((Dp, P), F32)],
         cost_estimate=pl.CostEstimate(
             flops=int(K * P * (2 * Dp + 8)) * ty * tx,
-            bytes_accessed=rows_tile.size * 4 + tri_id.size * 4
-            + ty * tx * C_OUT * P * 4,
+            bytes_accessed=rows_tile.size * 4 + tri_id.size * 4 + out_bytes,
             transcendentals=0),
     )(counts, tid_tiles, idsf, rows_tile)
 
-    out = out_tiles.reshape(ty, tx, C_OUT, tile_h, tile_w)
-    out = out.transpose(0, 3, 1, 4, 2).reshape(ty * tile_h, tx * tile_w,
-                                               C_OUT)
-    return out[..., :22]
+    if bf16:
+        outf, outh = out_tiles
+        return (_untile(outf, ty, tx, tile_h, tile_w, 7),
+                _untile(outh, ty, tx, tile_h, tile_w, 15))
+    return _untile(out_tiles, ty, tx, tile_h, tile_w, 22)
+
+
+def _attrs_from_split(tri_id: jax.Array, outf: jax.Array,
+                      outh: jax.Array) -> ResolvedAttrs:
+    """Assemble ResolvedAttrs from the bf16_attrs split kernel outputs."""
+    valid = tri_id >= 0
+    h = outh.astype(F32)
+    return ResolvedAttrs(
+        world=outf[..., 0:3],
+        uv=outf[..., 3:5],
+        normal=_safe_normalize(h[..., 0:3]),
+        tangent=_safe_normalize(h[..., 3:6]),
+        bitangent=_safe_normalize(h[..., 6:9]),
+        flat=h[..., 9:15],
+        record=jnp.round(outf[..., 5]).astype(I32),
+        object_id=jnp.where(valid, jnp.round(outf[..., 6]).astype(I32), 0),
+        valid=valid,
+    )
 
 
 def resolve_attrs_pallas(tri_id: jax.Array, bin_ids: jax.Array,
                          table: jax.Array, tile_h: int, tile_w: int,
-                         counts: jax.Array | None = None) -> ResolvedAttrs:
+                         counts: jax.Array | None = None,
+                         bf16: bool = False) -> ResolvedAttrs:
     """ResolvedAttrs via the VMEM select+eval kernel (TPU fast path;
-    bit-compatible with resolve_attrs_tiled)."""
+    bit-compatible with resolve_attrs_tiled when not ``bf16``)."""
     out = select_eval_pallas(tri_id, bin_ids, table, tile_h, tile_w,
-                             counts=counts)
+                             counts=counts, bf16=bf16)
+    if bf16:
+        return _attrs_from_split(tri_id, *out)
     valid = tri_id >= 0
     return ResolvedAttrs(
         world=out[..., 0:3],
@@ -472,7 +549,7 @@ def resolve_attrs_pallas(tri_id: jax.Array, bin_ids: jax.Array,
 
 
 def _select_eval_stream_kernel(starts_ref, tid_ref, ids_ref, rows_ref,
-                               out_ref, acc_ref, *, tile_h: int, tile_w: int,
+                               *refs, tile_h: int, tile_w: int,
                                chunk: int, kb: int, nb: int, nblocks: int,
                                tiles_x: int):
     """CSR-stream variant of _select_eval_kernel: the tile's bin is the
@@ -482,6 +559,7 @@ def _select_eval_stream_kernel(starts_ref, tid_ref, ids_ref, rows_ref,
     DMA track actual pair counts, not tiles * capacity."""
     from . import raster
 
+    *out_refs, acc_ref = refs
     i = pl.program_id(0)
     j = pl.program_id(1)
     b = pl.program_id(2)
@@ -524,26 +602,12 @@ def _select_eval_stream_kernel(starts_ref, tid_ref, ids_ref, rows_ref,
 
     @pl.when(b == nb - 1)
     def _finish():
-        acc = acc_ref[...]
-        ox = (j * tile_w).astype(F32) + 0.5
-        oy = (i * tile_h).astype(F32) + 0.5
-        xs = jax.lax.broadcasted_iota(I32, (1, P), 1).astype(F32)
-        px = jnp.remainder(xs, float(tile_w)) + ox           # (1, P)
-        py = jnp.floor_divide(xs, float(tile_w)) + oy
-
-        denom = acc[0:1] * px + acc[1:2] * py + acc[2:3]     # (1, P)
-        denom = jnp.where(jnp.abs(denom) > 1e-20, denom, 1.0)
-        bpl = acc[3:_PLANES].reshape(_N_ATTR, 3, P)
-        attrs = (bpl[:, 0] * px + bpl[:, 1] * py + bpl[:, 2]) / denom
-        consts = acc[CONST_FLAT:ROW_D]                       # (8, P)
-        n_pad = out_ref.shape[-2] - (_N_ATTR + (ROW_D - CONST_FLAT))
-        out_ref[0, 0] = jnp.concatenate(
-            [attrs, consts, jnp.zeros((n_pad, P), F32)], axis=0)
+        _write_eval(acc_ref[...], i, j, out_refs, tile_h, tile_w)
 
 
 def select_eval_stream(tri_id: jax.Array, sbins, table: jax.Array,
                        tile_h: int, tile_w: int, kmax: int,
-                       chunk: int = 128) -> jax.Array:
+                       chunk: int = 128, bf16: bool = False):
     """select_eval_pallas over CSR stream bins (raster.StreamBins).
 
     The dense variant gathers + DMAs (tiles, K, Dp) table rows — at a
@@ -577,6 +641,15 @@ def select_eval_stream(tri_id: jax.Array, sbins, table: jax.Array,
         return (raster._stream_block(starts[t], starts[t + 1], b, kb,
                                      nblocks), 0)
 
+    if bf16:
+        out_shape, out_specs = _split_out_shapes(ty, tx, P)
+        out_bytes = ty * tx * P * (8 * 4 + 16 * 2)
+    else:
+        out_shape = jax.ShapeDtypeStruct((ty, tx, C_OUT, P), F32)
+        out_specs = pl.BlockSpec((1, 1, C_OUT, P),
+                                 lambda i, j, b, starts: (i, j, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        out_bytes = ty * tx * C_OUT * P * 4
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(ty, tx, nb),
@@ -587,9 +660,7 @@ def select_eval_stream(tri_id: jax.Array, sbins, table: jax.Array,
             pl.BlockSpec((kb, 1), stream_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((kb, Dp), stream_map, memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, C_OUT, P),
-                               lambda i, j, b, starts: (i, j, 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=out_specs,
         scratch_shapes=[pltpu.VMEM((Dp, P), F32)],
     )
     interpret = jax.default_backend() != "tpu"
@@ -597,26 +668,29 @@ def select_eval_stream(tri_id: jax.Array, sbins, table: jax.Array,
         kernel,
         grid_spec=grid_spec,
         interpret=interpret,
-        out_shape=jax.ShapeDtypeStruct((ty, tx, C_OUT, P), F32),
+        out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
             flops=int(Ls * P * (2 * Dp + 8)),
-            bytes_accessed=rows.size * 4 + tri_id.size * 4
-            + ty * tx * C_OUT * P * 4,
+            bytes_accessed=rows.size * 4 + tri_id.size * 4 + out_bytes,
             transcendentals=0),
     )(sbins.starts, tid_tiles, idsf, rows)
 
-    out = out_tiles.reshape(ty, tx, C_OUT, tile_h, tile_w)
-    out = out.transpose(0, 3, 1, 4, 2).reshape(ty * tile_h, tx * tile_w,
-                                               C_OUT)
-    return out[..., :22]
+    if bf16:
+        outf, outh = out_tiles
+        return (_untile(outf, ty, tx, tile_h, tile_w, 7),
+                _untile(outh, ty, tx, tile_h, tile_w, 15))
+    return _untile(out_tiles, ty, tx, tile_h, tile_w, 22)
 
 
 def resolve_attrs_stream(tri_id: jax.Array, sbins, table: jax.Array,
-                         tile_h: int, tile_w: int, kmax: int
-                         ) -> ResolvedAttrs:
+                         tile_h: int, tile_w: int, kmax: int,
+                         bf16: bool = False) -> ResolvedAttrs:
     """ResolvedAttrs via the CSR-stream select+eval kernel (bit-compatible
     with resolve_attrs_pallas on the same bin contents)."""
-    out = select_eval_stream(tri_id, sbins, table, tile_h, tile_w, kmax)
+    out = select_eval_stream(tri_id, sbins, table, tile_h, tile_w, kmax,
+                             bf16=bf16)
+    if bf16:
+        return _attrs_from_split(tri_id, *out)
     valid = tri_id >= 0
     return ResolvedAttrs(
         world=out[..., 0:3],

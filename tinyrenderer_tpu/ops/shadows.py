@@ -203,20 +203,14 @@ def directional_shadow(world_pos: jax.Array, viewproj: jax.Array,
     return jnp.where(inside, vis, 1.0)
 
 
-def point_shadow_multi(world_pos: jax.Array, light_positions: jax.Array,
-                       viewprojs: jax.Array, atlas: jax.Array,
-                       bias=0.0) -> jax.Array:
-    """All point lights' cube shadow lookups in ONE gather round.
+def _point_taps(world_pos: jax.Array, light_positions: jax.Array,
+                viewprojs: jax.Array, S: int):
+    """Cube-face tap coordinates for all P point lights at once.
 
-    world_pos: (..., 3); light_positions: (P, 3); viewprojs: (P, 6, 4, 4);
-    atlas: (P*6, S, S, 4) windowed (the first 6P views of the engine's
-    atlas). Returns (P, ...) visibility. Batching all lights into a single
-    `take` (instead of P sequential lookup passes) is the multi-light lever
-    for BASELINE config 2: the projections run as one einsum and the PCF
-    rows gather with per-pixel (light, face) offsets in one call.
-    """
+    Returns ((P, ...) u, v, z, flat window base, outside-mask pass-lit
+    condition) — the pure-ALU half of the point lookup, shared by
+    point_shadow_multi and shadow_multi."""
     Pn = light_positions.shape[0]
-    S = atlas.shape[-2]
     d = world_pos[None, ...] - light_positions[
         (slice(None),) + (None,) * (world_pos.ndim - 1) + (slice(None),)]
     ax = jnp.abs(d)
@@ -247,8 +241,60 @@ def point_shadow_multi(world_pos: jax.Array, light_positions: jax.Array,
     light_idx = jnp.arange(Pn, dtype=I32)[
         (slice(None),) + (None,) * (world_pos.ndim - 1)]
     base = (light_idx * 6 + face) * (S * S)
+    return u, v, z, base, wsel > 0.0
+
+
+def point_shadow_multi(world_pos: jax.Array, light_positions: jax.Array,
+                       viewprojs: jax.Array, atlas: jax.Array,
+                       bias=0.0) -> jax.Array:
+    """All point lights' cube shadow lookups in ONE gather round.
+
+    world_pos: (..., 3); light_positions: (P, 3); viewprojs: (P, 6, 4, 4);
+    atlas: (P*6, S, S, 4) windowed (the first 6P views of the engine's
+    atlas). Returns (P, ...) visibility. Batching all lights into a single
+    `take` (instead of P sequential lookup passes) is the multi-light lever
+    for BASELINE config 2: the projections run as one einsum and the PCF
+    rows gather with per-pixel (light, face) offsets in one call.
+    """
+    S = atlas.shape[-2]
+    u, v, z, base, inside = _point_taps(world_pos, light_positions,
+                                        viewprojs, S)
     vis = _compare_pcf(atlas, u, v, z, base=base, bias=bias)
-    return jnp.where(wsel > 0.0, vis, 1.0)
+    return jnp.where(inside, vis, 1.0)
+
+
+def shadow_multi(world_pos: jax.Array, light_positions: jax.Array,
+                 point_viewprojs: jax.Array, dir_viewprojs: jax.Array,
+                 atlas: jax.Array, bias=0.0) -> jax.Array:
+    """EVERY light's shadow lookup — P point cubes AND D directionals —
+    in ONE gather round against the full windowed atlas.
+
+    The per-pixel row count is P+D either way (each light owns its tap),
+    but issuing them as one `take` removes the D extra gather dispatches
+    and their fusion boundaries that per-light directional_shadow calls
+    cost (main.wgsl:225-250 is one loop over one texture for the same
+    reason). atlas: (6P+D, S, S, 4) in engine view order (points first).
+    Returns (P+D, ...) visibility, point lights first.
+    """
+    S = atlas.shape[-2]
+    Pn = light_positions.shape[0] if point_viewprojs is not None else 0
+    us, vs, zs, bases, insides = [], [], [], [], []
+    if Pn:
+        u, v, z, base, inside = _point_taps(world_pos, light_positions,
+                                            point_viewprojs, S)
+        us.append(u); vs.append(v); zs.append(z)
+        bases.append(base); insides.append(inside)
+    D = dir_viewprojs.shape[0] if dir_viewprojs is not None else 0
+    for i in range(D):
+        u, v, z, w = _project(world_pos, dir_viewprojs[i])
+        inside = (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (v <= 1.0) & (w > 0.0)
+        us.append(u[None]); vs.append(v[None]); zs.append(z[None])
+        bases.append(jnp.full(u.shape, (6 * Pn + i) * S * S, I32)[None])
+        insides.append(inside[None])
+    vis = _compare_pcf(atlas, jnp.concatenate(us), jnp.concatenate(vs),
+                       jnp.concatenate(zs), base=jnp.concatenate(bases),
+                       bias=bias)
+    return jnp.where(jnp.concatenate(insides), vis, 1.0)
 
 
 def point_shadow(world_pos: jax.Array, light_pos: jax.Array,

@@ -174,18 +174,14 @@ def _render_band(scene: SceneGPU, pool, lights: LightsGPU, atlas,
         sbias = params[framelib.PARAM_SHADOW_BIAS]
 
         def vis_all(p):
-            outs = []
-            if Pn > 0:
-                pm = shadows.point_shadow_multi(
-                    p, lights.point_position[:Pn],
-                    lights.shadow_viewprojs[:6 * Pn].reshape(Pn, 6, 4, 4),
-                    atlas[:6 * Pn], bias=sbias)
-                outs.append(jnp.moveaxis(pm, 0, -1))
-            for i in range(D):
-                outs.append(shadows.directional_shadow(
-                    p, lights.dir_viewproj[i], atlas[6 * Pn + i],
-                    bias=sbias)[..., None])
-            return jnp.concatenate(outs, axis=-1)
+            # one gather round for ALL lights (P cubes + D directionals)
+            vm = shadows.shadow_multi(
+                p, lights.point_position[:Pn],
+                lights.shadow_viewprojs[:6 * Pn].reshape(Pn, 6, 4, 4)
+                if Pn > 0 else None,
+                lights.dir_viewproj[:D] if D > 0 else None,
+                atlas, bias=sbias)
+            return jnp.moveaxis(vm, 0, -1)
 
         def vis_one(i, p):
             if i < Pn:

@@ -139,7 +139,8 @@ def _raster_resolve(clip, tri_vidx, tri_mask, tri_instance, vattrs, scene,
         tri_id, depth = raster.rasterize_stream(
             sbins, ty, tx, cfg.tile_h, cfg.tile_w, kmax=cfg.bin_capacity)
         r = resolve.resolve_attrs_stream(tri_id, sbins, table, cfg.tile_h,
-                                         cfg.tile_w, kmax=cfg.bin_capacity)
+                                         cfg.tile_w, kmax=cfg.bin_capacity,
+                                         bf16=cfg.bf16_attrs)
         return tri_id, depth, r, sbins
     bins = raster.bin_triangles(setup, PW, PH, cfg.tile_h, cfg.tile_w,
                                 cfg.bin_capacity, cfg.bin_big_capacity)
@@ -161,7 +162,8 @@ def _raster_resolve(clip, tri_vidx, tri_mask, tri_instance, vattrs, scene,
             # the 22 evaluated channels
             r = resolve.resolve_attrs_pallas(tri_id, bins.ids, table,
                                              cfg.tile_h, cfg.tile_w,
-                                             counts=bins.counts)
+                                             counts=bins.counts,
+                                             bf16=cfg.bf16_attrs)
         else:
             # tiled-domain select + plane eval (untiles only the evaluated
             # ~22 channels instead of the 53-channel sel tensor)
@@ -340,18 +342,14 @@ def render_frame(scene: SceneGPU, pool: sampling.TexturePoolGPU,
         sbias = params[PARAM_SHADOW_BIAS]
 
         def vis_all(p):
-            outs = []
-            if P > 0:
-                pm = shadows.point_shadow_multi(
-                    p, lights.point_position[:P],
-                    lights.shadow_viewprojs[:6 * P].reshape(P, 6, 4, 4),
-                    atlas[:6 * P], bias=sbias)
-                outs.append(jnp.moveaxis(pm, 0, -1))
-            for i in range(D):
-                outs.append(shadows.directional_shadow(
-                    p, lights.dir_viewproj[i], atlas[6 * P + i],
-                    bias=sbias)[..., None])
-            return jnp.concatenate(outs, axis=-1)
+            # one gather round for ALL lights (P cubes + D directionals)
+            vm = shadows.shadow_multi(
+                p, lights.point_position[:P],
+                lights.shadow_viewprojs[:6 * P].reshape(P, 6, 4, 4)
+                if P > 0 else None,
+                lights.dir_viewproj[:D] if D > 0 else None,
+                atlas, bias=sbias)
+            return jnp.moveaxis(vm, 0, -1)
 
         def vis_one(i, p):
             if i < P:

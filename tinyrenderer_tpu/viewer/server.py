@@ -218,7 +218,8 @@ class ViewerServer:
                            "tex_block_capacity", "fwd_tile_capacity",
                            "shadow_size", "forward_only",
                            "render_scale_pct", "windowed_pool",
-                           "morton_pool", "shadow_bf16"}
+                           "morton_pool", "shadow_bf16", "bf16_attrs",
+                           "stream_raster"}
                 values = payload.get("values", {})
                 changes = {k: v for k, v in values.items() if k in TUNABLE}
                 rejected = set(values) - set(changes) - {"width", "height"}

@@ -84,6 +84,7 @@ def main() -> None:
             "stream": base,                    # stream_raster=True default
             "dense": replace(base, stream_raster=False),
             "stream-fused": replace(base, fused_resolve=True),  # dense fused
+            "bf16-attrs": replace(base, bf16_attrs=True),
         },
         "passes": {
             "full": base,
