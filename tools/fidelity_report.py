@@ -49,6 +49,7 @@ def main() -> None:
         "reference_parity": base.reference_parity(),
         "default": base,
         "default_75pct": replace(base, render_scale_pct=75),
+        "default_bf16_attrs": replace(base, bf16_attrs=True),
         "performance_preset": base.performance_preset(),
         "preset_75pct": replace(base.performance_preset(),
                                 render_scale_pct=75),
