@@ -144,6 +144,29 @@ def test_sharded_fused_resolve_matches(engine):
     assert (d > 1).mean() < 5e-3, f"{(d > 1).sum()} pixels differ"
 
 
+def test_sharded_stream_bf16_matches(engine):
+    """Round-3 knobs in the sharded path (keep-in-sync invariant):
+    cfg.stream_raster (CSR stream raster + select) and cfg.bf16_attrs
+    (split-precision resolve outputs) must reproduce the default sharded
+    frame — picks exactly (they ride the f32 output), pixels within the
+    bf16 shading tolerance."""
+    from dataclasses import replace
+    scene, pool, lights, cam, params, env = _args(engine)
+    mesh = parallel.make_mesh(4, dp=1)
+    cfg_s = parallel.sharded_config(engine.cfg, mesh.shape["sp"])
+    cfg_b = replace(cfg_s, use_pallas=True, stream_raster=True,
+                    bf16_attrs=True)
+
+    a = parallel.compiled_sharded_frame(cfg_s, mesh)(
+        scene, pool, lights, cam[None], params, env)
+    b = parallel.compiled_sharded_frame(cfg_b, mesh)(
+        scene, pool, lights, cam[None], params, env)
+    np.testing.assert_array_equal(np.asarray(a.pick_id), np.asarray(b.pick_id))
+    d = np.abs(np.asarray(a.sdr).astype(np.int16)
+               - np.asarray(b.sdr).astype(np.int16)).max(axis=-1)
+    assert (d > 2).mean() < 0.01, f"{(d > 2).sum()} pixels differ"
+
+
 def test_sharded_512(engine):
     """Sharding at a realistic resolution (VERDICT r1: tiny dryrun shapes
     validate nothing) — 512x512, preset config, 8-band decomposition."""

@@ -712,7 +712,8 @@ def resolve_attrs_onehot(tri_id: jax.Array, setup, bin_ids: jax.Array,
                          mat_flat: jax.Array,
                          tile_h: int, tile_w: int,
                          use_pallas: bool = False,
-                         counts: jax.Array | None = None) -> ResolvedAttrs:
+                         counts: jax.Array | None = None,
+                         bf16: bool = False) -> ResolvedAttrs:
     """Gather-free per-pixel attribute resolve (two-pass variant: the fused
     Pallas path selects rows inside the raster kernel instead)."""
     table = build_gbuffer_table(setup, tri_vidx, attrs, tri_instance,
@@ -720,7 +721,7 @@ def resolve_attrs_onehot(tri_id: jax.Array, setup, bin_ids: jax.Array,
                                 mat_record, mat_flat)
     if use_pallas:
         return resolve_attrs_pallas(tri_id, bin_ids, table, tile_h, tile_w,
-                                    counts=counts)
+                                    counts=counts, bf16=bf16)
     return resolve_attrs_tiled(tri_id, bin_ids, table, tile_h, tile_w)
 
 
@@ -891,13 +892,14 @@ def resolve_gbuffer_onehot(tri_id: jax.Array, depth: jax.Array, setup,
                            texture_scale: int = 1,
                            tex_block_capacity: int = 0,
                            use_pallas: bool = False,
-                           counts: jax.Array | None = None
+                           counts: jax.Array | None = None,
+                           bf16: bool = False
                            ) -> tuple[GBuffer, jax.Array]:
     """Two-pass gather-free GBuffer resolve (select pass + epilogue)."""
     r = resolve_attrs_onehot(tri_id, setup, bin_ids, tri_vidx, tri_instance,
                              attrs, inst_object_id, inst_material,
                              mat_record, mat_flat, tile_h, tile_w,
-                             use_pallas=use_pallas, counts=counts)
+                             use_pallas=use_pallas, counts=counts, bf16=bf16)
     return resolve_gbuffer_from_attrs(r, tri_id, depth, pool,
                                       texture_filter, texture_scale,
                                       tex_block_capacity)

@@ -143,7 +143,8 @@ def _render_band(scene: SceneGPU, pool, lights: LightsGPU, atlas,
             scene.inst_object_id, scene.inst_material, scene.mat_record,
             scene.mat_flat)
         r = resolve.resolve_attrs_stream(tri_id, bins, table, cfg.tile_h,
-                                         cfg.tile_w, kmax=cfg.bin_capacity)
+                                         cfg.tile_w, kmax=cfg.bin_capacity,
+                                         bf16=cfg.bf16_attrs)
         g, tex_needed = resolve.resolve_gbuffer_from_attrs(
             r, tri_id, depth, pool,
             texture_filter=cfg.texture_filter,
@@ -160,7 +161,8 @@ def _render_band(scene: SceneGPU, pool, lights: LightsGPU, atlas,
             texture_filter=cfg.texture_filter,
             texture_scale=cfg.texture_scale,
             tex_block_capacity=cfg.tex_block_capacity,
-            use_pallas=cfg.use_pallas, counts=bins.counts)
+            use_pallas=cfg.use_pallas, counts=bins.counts,
+            bf16=cfg.bf16_attrs)
     bin_overflow = bins.overflow
     big_overflow = bins.big_overflow
     stream_overflow = getattr(bins, "stream_overflow", jnp.int32(0))
