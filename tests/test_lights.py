@@ -97,6 +97,46 @@ def test_shadow_multi_matches_per_light_lookups():
                                       np.asarray(dv))
 
 
+def test_vis_slot_matches_per_light_reference():
+    """make_vis_slot (the batched gate-refinement callback: each compacted
+    block evaluated under its OWN light) must agree exactly with the
+    per-light point_shadow / directional_shadow lookups."""
+    import jax.numpy as jnp
+
+    from tinyrenderer_tpu.ops import shadows as S
+
+    rng = np.random.default_rng(3)
+    Pn, D, size, K = 2, 2, 32, 12
+    pts = [(rng.uniform(-4, 4, 3).astype(F32), np.ones(3, F32))
+           for _ in range(Pn)]
+    dirs = [(rng.uniform(-1, -0.2, 3).astype(F32), np.ones(3, F32))
+            for _ in range(D)]
+    packed = L.pack_lights(pts, dirs)
+    atlas = S.window_depth_maps(
+        jnp.asarray(rng.uniform(0, 1, (6 * Pn + D, size, size)), jnp.float32))
+    vps = jnp.asarray(packed.shadow_viewprojs)
+    pos_c = jnp.asarray(rng.uniform(-30, 30, (K, 8, 16, 3)), jnp.float32)
+    li_c = jnp.asarray(rng.integers(0, Pn + D, K), jnp.int32)
+
+    vis_slot = S.make_vis_slot(jnp.asarray(packed.point_position[:Pn]),
+                               vps[:6 * Pn].reshape(Pn, 6, 4, 4),
+                               jnp.asarray(packed.dir_viewproj[:D]), atlas,
+                               bias=1e-4)
+    got = np.asarray(vis_slot(pos_c, li_c))
+    for k in range(K):
+        li = int(li_c[k])
+        if li < Pn:
+            want = S.point_shadow(pos_c[k],
+                                  jnp.asarray(packed.point_position[li]),
+                                  vps[6 * li:6 * li + 6],
+                                  atlas[6 * li:6 * li + 6], bias=1e-4)
+        else:
+            want = S.directional_shadow(pos_c[k], vps[6 * Pn + li - Pn],
+                                        atlas[6 * Pn + li - Pn], bias=1e-4)
+        np.testing.assert_array_equal(got[k], np.asarray(want),
+                                      err_msg=f"slot {k} light {li}")
+
+
 def test_pack_lights_ordering_contract():
     p1 = (np.array([1, 2, 3], F32), np.ones(3, F32))
     p2 = (np.array([4, 5, 6], F32), np.ones(3, F32))

@@ -120,8 +120,9 @@ class RenderConfig:
     # quarter res (the env map through a smooth unprojection). 1 = full rate.
     shadow_lookup_scale: int = 4
     sky_scale: int = 4
-    # Boundary-block work list for the shadow gate refinement (8x16 screen
-    # blocks on shadow edges; union over lights). Monitored + grown like
+    # Work list for the shadow gate refinement: (light, 8x16-screen-block)
+    # pairs on shadow edges — one batched pass shared by ALL lights, each
+    # slot tagged with its light. Monitored + grown like
     # tex_block_capacity; 0 = refine every block (dense).
     shadow_block_capacity: int = 1536
     # Sample the sky from the windowed-RGBE u8 display cube (ONE gather per

@@ -114,7 +114,7 @@ def _compare_pcf(shadow_map: jax.Array, u: jax.Array, v: jax.Array,
             + (lit[..., 2] * (1 - fx) + lit[..., 3] * fx) * fy)
 
 
-def gate_refined_visibility(vis_fn, vis_fn_one, pos: jax.Array, scale: int,
+def gate_refined_visibility(vis_fn, vis_slot, pos: jax.Array, scale: int,
                             block_capacity: int
                             ) -> tuple[jax.Array, jax.Array]:
     """Binary shadow gate at full resolution from a strided coarse pass +
@@ -131,14 +131,20 @@ def gate_refined_visibility(vis_fn, vis_fn_one, pos: jax.Array, scale: int,
     coarse pass's gather cost — TPU gathers pay per issued row, and shadow
     taps were the #1 item of the 1080p frame ledger (~14.5 ms of 35).
 
+    The refinement runs as ONE batched pass over (light, block) work items:
+    every selected block carries its light index, so L lights share a
+    single ``block_capacity``-slot work list (one gather round) instead of
+    paying the static capacity L times — compaction cost is set by the
+    capacity, not the observed block count, so per-light plans made each
+    extra light cost a full refinement pass.
+
     vis_fn: world positions (..., 3) -> per-light visibility (..., L) in
     [0, 1] (channel-last so every light shares one coarse pass).
-    vis_fn_one(i, p): single light i's visibility (...) — the refinement
-    re-evaluates each light only on ITS OWN boundary blocks (per-light
-    plans; boundaries of different lights rarely coincide, so a union plan
-    would pay L taps on every block).
-    pos: (H, W, 3). Returns ((H, W, L) f32 0/1 gates, () i32 max
-    needed-block count across lights, monitoring cfg.shadow_block_capacity).
+    vis_slot(pos_c, li_c): exact visibility of compacted blocks pos_c
+    (K, bh, bw, 3) under each block's OWN light li_c (K,) int32 (points
+    first) — see :func:`make_vis_slot`.
+    pos: (H, W, 3). Returns ((H, W, L) f32 0/1 gates, () i32 total
+    (light, block) work items wanted, monitoring cfg.shadow_block_capacity).
     """
     from . import compact
 
@@ -171,26 +177,100 @@ def gate_refined_visibility(vis_fn, vis_fn_one, pos: jax.Array, scale: int,
     if H % bh or W % bw:
         return (vis_fn(pos) > 0.0).astype(F32), jnp.int32(0)
     n_blocks = (H // bh) * (W // bw)
-    cap = block_capacity if 0 < block_capacity < n_blocks else n_blocks
-    pos_blocks = compact.to_blocks(pos, bh, bw)
+    n_flat = L * n_blocks
+    cap = block_capacity if 0 < block_capacity < n_flat else n_flat
+    pos_blocks = compact.to_blocks(pos, bh, bw)     # (n_blocks, bh, bw, 3)
     hi_edge = up(edge)                              # (H, W, L) bool
     edge_blocks = jnp.any(compact.to_blocks(hi_edge, bh, bw), axis=(1, 2))
 
-    out = coarse_up
-    needed = jnp.int32(0)
+    # one light-major work list over (light, block) pairs
+    plan = compact.plan_blocks(edge_blocks.T.reshape(n_flat), cap)
+    flat = jnp.clip(plan.slots, 0, n_flat - 1)
+    bidx = flat % n_blocks
+    li_c = flat // n_blocks                         # (K,) light per slot
+    pos_c = jnp.where((plan.slots >= 0)[:, None, None, None],
+                      jnp.take(pos_blocks, bidx, axis=0), 0.0)
+    exact = (vis_slot(pos_c, li_c) > 0.0).astype(F32)    # (K, bh, bw)
+
+    refined = compact.scatter_blocks(exact, plan)   # (n_flat, bh, bw)
+    refined = refined.reshape(L, n_blocks, bh, bw)
+    sel = (plan.inv >= 0).reshape(L, n_blocks)
+    outs = []
     for li in range(L):
-        plan = compact.plan_blocks(edge_blocks[:, li], cap)
-        pos_c = compact.gather_blocks(pos_blocks, plan)
-        exact = (vis_fn_one(li, pos_c) > 0.0).astype(F32)   # (Kb, bh, bw)
-        refined = compact.from_blocks(compact.scatter_blocks(exact, plan),
-                                      H, W)
-        sel = jnp.broadcast_to((plan.inv >= 0)[:, None, None],
-                               (n_blocks, bh, bw))
-        sel_mask = compact.from_blocks(sel, H, W)
-        out = out.at[..., li].set(
-            jnp.where(sel_mask, refined, coarse_up[..., li]))
-        needed = jnp.maximum(needed, plan.needed)
-    return out, needed
+        r = compact.from_blocks(refined[li], H, W)
+        m = compact.from_blocks(jnp.broadcast_to(
+            sel[li][:, None, None], (n_blocks, bh, bw)), H, W)
+        outs.append(jnp.where(m, r, coarse_up[..., li]))
+    return jnp.stack(outs, axis=-1), plan.needed
+
+
+def make_vis_slot(light_positions, point_viewprojs, dir_viewprojs,
+                  atlas: jax.Array, bias=0.0):
+    """Build the per-slot exact-visibility callback for the batched gate
+    refinement: vis_slot(pos_c (K, bh, bw, 3), li_c (K,) int32) ->
+    (K, bh, bw) visibility, where li_c indexes lights point-first (the
+    engine's atlas view order). Each slot projects through ITS light's
+    viewprojs (pure ALU) and all slots share ONE PCF gather round."""
+    S = atlas.shape[-2]
+    Pn = point_viewprojs.shape[0] if point_viewprojs is not None else 0
+    D = dir_viewprojs.shape[0] if dir_viewprojs is not None else 0
+
+    def vis_slot(pos_c: jax.Array, li_c: jax.Array) -> jax.Array:
+        ph = jnp.concatenate([pos_c, jnp.ones_like(pos_c[..., :1])], axis=-1)
+        u = v = z = base = ok = None
+        if Pn:
+            pi = jnp.clip(li_c, 0, Pn - 1)
+            lp = jnp.take(light_positions, pi, axis=0)       # (K, 3)
+            vp6 = jnp.take(point_viewprojs, pi, axis=0)      # (K, 6, 4, 4)
+            d = pos_c - lp[:, None, None, :]
+            ax = jnp.abs(d)
+            is_x = (ax[..., 0] >= ax[..., 1]) & (ax[..., 0] >= ax[..., 2])
+            is_y = (ax[..., 1] > ax[..., 0]) & (ax[..., 1] >= ax[..., 2])
+            face = jnp.where(
+                is_x, jnp.where(d[..., 0] >= 0, 0, 1),
+                jnp.where(is_y, jnp.where(d[..., 1] >= 0, 2, 3),
+                          jnp.where(d[..., 2] >= 0, 4, 5))).astype(I32)
+            c = jnp.einsum("khwj,kfij->kfhwi", ph, vp6,
+                           preferred_element_type=F32)       # (K, 6, h, w, 4)
+            w = c[..., 3]
+            inv_w = 1.0 / jnp.where(jnp.abs(w) > 1e-9, w, 1.0)
+            ndc = c[..., :3] * inv_w[..., None]
+            onehot = jax.nn.one_hot(face, 6, axis=1, dtype=F32)
+            u = jnp.sum((ndc[..., 0] * 0.5 + 0.5) * onehot, axis=1)
+            v = jnp.sum((0.5 - ndc[..., 1] * 0.5) * onehot, axis=1)
+            z = jnp.sum(ndc[..., 2] * onehot, axis=1)
+            base = (pi[:, None, None] * 6 + face) * (S * S)
+            ok = jnp.sum(w * onehot, axis=1) > 0.0
+        if D:
+            di = jnp.clip(li_c - Pn, 0, D - 1)
+            vpd = jnp.take(dir_viewprojs, di, axis=0)        # (K, 4, 4)
+            c = jnp.einsum("khwj,kij->khwi", ph, vpd,
+                           preferred_element_type=F32)
+            w = c[..., 3]
+            inv_w = 1.0 / jnp.where(jnp.abs(w) > 1e-9, w, 1.0)
+            ndc = c[..., :3] * inv_w[..., None]
+            ud = ndc[..., 0] * 0.5 + 0.5
+            vd = 0.5 - ndc[..., 1] * 0.5
+            zd = ndc[..., 2]
+            based = jnp.broadcast_to(
+                ((6 * Pn + di) * (S * S))[:, None, None], ud.shape)
+            # outside the ortho box -> lit (directional_shadow semantics)
+            okd = (ud >= 0.0) & (ud <= 1.0) & (vd >= 0.0) & (vd <= 1.0) \
+                & (w > 0.0)
+            if Pn:
+                is_dir = (li_c >= Pn)[:, None, None]
+                u = jnp.where(is_dir, ud, u)
+                v = jnp.where(is_dir, vd, v)
+                z = jnp.where(is_dir, zd, z)
+                base = jnp.where(is_dir, based, base)
+                # dir outside-box and point behind-face both force lit
+                ok = jnp.where(is_dir, okd, ok)
+            else:
+                u, v, z, base, ok = ud, vd, zd, based, okd
+        vis = _compare_pcf(atlas, u, v, z, base=base, bias=bias)
+        return jnp.where(ok, vis, 1.0)
+
+    return vis_slot
 
 
 def directional_shadow(world_pos: jax.Array, viewproj: jax.Array,

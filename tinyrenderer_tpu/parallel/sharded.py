@@ -185,18 +185,14 @@ def _render_band(scene: SceneGPU, pool, lights: LightsGPU, atlas,
                 atlas, bias=sbias)
             return jnp.moveaxis(vm, 0, -1)
 
-        def vis_one(i, p):
-            if i < Pn:
-                return shadows.point_shadow(
-                    p, lights.point_position[i],
-                    lights.shadow_viewprojs[6 * i:6 * i + 6],
-                    atlas[6 * i:6 * i + 6], bias=sbias)
-            return shadows.directional_shadow(
-                p, lights.dir_viewproj[i - Pn], atlas[6 * Pn + i - Pn],
-                bias=sbias)
+        vis_slot = shadows.make_vis_slot(
+            lights.point_position[:Pn],
+            lights.shadow_viewprojs[:6 * Pn].reshape(Pn, 6, 4, 4)
+            if Pn > 0 else None,
+            lights.dir_viewproj[:D] if D > 0 else None, atlas, bias=sbias)
 
         gates, shadow_blocks = shadows.gate_refined_visibility(
-            vis_all, vis_one, g.position, cfg.shadow_lookup_scale,
+            vis_all, vis_slot, g.position, cfg.shadow_lookup_scale,
             cfg.shadow_block_capacity)
 
         def point_shadow_fn(i, pos):  # noqa: E306

@@ -351,18 +351,14 @@ def render_frame(scene: SceneGPU, pool: sampling.TexturePoolGPU,
                 atlas, bias=sbias)
             return jnp.moveaxis(vm, 0, -1)
 
-        def vis_one(i, p):
-            if i < P:
-                return shadows.point_shadow(
-                    p, lights.point_position[i],
-                    lights.shadow_viewprojs[6 * i:6 * i + 6],
-                    atlas[6 * i:6 * i + 6], bias=sbias)
-            return shadows.directional_shadow(
-                p, lights.dir_viewproj[i - P], atlas[6 * P + i - P],
-                bias=sbias)
+        vis_slot = shadows.make_vis_slot(
+            lights.point_position[:P],
+            lights.shadow_viewprojs[:6 * P].reshape(P, 6, 4, 4)
+            if P > 0 else None,
+            lights.dir_viewproj[:D] if D > 0 else None, atlas, bias=sbias)
 
         gates, shadow_blocks = shadows.gate_refined_visibility(
-            vis_all, vis_one, g.position, cfg.shadow_lookup_scale,
+            vis_all, vis_slot, g.position, cfg.shadow_lookup_scale,
             cfg.shadow_block_capacity)
 
         def point_shadow_fn(i, pos):  # noqa: E306
