@@ -67,11 +67,15 @@ class RenderConfig:
     tile_h: int = 64
     tile_w: int = 128
     bin_capacity: int = 256       # max triangles binned per tile
-    # Big-triangle list for the two-level scatter binning (triangles whose
-    # bbox spans >2x2 tiles are dense-binned from this static list; only
-    # used when the triangle pool exceeds the dense-binning crossover).
-    # Monitored + grown like bin_capacity.
-    bin_big_capacity: int = 512
+    # Big-triangle list for the two-level scatter binning and the CSR
+    # stream binning (triangles whose bbox spans >2x2 tiles are
+    # dense-binned from this static list). Monitored + grown like
+    # bin_capacity. The default is deliberately small: the stream path's
+    # per-frame sort carries n_tiles * bin_big_capacity candidate keys
+    # (94% of test.lvl's sort input at the old 512 default, for 29 actual
+    # big triangles), so oversizing it taxes EVERY frame while growth is
+    # a one-time retrace.
+    bin_big_capacity: int = 64
     # CSR stream raster: per-tile bins are contiguous segments of ONE
     # tile-major sorted (tile, id) stream (raster.StreamBins) instead of
     # the dense capacity-padded (tiles, K) lists — every gather and every

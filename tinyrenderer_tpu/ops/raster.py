@@ -425,7 +425,19 @@ def bin_triangles_stream(setup: TriangleSetup, width: int, height: int,
 
     allk = jnp.concatenate([ekeys, bkeys])
     allv = jnp.concatenate([eids, bvals])
-    st, si = jax.lax.sort((allk, allv), num_keys=2)           # tile-major
+    # fused single-key sort: key = tile * Tp + id reproduces the
+    # (tile, id) lexicographic order with ONE comparator instead of
+    # num_keys=2 (ids are in [0, T) and Tp is a power of two >= T, so
+    # the decode is a shift/mask). Invalid pairs key to the n_tiles
+    # sentinel tile with id 0 — they sort to the end unchanged.
+    Tp = 1 << max(T - 1, 1).bit_length()
+    if (n_tiles + 1) * Tp < 2**31:
+        fused = jnp.where(allk < n_tiles, allk * Tp + allv, n_tiles * Tp)
+        fused = jax.lax.sort(fused)                           # tile-major
+        st = fused // Tp
+        si = fused % Tp
+    else:  # fused key would overflow int32: lexicographic fallback
+        st, si = jax.lax.sort((allk, allv), num_keys=2)
     stream_overflow = jnp.sum((allk < n_tiles).astype(I32))
 
     L = st.shape[0]
