@@ -34,6 +34,10 @@ def main() -> None:
     ap.add_argument("--set", default="all",
                     choices=["all", "filters", "rates", "passes", "layout",
                              "shadow", "r3", "stream"])
+    ap.add_argument("--multilight", action="store_true",
+                    help="add point lights up to 4P+1D (BASELINE config 2) "
+                         "before packing, so variants measure the "
+                         "multi-light shadow ledger")
     args = ap.parse_args()
 
     from dataclasses import replace
@@ -47,6 +51,22 @@ def main() -> None:
 
     eng = Engine(cfg=RenderConfig(width=args.width, height=args.height),
                  level_path="/root/reference/levels/test.lvl")
+    if args.multilight:
+        from tinyrenderer_tpu.scene import components as comp
+        from tinyrenderer_tpu.scene.world import WorldObject
+        n_point = sum(
+            1 for _oid, o in eng.world.world_objects()
+            if any(isinstance(c, comp.LightObjectComponent)
+                   for c in o.components))
+        rng = np.random.default_rng(7)
+        for i in range(max(0, 4 - n_point)):
+            eng.world.add_world_object(WorldObject(
+                components=[comp.LightObjectComponent(
+                    light=comp.PointLight(color=np.array(
+                        [20.0, 18.0, 16.0], np.float32)))],
+                transform=comp.TransformComponent(position=np.array(
+                    [rng.uniform(-8, 8), 5.0 + i, rng.uniform(-8, 8)],
+                    np.float32))))
     eng.update(0.0)
     eng._drain_actions()
     # settle the capacity monitors (force-fetch the async queue) so every
