@@ -312,6 +312,85 @@ unsigned char* tr_encode_png(const unsigned char* img, int64_t h, int64_t w,
   return buf;
 }
 
+// Radiance HDR (RGBE) scanline decode — the native analog of the
+// reference's `radiant` crate load (src/texture.rs:166-192). The Python
+// fallback (assets/hdr.py decode_hdr) runs the adaptive-RLE inner loop
+// per scanline per channel in the interpreter; env maps are the largest
+// assets the engine loads, so this is the loader's hot path. Output is
+// the raw (h, w, 4) RGBE u8 image — the float conversion stays in numpy
+// (vectorized, and shared with the Python decoder so both paths are
+// bit-identical by construction).
+//
+// Returns a malloc'd h*w*4 buffer (caller frees with tr_buf_free) or NULL
+// on malformed/truncated input; *out_w/*out_h carry the dimensions.
+unsigned char* tr_decode_hdr(const unsigned char* data, int64_t len,
+                             int64_t* out_w, int64_t* out_h) {
+  *out_w = *out_h = 0;
+  if (len < 2 || data[0] != '#' || data[1] != '?') return nullptr;
+  // header: lines until an empty line, then the resolution line
+  int64_t pos = 0;
+  while (true) {
+    const unsigned char* nl = (const unsigned char*)memchr(
+        data + pos, '\n', (size_t)(len - pos));
+    if (!nl) return nullptr;
+    int64_t eol = nl - data;
+    if (eol == pos) { pos = eol + 1; break; }  // empty line ends header
+    pos = eol + 1;
+  }
+  const unsigned char* nl = (const unsigned char*)memchr(
+      data + pos, '\n', (size_t)(len - pos));
+  if (!nl) return nullptr;
+  std::string dims((const char*)(data + pos), (size_t)(nl - data - pos));
+  int64_t h = 0, w = 0;
+  if (sscanf(dims.c_str(), "-Y %ld +X %ld", (long*)&h, (long*)&w) != 2 ||
+      h <= 0 || w <= 0 || h * w > (int64_t)1 << 32)
+    return nullptr;  // other orientations unsupported (matches hdr.py)
+  pos = (nl - data) + 1;
+
+  unsigned char* rgbe = (unsigned char*)malloc((size_t)(h * w * 4));
+  if (!rgbe) return nullptr;
+  int64_t off = pos;
+  for (int64_t y = 0; y < h; ++y) {
+    unsigned char* row = rgbe + (size_t)(y * w * 4);
+    // adaptive RLE scanline: 0x02 0x02 hi lo, then 4 RLE-coded channels
+    if (w >= 8 && w <= 0x7fff && off + 4 <= len && data[off] == 2 &&
+        data[off + 1] == 2 &&
+        ((int64_t)data[off + 2] << 8 | data[off + 3]) == w) {
+      off += 4;
+      for (int ch = 0; ch < 4; ++ch) {
+        int64_t x = 0;
+        while (x < w) {
+          if (off >= len) { free(rgbe); return nullptr; }
+          int count = data[off++];
+          if (count > 128) {  // run
+            count -= 128;
+            if (off >= len || x + count > w) { free(rgbe); return nullptr; }
+            unsigned char v = data[off++];
+            for (int i = 0; i < count; ++i) row[(x + i) * 4 + ch] = v;
+          } else {            // literal
+            if (off + count > len || x + count > w) {
+              free(rgbe); return nullptr;
+            }
+            for (int i = 0; i < count; ++i)
+              row[(x + i) * 4 + ch] = data[off + i];
+            off += count;
+          }
+          x += count;
+        }
+      }
+    } else {  // flat scanline
+      if (off + w * 4 > len) { free(rgbe); return nullptr; }
+      memcpy(row, data + off, (size_t)(w * 4));
+      off += w * 4;
+    }
+  }
+  *out_w = w;
+  *out_h = h;
+  return rgbe;
+}
+
+void tr_buf_free(unsigned char* buf) { free(buf); }
+
 // 2x2 box-filter downsample (the mipmap_generator.wgsl CPU analog used at
 // texture load, one call per mip level).
 void tr_box_downsample(const float* src, int64_t h, int64_t w, int64_t c,

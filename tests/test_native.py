@@ -175,3 +175,52 @@ def test_obj_fuzz_differential(rng):
         np.testing.assert_allclose(t, ref.tex_coords, atol=1e-6)
         np.testing.assert_allclose(n, ref.normals, atol=1e-6)
         np.testing.assert_array_equal(idx, ref.indices.reshape(-1))
+
+
+def _fuzz_hdr_image(rng, h, w):
+    """Mix of flat regions (RLE runs), noise (literals) and HDR range."""
+    img = rng.random((h, w, 3)).astype(np.float32) * 4.0
+    # constant bands -> long runs in every channel
+    for _ in range(3):
+        y0 = int(rng.integers(0, h))
+        img[y0] = rng.random(3).astype(np.float32)
+    # a bright HDR region exercising big exponents
+    img[: h // 2, : w // 2] *= 100.0
+    return img
+
+
+def test_hdr_decode_fuzz_differential(rng):
+    """Seeded fuzz: flat and adaptive-RLE Radiance files must decode to
+    bit-identical float images through the native scanline decoder
+    (tr_decode_hdr) and the pure-Python reference (_decode_hdr_py)."""
+    from tinyrenderer_tpu.assets import hdr
+
+    for trial in range(12):
+        h = int(rng.integers(1, 24))
+        # cover the flat-forced (<8) and RLE-eligible widths
+        w = int(rng.integers(1, 8)) if trial % 3 == 0 else int(
+            rng.integers(8, 80))
+        img = _fuzz_hdr_image(rng, h, w)
+        for rle in (False, True):
+            data = hdr.encode_hdr(img, rle=rle)
+            ref = hdr._decode_hdr_py(data)
+            rgbe = native.decode_hdr_rgbe(data)
+            assert rgbe is not None, (
+                f"native decode failed (trial {trial}, rle={rle})")
+            np.testing.assert_array_equal(hdr.rgbe_to_float(rgbe), ref)
+            # the public entry point (native-first) agrees too
+            np.testing.assert_array_equal(hdr.decode_hdr(data), ref)
+
+
+def test_hdr_decode_malformed_falls_back():
+    """Truncated/corrupt files: the native decoder returns None (no
+    crash/OOB) and the public path surfaces the Python decoder's error."""
+    from tinyrenderer_tpu.assets import hdr
+
+    img = np.ones((4, 16, 3), np.float32)
+    good = hdr.encode_hdr(img, rle=True)
+    for bad in (b"", b"#?", good[:40], good[:-3],
+                good.replace(b"-Y", b"+Q", 1)):
+        assert native.decode_hdr_rgbe(bad) is None
+        with np.testing.assert_raises(Exception):
+            hdr.decode_hdr(bad)

@@ -15,7 +15,24 @@ F32 = np.float32
 
 
 def decode_hdr(data: bytes) -> np.ndarray:
-    """Decode a Radiance RGBE file into a (H, W, 3) float32 array."""
+    """Decode a Radiance RGBE file into a (H, W, 3) float32 array.
+
+    The scanline decode prefers the native C++ path (native/
+    asset_loader.cpp tr_decode_hdr — the RLE inner loop is the loader's
+    hot spot on large env maps); the Python loop below is the fallback
+    and the semantic reference. Both feed the same rgbe_to_float, so the
+    two paths are bit-identical (fuzz-tested in tests/test_native.py)."""
+    try:
+        from . import native
+        rgbe_n = native.decode_hdr_rgbe(data)
+    except Exception:  # noqa: BLE001 — loader must never hard-fail on this
+        rgbe_n = None
+    if rgbe_n is not None:
+        return rgbe_to_float(rgbe_n)
+    return _decode_hdr_py(data)
+
+
+def _decode_hdr_py(data: bytes) -> np.ndarray:
     # --- header ---
     if not data.startswith(b"#?"):
         raise ValueError("not a Radiance HDR file (missing #? magic)")
@@ -84,12 +101,51 @@ def float_to_rgbe(img: np.ndarray) -> np.ndarray:
     return rgbe
 
 
-def encode_hdr(img: np.ndarray) -> bytes:
-    """Encode (H, W, 3) float32 to a flat (non-RLE) Radiance file."""
+def encode_hdr(img: np.ndarray, rle: bool = False) -> bytes:
+    """Encode (H, W, 3) float32 to a Radiance file.
+
+    rle=False writes flat scanlines; rle=True writes the adaptive-RLE
+    scanline format real .hdr tools emit (runs >= 4 texels become
+    (count+128, value) pairs, literals chunked at 128) — the encoding the
+    decoders' RLE branch reads, exercised by the native-vs-Python fuzz
+    differential."""
     h, w = img.shape[:2]
     header = (b"#?RADIANCE\nFORMAT=32-bit_rle_rgbe\n\n"
               + f"-Y {h} +X {w}\n".encode())
-    return header + float_to_rgbe(img).tobytes()
+    rgbe = float_to_rgbe(img)
+    if not rle or w < 8 or w > 0x7FFF:
+        return header + rgbe.tobytes()
+    out = bytearray(header)
+    for y in range(h):
+        out += bytes((2, 2, (w >> 8) & 0xFF, w & 0xFF))
+        for ch in range(4):
+            row = rgbe[y, :, ch]
+            x = 0
+            while x < w:
+                # measure the run at x
+                run = 1
+                while x + run < w and row[x + run] == row[x] and run < 127:
+                    run += 1
+                if run >= 4:
+                    out += bytes((128 + run, int(row[x])))
+                    x += run
+                else:
+                    # literal chunk: until the next >=4 run or 128 texels
+                    lit = x
+                    while lit < w and lit - x < 128:
+                        r = 1
+                        while (lit + r < w and row[lit + r] == row[lit]
+                               and r < 4):
+                            r += 1
+                        if r >= 4:
+                            break
+                        lit += r
+                    # the short-repeat hop above can overshoot the 128-
+                    # texel literal cap by up to 3; clamp and re-process
+                    n = min(lit - x, 128)
+                    out += bytes((n,)) + row[x:x + n].tobytes()
+                    x += n
+    return bytes(out)
 
 
 def load_hdr(path: str) -> np.ndarray:

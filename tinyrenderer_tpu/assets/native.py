@@ -83,6 +83,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_int64)]
         lib.tr_png_free.restype = None
         lib.tr_png_free.argtypes = [ctypes.c_void_p]
+        lib.tr_decode_hdr.restype = ctypes.c_void_p
+        lib.tr_decode_hdr.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64)]
+        lib.tr_buf_free.restype = None
+        lib.tr_buf_free.argtypes = [ctypes.c_void_p]
         _lib = lib
         return _lib
 
@@ -164,6 +170,25 @@ def encode_png(img: np.ndarray):
         return ctypes.string_at(buf, out_len.value)
     finally:
         lib.tr_png_free(buf)
+
+
+def decode_hdr_rgbe(data: bytes):
+    """Native Radiance HDR scanline decode -> (H, W, 4) u8 RGBE array, or
+    None for the Python fallback (unavailable lib OR malformed input — the
+    Python decoder raises the descriptive error)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    w = ctypes.c_int64(0)
+    h = ctypes.c_int64(0)
+    buf = lib.tr_decode_hdr(data, len(data), ctypes.byref(w), ctypes.byref(h))
+    if not buf or w.value <= 0 or h.value <= 0:
+        return None
+    try:
+        flat = ctypes.string_at(buf, h.value * w.value * 4)
+        return np.frombuffer(flat, np.uint8).reshape(h.value, w.value, 4)
+    finally:
+        lib.tr_buf_free(buf)
 
 
 def box_downsample(img: np.ndarray):

@@ -105,6 +105,15 @@ def main() -> None:
             "dense": replace(base, stream_raster=False),
             "stream-fused": replace(base, fused_resolve=True),  # dense fused
             "bf16-attrs": replace(base, bf16_attrs=True),
+            # capacity right-sizing (exact for test.lvl: measured needs are
+            # 840 stream pairs / 29 big tris at the default camera — an
+            # UNDERSIZED capacity silently drops work and looks fast, so
+            # only sizes >= the measured need are valid A/Bs here)
+            "streamcap-8k": replace(base, stream_capacity=8192),
+            "streamcap-4k": replace(base, stream_capacity=4096),
+            "bigcap-32": replace(base, bin_big_capacity=32),
+            "lean": replace(base, stream_capacity=4096,
+                            bin_big_capacity=32, bf16_attrs=True),
         },
         "passes": {
             "full": base,
