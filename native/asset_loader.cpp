@@ -342,9 +342,14 @@ unsigned char* tr_decode_hdr(const unsigned char* data, int64_t len,
   if (!nl) return nullptr;
   std::string dims((const char*)(data + pos), (size_t)(nl - data - pos));
   int64_t h = 0, w = 0;
+  // Bound dimensions to plausible env maps (up to 16k x 8k equirect):
+  // a hostile/corrupt header like "-Y 65535 +X 65535" must be rejected
+  // here, not turned into a 17 GB malloc the OOM killer answers. Other
+  // orientations unsupported (matches hdr.py).
   if (sscanf(dims.c_str(), "-Y %ld +X %ld", (long*)&h, (long*)&w) != 2 ||
-      h <= 0 || w <= 0 || h * w > (int64_t)1 << 32)
-    return nullptr;  // other orientations unsupported (matches hdr.py)
+      h <= 0 || w <= 0 || h > 32768 || w > 32768 ||
+      h * w > (int64_t)1 << 27)
+    return nullptr;
   pos = (nl - data) + 1;
 
   unsigned char* rgbe = (unsigned char*)malloc((size_t)(h * w * 4));

@@ -191,3 +191,52 @@ def test_native_pool_engine_renders(tmp_path):
     img = np.asarray(out.sdr)
     assert np.isfinite(img.astype(np.float32)).all()
     assert img.max() > 30  # not a black frame
+
+
+def test_native_pool_nonsquare_mip_selection(tmp_path):
+    """Non-square native textures must pick the mip level from the record's
+    own (w0, h0) per uv axis. Regression: the scalar width-only rebias
+    selected log2(h0/w0) levels too sharp when the v-derivative dominated
+    (a 32x128 texture minified 2x vertically sampled level 0, aliasing)."""
+    import os
+
+    import jax.numpy as jnp
+    import numpy as np
+    from PIL import Image
+
+    from tinyrenderer_tpu.config import RenderConfig
+    from tinyrenderer_tpu.ops import sampling
+    from tinyrenderer_tpu.render.scene_gpu import ScenePacker
+
+    # 32 wide x 128 tall, rows alternating dark/bright: level 0 stripes,
+    # level >= 1 a uniform box average
+    img = np.zeros((128, 32, 4), np.uint8)
+    img[..., 3] = 255
+    img[0::2, :, :3] = 30
+    img[1::2, :, :3] = 230
+    p = os.path.join(str(tmp_path), "stripes.png")
+    Image.fromarray(img, "RGBA").save(p)
+
+    cfg = RenderConfig(texture_size=32, mip_levels=4)
+    packer = ScenePacker(cfg, asset_search_paths=(str(tmp_path),))
+    slot = packer.pool.get_or_load(p, "Albedo")
+    rec = packer.pool.get_or_make_record((slot, 1, 2, 3))
+    native = packer.native_pool_gpu(windowed=True)
+
+    # screen grid minified 2x along v only: dv = 2 texels/pixel -> the
+    # correct level is 1 (uniform 130/255); du = 0
+    n = 16
+    v = (np.arange(n, dtype=np.float32) * 2.0 + 0.5) / 128.0
+    u = np.full(n, 0.5, np.float32)
+    uv = jnp.asarray(np.stack(np.meshgrid(u, v, indexing="xy"), axis=-1))
+    recs = jnp.full((n, n), rec, jnp.int32)
+    lvl = sampling.mip_level_from_uv(uv, native.level_sizes[0])
+    duv = sampling.uv_derivatives(uv)
+
+    out = np.asarray(sampling.sample_pool_mip(
+        native, recs, uv, lvl, filter="bilinear", duv=duv))[..., 0]
+    # interior pixels (edge rows use one-sided derivatives): level >= 1
+    # averages the stripes; level 0 would return ~30/255 or ~230/255
+    inner = out[2:-2, 2:-2]
+    assert np.all(np.abs(inner - 130.0 / 255.0) < 0.06), (
+        inner.min(), inner.max())

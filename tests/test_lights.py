@@ -151,3 +151,34 @@ def test_pack_lights_ordering_contract():
         packed.shadow_viewprojs[12], L.directional_light_viewproj(d1[0]), atol=1e-6)
     np.testing.assert_allclose(packed.dir_viewproj[0],
                                packed.shadow_viewprojs[12], atol=1e-6)
+
+
+def test_gate_refinement_exact_on_diagonal_edges():
+    """gate_refined_visibility must equal the full-rate gate on a DIAGONAL
+    shadow boundary. Regression: the 4-neighbor edge test missed coarse
+    cells whose only disagreement is a diagonal neighbor (an edge clipping
+    the cell's corner), leaving isolated wrongly-gated pixels."""
+    import jax.numpy as jnp
+
+    from tinyrenderer_tpu.ops import shadows as S
+
+    H, W = 64, 64
+    ys, xs = np.meshgrid(np.arange(H, dtype=F32), np.arange(W, dtype=F32),
+                         indexing="ij")
+    pos = jnp.asarray(np.stack([xs, ys, np.zeros_like(xs)], axis=-1))
+
+    def vis_fn(p):
+        # diagonal hard edge: lit where x + y < 46 (one light channel);
+        # offset so the edge clips coarse-cell corners at scale 8
+        return (p[..., 0] + p[..., 1] < 46.0).astype(F32)[..., None]
+
+    def vis_slot(pos_c, li_c):
+        return (pos_c[..., 0] + pos_c[..., 1] < 46.0).astype(F32)
+
+    want = np.asarray(vis_fn(pos) > 0.0).astype(np.float32)
+    for scale in (4, 8):
+        got, needed = S.gate_refined_visibility(vis_fn, vis_slot, pos,
+                                                scale, block_capacity=0)
+        np.testing.assert_array_equal(
+            np.asarray(got), want, err_msg=f"scale {scale}")
+        assert int(needed) > 0

@@ -173,3 +173,63 @@ def test_capacity_shrinks_after_sustained_underuse():
     eng._queue_overflow(("tex",), jnp.asarray([10], jnp.int32))
     eng._check_overflow()
     assert eng.cfg.tex_block_capacity == 2048
+
+
+def test_shadow_big_need_floors_binsbig_shrink():
+    """bin_big_capacity grown for the SHADOW pass must not be shrunk by
+    per-frame camera-raster under-occupancy. Regression: the shrink
+    hysteresis saw 120 low camera frames, shrank the capacity, the next
+    atlas render truncated its big list (dropped shadow casters for a
+    frame), reported the real need, regrew and retraced — a permanent
+    shrink/regrow cycle on every scene edit."""
+    from dataclasses import replace
+
+    import jax.numpy as jnp
+
+    from tinyrenderer_tpu.config import RenderConfig
+    from tinyrenderer_tpu.render.engine import Engine
+
+    eng = Engine(cfg=RenderConfig())
+    eng.SHRINK_AFTER = 3
+    # atlas-time stack ('shadow' present): shadow pass needs 200 big tris
+    eng._queue_overflow(("shadow", "binsbig"),
+                        jnp.asarray([10, 200], jnp.int32))
+    eng._check_overflow()
+    assert eng.cfg.bin_big_capacity == 256        # grown past the need
+    assert eng._atlas is None                     # atlas-time overflow
+
+    # camera raster uses only 5 big tris for many frames: no shrink below
+    # the shadow pass's recorded need
+    for _ in range(10):
+        eng._queue_overflow(("binsbig",), jnp.asarray([5], jnp.int32))
+        eng._check_overflow()
+    assert eng.cfg.bin_big_capacity == 256
+
+    # if the shadow need itself drops, the floor follows and shrink works
+    eng._queue_overflow(("shadow", "binsbig"),
+                        jnp.asarray([10, 20], jnp.int32))
+    eng._check_overflow()
+    for _ in range(10):
+        eng._queue_overflow(("binsbig",), jnp.asarray([5], jnp.int32))
+        eng._check_overflow()
+    assert eng.cfg.bin_big_capacity == RenderConfig().bin_big_capacity
+
+
+def test_camera_binsbig_growth_keeps_cached_atlas():
+    """A big-triangle overflow from the CAMERA raster grows the capacity
+    but must not invalidate the (complete) cached shadow atlas; only an
+    atlas-time overflow re-renders it."""
+    import jax.numpy as jnp
+
+    from tinyrenderer_tpu.config import RenderConfig
+    from tinyrenderer_tpu.render.engine import Engine
+
+    eng = Engine(cfg=RenderConfig())
+    sentinel = object()
+    eng._atlas = sentinel
+    eng._queue_overflow(("binsbig",),
+                        jnp.asarray([eng.cfg.bin_big_capacity + 1],
+                                    jnp.int32))
+    eng._check_overflow()
+    assert eng.cfg.bin_big_capacity > RenderConfig().bin_big_capacity
+    assert eng._atlas is sentinel

@@ -113,7 +113,7 @@ def scatter_blocks(work: jax.Array, plan: BlockPlan, fill=0.0) -> jax.Array:
 def sample_pool_compacted(pool, rec: jax.Array, uv: jax.Array,
                           level_f: jax.Array, need: jax.Array,
                           capacity: int, filter: str = "dithered",
-                          wrap: bool = True
+                          wrap: bool = True, duv: jax.Array = None
                           ) -> tuple[jax.Array, jax.Array]:
     """Mip-filtered material sampling, gathering only on needed blocks.
 
@@ -133,7 +133,7 @@ def sample_pool_compacted(pool, rec: jax.Array, uv: jax.Array,
     n_blocks = 0 if dims is None else (H // dims[0]) * (W // dims[1])
     if dims is None or capacity <= 0 or capacity >= n_blocks:
         out = sampling.sample_pool_mip(pool, rec, uv, level_f, wrap=wrap,
-                                       filter=filter)
+                                       filter=filter, duv=duv)
         if dims is None:
             needed = jnp.int32(0)
         else:
@@ -151,8 +151,13 @@ def sample_pool_compacted(pool, rec: jax.Array, uv: jax.Array,
     # blocks are origin-aligned multiples of (bh, bw) with 4 | bh, bw, so
     # the Bayer thresholds inside the sampler tile identically to the
     # dense path — compaction stays bit-exact on selected blocks.
+    # native pool: the per-record exact level needs the raw uv derivatives
+    # at the compacted pixels — 4 extra f32 channels through the block
+    # gather (quality path; the pyramid pool compacts only the scalar level)
+    duv_c = None if duv is None else gather_blocks(to_blocks(duv, bh, bw),
+                                                   plan)
     out_c = sampling.sample_pool_mip(pool, rec_c, uv_c, lvl_c, wrap=wrap,
-                                     filter=filter)
+                                     filter=filter, duv=duv_c)
     out = from_blocks(scatter_blocks(out_c, plan), H, W)
     return out, plan.needed
 

@@ -236,32 +236,21 @@ def bin_triangles_dense(setup: TriangleSetup, width: int, height: int,
                 big_overflow=jnp.int32(0))
 
 
-def bin_triangles_scatter(setup: TriangleSetup, width: int, height: int,
-                          tile_h: int, tile_w: int, capacity: int,
-                          big_capacity: int = 512) -> Bins:
-    """Two-level binning for high-poly pools, O(T log T) total.
-
-    The dense binner pays a per-TILE sort over the whole triangle pool
-    (~255 sorts of 100k+ rows at 1080p — the 1.3 Mtris/s wall). Here:
-
-    - *small* triangles (clipped bbox spans <= 2x2 tiles — the overwhelming
-      majority of a high-poly mesh) expand to at most 4 (tile, id) pairs;
-      ONE global lexicographic sort puts them in tile-major id-minor order,
-      and each tile's bin is a contiguous segment located by searchsorted.
-    - *big* triangles (floors, walls, near-camera geometry) are selected
-      once into a static ``big_capacity`` list and dense-binned against the
-      tile grid — cheap because they are few. ``big_overflow`` monitors the
-      list (engine grows cfg.bin_big_capacity like the other envelopes).
-
-    Per-tile bins hold the bigs first, then the smalls in ascending id; the
-    raster depth race is order-independent, so only overflow truncation
-    (which ids are dropped past ``capacity``) differs from the dense path.
+def _split_small_big(setup: TriangleSetup, width: int, height: int,
+                     tile_h: int, tile_w: int, big_capacity: int):
+    """Shared front half of the scatter and stream binners: classify
+    triangles by clipped-bbox tile span and build
+    - ekeys/eids (4T,): the <=4 (tile, id) pair expansion of the *small*
+      triangles (span <= 2x2 tiles), invalid pairs keyed to the n_tiles
+      sentinel;
+    - big_ids (Lc,): ascending-id top-K list of *big* triangles (T-padded)
+      with hit_b (tiles_y, tiles_x, Lc) their dense tile-coverage tests;
+    - big_overflow: () i32 true big count (cfg.bin_big_capacity monitor).
     """
     tiles_y = -(-height // tile_h)
     tiles_x = -(-width // tile_w)
     n_tiles = tiles_y * tiles_x
     T = setup.rows.shape[0]
-    K = capacity
     Lc = min(T, big_capacity)
 
     txmin, tymin, txmax, tymax, ok = _tile_ranges(
@@ -291,9 +280,6 @@ def bin_triangles_scatter(setup: TriangleSetup, width: int, height: int,
              & (ty[:, None, None] <= b_ymax[None, None, :])
              & (tx[None, :, None] >= b_xmin[None, None, :])
              & (tx[None, :, None] <= b_xmax[None, None, :]))  # (ty, tx, Lc)
-    order_b = jnp.where(hit_b, big_ids[None, None, :], T)
-    sorted_b = jnp.sort(order_b, axis=2)                    # bigs first, T-pad
-    bc = jnp.sum(hit_b, axis=2, dtype=I32).reshape(n_tiles)  # per-tile bigs
 
     # ---- small expansion: <= 4 (tile, id) pairs per triangle ----
     e = jnp.arange(4, dtype=I32)
@@ -305,6 +291,43 @@ def bin_triangles_scatter(setup: TriangleSetup, width: int, height: int,
     etile = jnp.where(evalid, etile_y * tiles_x + etile_x, n_tiles)
     ekeys = etile.reshape(-1)                                # (4T,)
     eids = jnp.broadcast_to(tri_ids[None, :], (4, T)).reshape(-1)
+    return ekeys, eids, big_ids, hit_b, big_overflow
+
+
+def bin_triangles_scatter(setup: TriangleSetup, width: int, height: int,
+                          tile_h: int, tile_w: int, capacity: int,
+                          big_capacity: int = 512) -> Bins:
+    """Two-level binning for high-poly pools, O(T log T) total.
+
+    The dense binner pays a per-TILE sort over the whole triangle pool
+    (~255 sorts of 100k+ rows at 1080p — the 1.3 Mtris/s wall). Here:
+
+    - *small* triangles (clipped bbox spans <= 2x2 tiles — the overwhelming
+      majority of a high-poly mesh) expand to at most 4 (tile, id) pairs;
+      ONE global lexicographic sort puts them in tile-major id-minor order,
+      and each tile's bin is a contiguous segment located by searchsorted.
+    - *big* triangles (floors, walls, near-camera geometry) are selected
+      once into a static ``big_capacity`` list and dense-binned against the
+      tile grid — cheap because they are few. ``big_overflow`` monitors the
+      list (engine grows cfg.bin_big_capacity like the other envelopes).
+
+    Per-tile bins hold the bigs first, then the smalls in ascending id; the
+    raster depth race is order-independent, so only overflow truncation
+    (which ids are dropped past ``capacity``) differs from the dense path.
+    """
+    tiles_y = -(-height // tile_h)
+    tiles_x = -(-width // tile_w)
+    n_tiles = tiles_y * tiles_x
+    T = setup.rows.shape[0]
+    K = capacity
+
+    ekeys, eids, big_ids, hit_b, big_overflow = _split_small_big(
+        setup, width, height, tile_h, tile_w, big_capacity)
+    order_b = jnp.where(hit_b, big_ids[None, None, :], T)
+    sorted_b = jnp.sort(order_b, axis=2)                    # bigs first, T-pad
+    bc = jnp.sum(hit_b, axis=2, dtype=I32).reshape(n_tiles)  # per-tile bigs
+    Lc = big_ids.shape[0]
+
     st, si = jax.lax.sort((ekeys, eids), num_keys=2)         # tile-major
 
     starts = jnp.searchsorted(st, jnp.arange(n_tiles + 1, dtype=I32))
@@ -379,49 +402,16 @@ def bin_triangles_stream(setup: TriangleSetup, width: int, height: int,
     tiles_x = -(-width // tile_w)
     n_tiles = tiles_y * tiles_x
     T = setup.rows.shape[0]
-    Lc = min(T, big_capacity)
     Ls = stream_capacity
 
-    txmin, tymin, txmax, tymax, ok = _tile_ranges(
-        setup, width, height, tile_h, tile_w, tiles_y, tiles_x)
-    span_x = txmax - txmin + 1
-    span_y = tymax - tymin + 1
-    small = ok & (span_x <= 2) & (span_y <= 2)
-    big = ok & ~small
-
-    # ---- big pairs: ascending-id top-K list, dense-binned ----
-    tri_ids = jnp.arange(T, dtype=I32)
-    order_big = jnp.where(big, tri_ids, T)
-    if T < Lc:
-        order_big = jnp.pad(order_big, (0, Lc - T), constant_values=T)
-    big_ids = jnp.sort(order_big)[:Lc]                       # (Lc,) T-padded
-    big_overflow = jnp.sum(big.astype(I32))
-
-    safe_big = jnp.clip(big_ids, 0, T - 1)
-    b_xmin = jnp.take(txmin, safe_big)
-    b_ymin = jnp.take(tymin, safe_big)
-    b_xmax = jnp.take(txmax, safe_big)
-    b_ymax = jnp.take(tymax, safe_big)
+    ekeys, eids, big_ids, hit_b, big_overflow = _split_small_big(
+        setup, width, height, tile_h, tile_w, big_capacity)
+    # big pairs: every covered tile of every listed big triangle
     ty = jnp.arange(tiles_y, dtype=I32)
     tx = jnp.arange(tiles_x, dtype=I32)
-    hit_b = ((big_ids < T)[None, None, :]
-             & (ty[:, None, None] >= b_ymin[None, None, :])
-             & (ty[:, None, None] <= b_ymax[None, None, :])
-             & (tx[None, :, None] >= b_xmin[None, None, :])
-             & (tx[None, :, None] <= b_xmax[None, None, :]))  # (ty, tx, Lc)
     tile_idx = (ty[:, None] * tiles_x + tx[None, :])[..., None]
     bkeys = jnp.where(hit_b, tile_idx, n_tiles).reshape(-1)   # (n_tiles*Lc,)
     bvals = jnp.broadcast_to(big_ids[None, None, :], hit_b.shape).reshape(-1)
-
-    # ---- small pairs: <= 4 per triangle ----
-    e = jnp.arange(4, dtype=I32)
-    ey, ex = e // 2, e % 2
-    etile_y = tymin[None, :] + ey[:, None]                    # (4, T)
-    etile_x = txmin[None, :] + ex[:, None]
-    evalid = small[None, :] & (ey[:, None] < span_y[None, :]) \
-        & (ex[:, None] < span_x[None, :])
-    ekeys = jnp.where(evalid, etile_y * tiles_x + etile_x, n_tiles).reshape(-1)
-    eids = jnp.broadcast_to(tri_ids[None, :], (4, T)).reshape(-1)
 
     allk = jnp.concatenate([ekeys, bkeys])
     allv = jnp.concatenate([eids, bvals])

@@ -118,11 +118,17 @@ def resolve_gbuffer(tri_id: jax.Array, depth: jax.Array, setup_rows: jax.Array,
     use_tex = flat[..., 5] > 0.5
 
     level = sampling.mip_level_from_uv(uv, pool.level_sizes[0])
+    duv = (sampling.uv_derivatives(uv)
+           if isinstance(pool, sampling.NativeTexturePoolGPU) else None)
     # textures: albedo, normal, roughness (R), metalness (R)
-    albedo_t = sampling.sample_pool_mip(pool, tex_slots[..., 0], uv, level)[..., :3]
-    normal_t = sampling.sample_pool_mip(pool, tex_slots[..., 1], uv, level)[..., :3]
-    rough_t = sampling.sample_pool_mip(pool, tex_slots[..., 2], uv, level)[..., 0]
-    metal_t = sampling.sample_pool_mip(pool, tex_slots[..., 3], uv, level)[..., 0]
+    albedo_t = sampling.sample_pool_mip(pool, tex_slots[..., 0], uv, level,
+                                        duv=duv)[..., :3]
+    normal_t = sampling.sample_pool_mip(pool, tex_slots[..., 1], uv, level,
+                                        duv=duv)[..., :3]
+    rough_t = sampling.sample_pool_mip(pool, tex_slots[..., 2], uv, level,
+                                       duv=duv)[..., 0]
+    metal_t = sampling.sample_pool_mip(pool, tex_slots[..., 3], uv, level,
+                                       duv=duv)[..., 0]
 
     # TBN normal mapping (gbuffer_geometry.wgsl:118-125)
     nt = normal_t * 2.0 - 1.0
@@ -758,16 +764,20 @@ def resolve_gbuffer_from_attrs(r: "ResolvedAttrs", tri_id: jax.Array,
             compact.to_blocks((use_tex & valid), s, s).any(axis=(1, 2))
             .reshape(uv.shape[0] // s, uv.shape[1] // s))
         level = sampling.mip_level_from_uv(uv_lo, pool.level_sizes[0])
+        duv = (sampling.uv_derivatives(uv_lo)
+               if isinstance(pool, sampling.NativeTexturePoolGPU) else None)
         rec, tex_needed = compact.sample_pool_compacted(
             pool, rec_lo, uv_lo, level, need_lo, tex_block_capacity,
-            filter=texture_filter)
+            filter=texture_filter, duv=duv)
         rec = jax.image.resize(rec, (*uv.shape[:2], rec.shape[-1]),
                                method="bilinear")               # (H, W, 9)
     else:
         level = sampling.mip_level_from_uv(uv, pool.level_sizes[0])
+        duv = (sampling.uv_derivatives(uv)
+               if isinstance(pool, sampling.NativeTexturePoolGPU) else None)
         rec, tex_needed = compact.sample_pool_compacted(
             pool, r.record, uv, level, use_tex & valid, tex_block_capacity,
-            filter=texture_filter)                              # (H, W, 9)
+            filter=texture_filter, duv=duv)                     # (H, W, 9)
     albedo_t = rec[..., 0:3]
     normal_t = rec[..., 4:7]
     rough_t = rec[..., 7]
@@ -859,8 +869,11 @@ def forward_overlay_tiles(tri_id: jax.Array, bins, table: jax.Array,
     uv_t = r.uv.reshape(cap, tile_h, tile_w, 2)[:, ::fs, ::fs]
     rec_t = r.record.reshape(cap, tile_h, tile_w)[:, ::fs, ::fs]
     lvl = sampling.mip_level_from_uv(uv_t, pool.level_sizes[0])
+    duv_t = (sampling.uv_derivatives(uv_t)
+             if isinstance(pool, sampling.NativeTexturePoolGPU) else None)
     tex = sampling.sample_pool_mip(pool, rec_t, uv_t, lvl,
-                                   filter=texture_filter)    # (Kt, h, w, C)
+                                   filter=texture_filter,
+                                   duv=duv_t)                # (Kt, h, w, C)
     tex = jax.image.resize(tex, (cap, tile_h, tile_w, tex.shape[-1]),
                            method="bilinear").reshape(cap, P, -1)
 

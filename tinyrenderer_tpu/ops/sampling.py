@@ -340,7 +340,8 @@ def _sample_stochastic_dynamic_level(pool: TexturePoolGPU, tex: jax.Array,
 
 def sample_pool_mip(pool: TexturePoolGPU, tex: jax.Array, uv: jax.Array,
                     level_f: jax.Array, wrap: bool = True,
-                    filter: str = "dithered") -> jax.Array:
+                    filter: str = "dithered",
+                    duv: jax.Array = None) -> jax.Array:
     """Mipmapped bilinear sample with a per-pixel fractional level.
 
     filter:
@@ -356,7 +357,7 @@ def sample_pool_mip(pool: TexturePoolGPU, tex: jax.Array, uv: jax.Array,
     """
     if isinstance(pool, NativeTexturePoolGPU):
         return sample_native_pool_mip(pool, tex, uv, level_f, wrap=wrap,
-                                      filter=filter)
+                                      filter=filter, duv=duv)
     nlev = len(pool.level_sizes)
     lf = jnp.clip(level_f, 0.0, nlev - 1.0)
     if filter == "trilinear":
@@ -379,6 +380,25 @@ def sample_pool_mip(pool: TexturePoolGPU, tex: jax.Array, uv: jax.Array,
     return _sample_bilinear_dynamic_level(pool, tex, uv, level, wrap)
 
 
+def uv_derivatives(uv: jax.Array) -> jax.Array:
+    """Screen-space finite-difference uv derivatives, (..., 4) channels
+    (dx_u, dx_v, dy_u, dy_v). Shares mip_level_from_uv's conventions:
+    one-sided differences at row/column 0, wrap-aware fractional steps.
+
+    Used by the native-size texture pool, whose per-RECORD dimensions mean
+    the mip level cannot be a single pre-biased scalar: a 256x1024 texture
+    needs log2(|d_s uv| * (w0, h0)) with the record's own (w0, h0) on each
+    uv axis (sample_native_pool_mip computes it after its base_tab
+    gather). The fixed pyramid keeps the cheaper scalar level."""
+    du = uv - jnp.roll(uv, 1, axis=-2)
+    dv = uv - jnp.roll(uv, 1, axis=-3)
+    du = du.at[..., :, 0, :].set(du[..., :, 1, :])
+    dv = dv.at[..., 0, :, :].set(dv[..., 1, :, :])
+    du = du - jnp.round(du)
+    dv = dv - jnp.round(dv)
+    return jnp.concatenate([du, dv], axis=-1)
+
+
 def mip_level_from_uv(uv: jax.Array, base_size: int) -> jax.Array:
     """Per-pixel mip level via screen-space finite differences of the
     resolved UV map (the quad-derivative analog). uv: (..., H, W, 2) —
@@ -387,13 +407,8 @@ def mip_level_from_uv(uv: jax.Array, base_size: int) -> jax.Array:
     One-sided differences at row/column 0 (a rolled difference would pair
     the first row with the last — wrong for the image edge, and a source of
     band-boundary artifacts in the sharded frame)."""
-    du = uv - jnp.roll(uv, 1, axis=-2)
-    dv = uv - jnp.roll(uv, 1, axis=-3)
-    du = du.at[..., :, 0, :].set(du[..., :, 1, :])
-    dv = dv.at[..., 0, :, :].set(dv[..., 1, :, :])
-    # wrap-aware: texture repeat makes |d| near 1 at seams; take fractional dist
-    du = du - jnp.round(du)
-    dv = dv - jnp.round(dv)
+    d = uv_derivatives(uv)
+    du, dv = d[..., 0:2], d[..., 2:4]
     rho = jnp.maximum(jnp.sum(du * du, axis=-1), jnp.sum(dv * dv, axis=-1))
     texel_d2 = rho * (base_size * base_size)
     return jnp.maximum(0.5 * jnp.log2(jnp.maximum(texel_d2, 1e-12)), 0.0)
@@ -600,16 +615,32 @@ def _sample_native_level(pool: NativeTexturePoolGPU, rec: jax.Array,
 def sample_native_pool_mip(pool: NativeTexturePoolGPU, rec: jax.Array,
                            uv: jax.Array, level_f: jax.Array,
                            wrap: bool = True,
-                           filter: str = "trilinear") -> jax.Array:
-    """Mip-filtered native-pool sample. ``level_f`` is computed against
-    ``pool.base_size`` (mip_level_from_uv); each record rebiasess by
-    log2(its base / pool base) so derivative-driven level selection is
-    exact per texture size."""
+                           filter: str = "trilinear",
+                           duv: jax.Array = None) -> jax.Array:
+    """Mip-filtered native-pool sample.
+
+    ``duv`` (..., 4) — uv_derivatives() components — gives EXACT per-record
+    level selection: level = 0.5*log2(max_s((d_s u*w0)^2 + (d_s v*h0)^2))
+    with the record's own (w0, h0) scaling each uv axis; a non-square
+    texture gets the correct level even when the minor-axis derivative
+    dominates. Without ``duv``, ``level_f`` (computed against
+    pool.base_size) is rebiased by log2(w0/base) — exact only for square
+    textures (kept as the fallback for callers without derivatives)."""
     base = jnp.take(pool.base_tab, rec, axis=0)              # (..., 4)
     w0 = base[..., 0].astype(F32)
+    h0 = base[..., 1].astype(F32)
     nlev = base[..., 2].astype(F32)
-    bias = jnp.log2(jnp.maximum(w0, 1.0)) - jnp.log2(float(pool.base_size))
-    lf = jnp.clip(level_f + bias, 0.0, nlev - 1.0)
+    if duv is not None:
+        tx2 = (duv[..., 0] * w0) ** 2 + (duv[..., 1] * h0) ** 2
+        ty2 = (duv[..., 2] * w0) ** 2 + (duv[..., 3] * h0) ** 2
+        texel_d2 = jnp.maximum(tx2, ty2)   # max over the two screen axes
+        lf = jnp.maximum(
+            0.5 * jnp.log2(jnp.maximum(texel_d2, 1e-12)), 0.0)
+        lf = jnp.clip(lf, 0.0, nlev - 1.0)
+    else:
+        bias = (jnp.log2(jnp.maximum(w0, 1.0))
+                - jnp.log2(float(pool.base_size)))
+        lf = jnp.clip(level_f + bias, 0.0, nlev - 1.0)
     if filter == "trilinear":
         lo = jnp.floor(lf).astype(I32)
         hi = jnp.minimum(lo + 1, (nlev - 1.0).astype(I32))

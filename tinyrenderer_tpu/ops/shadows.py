@@ -66,16 +66,36 @@ def window_depth_maps(atlas: jax.Array) -> jax.Array:
     return jnp.stack([atlas, right, down, diag], axis=-1)
 
 
+def _cube_face(d: jax.Array) -> jax.Array:
+    """Cube-face index (0..5, the CUBE_FACE_DIRS/lights.rs order) of the
+    light-to-point vector d (..., 3): the dominant-axis test every point
+    lookup must share — THE convention-bearing lines (a sign/tie-break
+    mismatch between two copies silently shifts shadow seams)."""
+    ax = jnp.abs(d)
+    is_x = (ax[..., 0] >= ax[..., 1]) & (ax[..., 0] >= ax[..., 2])
+    is_y = (ax[..., 1] > ax[..., 0]) & (ax[..., 1] >= ax[..., 2])
+    return jnp.where(
+        is_x, jnp.where(d[..., 0] >= 0, 0, 1),
+        jnp.where(is_y, jnp.where(d[..., 1] >= 0, 2, 3),
+                  jnp.where(d[..., 2] >= 0, 4, 5))).astype(I32)
+
+
+def _ndc_uvz(c: jax.Array) -> tuple[jax.Array, ...]:
+    """Clip-space (..., 4) -> (u, v, z, w): guarded perspective divide and
+    the shadow-map uv convention (v flipped). Shared by every lookup path
+    so the texture-space mapping can't drift between them."""
+    w = c[..., 3]
+    inv_w = 1.0 / jnp.where(jnp.abs(w) > 1e-9, w, 1.0)
+    ndc = c[..., :3] * inv_w[..., None]
+    return (ndc[..., 0] * 0.5 + 0.5, 0.5 - ndc[..., 1] * 0.5,
+            ndc[..., 2], w)
+
+
 def _project(world_pos: jax.Array, viewproj: jax.Array) -> tuple[jax.Array, ...]:
     """world (..., 3) -> (u, v, z_ndc, w) under a light viewproj."""
     ph = jnp.concatenate([world_pos, jnp.ones_like(world_pos[..., :1])], axis=-1)
     c = jnp.einsum("...j,ij->...i", ph, viewproj, preferred_element_type=F32)
-    w = c[..., 3]
-    inv_w = 1.0 / jnp.where(jnp.abs(w) > 1e-9, w, 1.0)
-    ndc = c[..., :3] * inv_w[..., None]
-    u = ndc[..., 0] * 0.5 + 0.5
-    v = 0.5 - ndc[..., 1] * 0.5
-    return u, v, ndc[..., 2], w
+    return _ndc_uvz(c)
 
 
 def _compare_pcf(shadow_map: jax.Array, u: jax.Array, v: jax.Array,
@@ -153,17 +173,23 @@ def gate_refined_visibility(vis_fn, vis_slot, pos: jax.Array, scale: int,
         return (vis_fn(pos) > 0.0).astype(F32), jnp.int32(0)
     lo = vis_fn(pos[::scale, ::scale]) > 0.0       # (hl, wl, L) bool
 
-    # boundary cells (per light): the gate differs from a 4-neighbor — a
-    # shadow edge crossing anywhere between the two samples marks BOTH
-    # cells, so the refined band already covers nearest-assignment
-    # misalignment; only features smaller than one coarse cell are missed
-    edge = (lo != jnp.roll(lo, 1, axis=0).at[0].set(lo[0])) \
-        | (lo != jnp.roll(lo, -1, axis=0).at[-1].set(lo[-1])) \
-        | (lo != jnp.roll(lo, 1, axis=1).at[:, 0].set(lo[:, 0])) \
-        | (lo != jnp.roll(lo, -1, axis=1).at[:, -1].set(lo[:, -1]))
-
     L = lo.shape[-1]
     hl, wl = lo.shape[:2]
+
+    # boundary cells (per light): the gate differs from any 8-neighbor — a
+    # shadow edge crossing anywhere between the two samples marks BOTH
+    # cells, so the refined band already covers nearest-assignment
+    # misalignment; only features smaller than one coarse cell are missed.
+    # Diagonals are required: an edge clipping only a cell's CORNER leaves
+    # all four 4-neighbors agreeing while the full-rate gate disagrees on
+    # the corner pixels (regression: tests/test_ops.py diagonal gate).
+    padded = jnp.pad(lo, ((1, 1), (1, 1), (0, 0)), mode="edge")
+    edge = jnp.zeros(lo.shape, bool)
+    for dy in (0, 1, 2):
+        for dx in (0, 1, 2):
+            if dy == 1 and dx == 1:
+                continue
+            edge = edge | (lo != padded[dy:dy + hl, dx:dx + wl])
 
     def up(img):  # exact-integer nearest upsample: broadcast, not gather
         if hl * scale == H and wl * scale == W:
@@ -223,22 +249,14 @@ def make_vis_slot(light_positions, point_viewprojs, dir_viewprojs,
             lp = jnp.take(light_positions, pi, axis=0)       # (K, 3)
             vp6 = jnp.take(point_viewprojs, pi, axis=0)      # (K, 6, 4, 4)
             d = pos_c - lp[:, None, None, :]
-            ax = jnp.abs(d)
-            is_x = (ax[..., 0] >= ax[..., 1]) & (ax[..., 0] >= ax[..., 2])
-            is_y = (ax[..., 1] > ax[..., 0]) & (ax[..., 1] >= ax[..., 2])
-            face = jnp.where(
-                is_x, jnp.where(d[..., 0] >= 0, 0, 1),
-                jnp.where(is_y, jnp.where(d[..., 1] >= 0, 2, 3),
-                          jnp.where(d[..., 2] >= 0, 4, 5))).astype(I32)
+            face = _cube_face(d)
             c = jnp.einsum("khwj,kfij->kfhwi", ph, vp6,
                            preferred_element_type=F32)       # (K, 6, h, w, 4)
-            w = c[..., 3]
-            inv_w = 1.0 / jnp.where(jnp.abs(w) > 1e-9, w, 1.0)
-            ndc = c[..., :3] * inv_w[..., None]
+            u_f, v_f, z_f, w = _ndc_uvz(c)
             onehot = jax.nn.one_hot(face, 6, axis=1, dtype=F32)
-            u = jnp.sum((ndc[..., 0] * 0.5 + 0.5) * onehot, axis=1)
-            v = jnp.sum((0.5 - ndc[..., 1] * 0.5) * onehot, axis=1)
-            z = jnp.sum(ndc[..., 2] * onehot, axis=1)
+            u = jnp.sum(u_f * onehot, axis=1)
+            v = jnp.sum(v_f * onehot, axis=1)
+            z = jnp.sum(z_f * onehot, axis=1)
             base = (pi[:, None, None] * 6 + face) * (S * S)
             ok = jnp.sum(w * onehot, axis=1) > 0.0
         if D:
@@ -246,12 +264,7 @@ def make_vis_slot(light_positions, point_viewprojs, dir_viewprojs,
             vpd = jnp.take(dir_viewprojs, di, axis=0)        # (K, 4, 4)
             c = jnp.einsum("khwj,kij->khwi", ph, vpd,
                            preferred_element_type=F32)
-            w = c[..., 3]
-            inv_w = 1.0 / jnp.where(jnp.abs(w) > 1e-9, w, 1.0)
-            ndc = c[..., :3] * inv_w[..., None]
-            ud = ndc[..., 0] * 0.5 + 0.5
-            vd = 0.5 - ndc[..., 1] * 0.5
-            zd = ndc[..., 2]
+            ud, vd, zd, w = _ndc_uvz(c)
             based = jnp.broadcast_to(
                 ((6 * Pn + di) * (S * S))[:, None, None], ud.shape)
             # outside the ortho box -> lit (directional_shadow semantics)
@@ -293,12 +306,7 @@ def _point_taps(world_pos: jax.Array, light_positions: jax.Array,
     Pn = light_positions.shape[0]
     d = world_pos[None, ...] - light_positions[
         (slice(None),) + (None,) * (world_pos.ndim - 1) + (slice(None),)]
-    ax = jnp.abs(d)
-    is_x = (ax[..., 0] >= ax[..., 1]) & (ax[..., 0] >= ax[..., 2])
-    is_y = (ax[..., 1] > ax[..., 0]) & (ax[..., 1] >= ax[..., 2])
-    face = jnp.where(is_x, jnp.where(d[..., 0] >= 0, 0, 1),
-                     jnp.where(is_y, jnp.where(d[..., 1] >= 0, 2, 3),
-                               jnp.where(d[..., 2] >= 0, 4, 5))).astype(I32)
+    face = _cube_face(d)
 
     # project through all P*6 viewprojs at once (pure ALU), select the
     # owning face's coordinates per light
@@ -306,12 +314,7 @@ def _point_taps(world_pos: jax.Array, light_positions: jax.Array,
                          axis=-1)
     c = jnp.einsum("...j,pfij->pf...i", ph, viewprojs,
                    preferred_element_type=F32)       # (P, 6, ..., 4)
-    w = c[..., 3]
-    inv_w = 1.0 / jnp.where(jnp.abs(w) > 1e-9, w, 1.0)
-    ndc = c[..., :3] * inv_w[..., None]
-    u_f = ndc[..., 0] * 0.5 + 0.5                    # (P, 6, ...)
-    v_f = 0.5 - ndc[..., 1] * 0.5
-    z_f = ndc[..., 2]
+    u_f, v_f, z_f, w = _ndc_uvz(c)                   # (P, 6, ...)
     onehot = jax.nn.one_hot(face, 6, axis=1, dtype=F32)  # (P, 6, ...)
     u = jnp.sum(u_f * onehot, axis=1)
     v = jnp.sum(v_f * onehot, axis=1)

@@ -97,6 +97,7 @@ class Engine:
         self._under_count: dict = {}  # shrink-hysteresis counters
         self._settled = False  # capacities verified against this scene
         self._atlas = None  # cached shadow atlas (scene/light-dependent)
+        self._shadow_big_need = 0  # shadow pass's big-tri need (shrink floor)
 
         if level_path is not None:
             self.load_level(level_path)
@@ -351,8 +352,6 @@ class Engine:
                     self._pack.scene, self._pack.lights)
             self._queue_overflow(("shadow", "binsbig"),
                                  jnp.stack([shadow_ovf, s_big]))
-        atlas_inline = (self._atlas is None and self.cfg.enable_shadows
-                        and self.cfg.num_shadow_views > 0)
         out = fn(self._pack.scene,
                  self._packer.pool_for(self.cfg),
                  self._pack.lights, cam_raw, self.params, env, self._atlas)
@@ -360,27 +359,19 @@ class Engine:
         self.last_frame_ms = (time.perf_counter() - t0) * 1e3
         self.last_output = out
         self.frame_index += 1
-        # The 'shadow' monitor only carries real occupancy when the atlas
-        # was rendered inline this frame; with a precomputed atlas
-        # out.shadow_overflow is a constant-0 sentinel, and feeding it to
-        # the shrink hysteresis would oscillate any grown
-        # shadow_bin_capacity (shrink -> undersized atlas -> regrow, every
-        # SHRINK_AFTER frames). The atlas-time _queue_overflow in render()
-        # already reports the real occupancy for the cached path.
-        if atlas_inline:
-            self._queue_overflow(
-                ("bins", "binsbig", "shadow", "tex", "fwdtex", "shadowblk",
-                 "stream"),
-                jnp.stack([out.bin_overflow, out.big_overflow,
-                           out.shadow_overflow,
-                           out.tex_overflow[0], out.tex_overflow[1],
-                           out.shadow_blocks, out.stream_overflow]))
-        else:
-            self._queue_overflow(
-                ("bins", "binsbig", "tex", "fwdtex", "shadowblk", "stream"),
-                jnp.stack([out.bin_overflow, out.big_overflow,
-                           out.tex_overflow[0], out.tex_overflow[1],
-                           out.shadow_blocks, out.stream_overflow]))
+        # The per-frame 'shadow' occupancy (out.shadow_overflow) is a
+        # constant-0 sentinel whenever the atlas is precomputed — which is
+        # every engine frame, since the block above always renders it
+        # before dispatch. Feeding the sentinel to the shrink hysteresis
+        # would oscillate any grown shadow_bin_capacity (shrink ->
+        # undersized atlas -> regrow, every SHRINK_AFTER frames), so the
+        # per-frame stack excludes 'shadow'; the atlas-time
+        # _queue_overflow above reports the real occupancy.
+        self._queue_overflow(
+            ("bins", "binsbig", "tex", "fwdtex", "shadowblk", "stream"),
+            jnp.stack([out.bin_overflow, out.big_overflow,
+                       out.tex_overflow[0], out.tex_overflow[1],
+                       out.shadow_blocks, out.stream_overflow]))
         if self._settled:
             self._check_overflow()
         return out
@@ -458,8 +449,17 @@ class Engine:
         # regardless of the other fields — grow every overflowed field in
         # ONE config change (one retrace), not one per frame.
         grown = {}
+        # stacks containing 'shadow' come from an atlas render (the only
+        # queue site that reports it); their big-triangle count is the
+        # SHADOW pass's need, which per-frame camera-raster monitors never
+        # see — remember it as a shrink floor so a capacity grown for the
+        # shadow pass doesn't thrash (shrink on 120 low camera frames ->
+        # truncated atlas on the next edit -> regrow -> retrace, forever)
+        from_atlas = "shadow" in kinds
         for kind, v in zip(kinds, vals):
                 v = int(v)
+                if from_atlas and kind == "binsbig":
+                    self._shadow_big_need = max(v, 1)
                 field, label = self._OVERFLOW_KINDS[kind]
                 cap = getattr(self.cfg, field)
                 if cap <= 0:
@@ -480,7 +480,10 @@ class Engine:
                         f"{label} ({v}); capacity grown to {new_cap}",
                         "warning")
                     grown[field] = new_cap
-                    if kind in ("shadow", "binsbig"):
+                    # the cached atlas is stale only if the SHADOW pass
+                    # itself overflowed; a camera-raster binsbig overflow
+                    # leaves the (complete) atlas valid
+                    if kind == "shadow" or (kind == "binsbig" and from_atlas):
                         self._atlas = None  # re-render with grown capacity
                     continue
                 # shrink with hysteresis: a transient big scene must not
@@ -489,6 +492,10 @@ class Engine:
                 # consecutive frames under 40% occupancy, re-bucket to the
                 # observed value — never below the config-default floor.
                 floor = self._capacity_floor(field)
+                if kind == "binsbig":
+                    # never shrink below what the shadow pass last needed
+                    need = getattr(self, "_shadow_big_need", 0)
+                    floor = max(floor, 1 << max(need - 1, 1).bit_length())
                 if shrink and cap > floor and v < int(cap * 0.4):
                     n = self._under_count.get(kind, 0) + 1
                     if n >= self.SHRINK_AFTER:

@@ -204,9 +204,11 @@ def render_frame_forward(scene: SceneGPU, pool: sampling.TexturePoolGPU,
     uv, normal, flat = r.uv, r.normal, r.flat
     use_tex = flat[..., 5] > 0.5
     lvl = sampling.mip_level_from_uv(uv, pool.level_sizes[0])
+    duv = (sampling.uv_derivatives(uv)
+           if isinstance(pool, sampling.NativeTexturePoolGPU) else None)
     tex, tex_needed = compact.sample_pool_compacted(
         pool, r.record, uv, lvl, use_tex & valid, cfg.tex_block_capacity,
-        filter=cfg.texture_filter)
+        filter=cfg.texture_filter, duv=duv)
     albedo = jnp.where(use_tex[..., None], tex[..., :3], flat[..., 0:3])
 
     shade = jnp.full(normal.shape[:2], 0.1, F32)[..., None]  # ambient floor
