@@ -21,9 +21,18 @@ def main() -> None:
     ap.add_argument("--tone", type=int, default=1, choices=[0, 1, 2, 3])
     ap.add_argument("--skybox", default="", help="equirect .hdr for the environment")
     ap.add_argument("--stats", action="store_true", help="print frame stats")
+    ap.add_argument("--cpu", action="store_true",
+                    help="render on the CPU backend (TPU-less dev; the "
+                         "JAX_PLATFORMS env var is pre-empted by the "
+                         "environment's axon platform, so this must be a "
+                         "flag applied before the first jax op)")
     args = ap.parse_args()
 
     logging.basicConfig(level=logging.INFO)
+
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     import os
 

@@ -20,9 +20,18 @@ def main() -> None:
     ap.add_argument("--port", type=int, default=8000)
     ap.add_argument("--no-pallas", action="store_true",
                     help="use the jnp fallback rasterizer")
+    ap.add_argument("--cpu", action="store_true",
+                    help="render on the CPU backend (TPU-less dev; the "
+                         "JAX_PLATFORMS env var is pre-empted by the "
+                         "environment's axon platform, so this must be a "
+                         "flag applied before the first jax op)")
     args = ap.parse_args()
 
     logging.basicConfig(level=logging.INFO)
+
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     import os
 
