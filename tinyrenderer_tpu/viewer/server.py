@@ -219,7 +219,8 @@ class ViewerServer:
                            "shadow_size", "forward_only",
                            "render_scale_pct", "windowed_pool",
                            "morton_pool", "shadow_bf16", "bf16_attrs",
-                           "stream_raster"}
+                           "stream_raster", "native_texture_pool",
+                           "sky_rgbe"}
                 values = payload.get("values", {})
                 changes = {k: v for k, v in values.items() if k in TUNABLE}
                 rejected = set(values) - set(changes) - {"width", "height"}
