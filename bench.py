@@ -312,7 +312,11 @@ def verify_tpu_goldens() -> dict:
         shadow_size=128, shadow_tile=128, shadow_bin_capacity=128,
         env_size=32, irradiance_size=8, texture_size=64, mip_levels=4,
         max_vertices=8192, max_triangles=4096, max_instances=64,
-        use_pallas=True, enable_ssr=False)
+        use_pallas=True, enable_ssr=False,
+        # goldens are CPU-rendered through the f32 jnp path: compare the
+        # kernels at full precision; the intentional bf16 trade gets its
+        # own variant case below
+        bf16_attrs=False)
 
     def build(scene, cfg):
         if scene == "test_lvl":
@@ -322,12 +326,18 @@ def verify_tpu_goldens() -> dict:
                 n_cubes=9, textured_every=2 if scene == "demo_textured" else 0),
             camera=demo.build_demo_camera(cfg.width, cfg.height), cfg=cfg)
 
-    cases = [("demo", "demo", base),
-             ("demo_textured", "demo_textured", base),
-             ("test_lvl", "test_lvl", base),
-             ("demo_fused", "demo", replace(base, fused_resolve=True))]
+    # per-case compare kwargs: the bf16 variant intentionally rounds the
+    # normal/TBN/flat resolve channels to 8 mantissa bits, which shifts
+    # smooth shading by up to ~3 LSB against the f32 CPU golden — compare
+    # with the wider bound (still edge-aware and cluster-gated at it)
+    cases = [("demo", "demo", base, {}),
+             ("demo_textured", "demo_textured", base, {}),
+             ("test_lvl", "test_lvl", base, {}),
+             ("demo_fused", "demo", replace(base, fused_resolve=True), {}),
+             ("demo_bf16", "demo", replace(base, bf16_attrs=True),
+              {"lsb": 4, "max_offedge_frac": 5e-3})]
     results = {}
-    for label, scene, cfg in cases:
+    for label, scene, cfg, cmp_kw in cases:
         path = os.path.join(golden_dir, f"{scene}.png")
         if not os.path.exists(path):
             results[label] = {"status": "no-golden"}
@@ -347,7 +357,7 @@ def verify_tpu_goldens() -> dict:
             if os.path.exists(upath):
                 unstable = np.load(upath)["unstable"]
             results[label] = edge_aware_compare(img, golden, pick,
-                                                unstable=unstable)
+                                                unstable=unstable, **cmp_kw)
         except Exception as e:  # noqa: BLE001
             results[label] = {"status": "error",
                               "error": str(e).splitlines()[0][:200]}

@@ -81,7 +81,11 @@ class RenderConfig:
     # the dense capacity-padded (tiles, K) lists — every gather and every
     # kernel DMA scales with actual pair counts, not tiles * bin_capacity
     # (the round-2 1.3 Mtris/s wall). Applies to the main/forward-pipeline
-    # visibility raster + select when use_pallas and not fused_resolve.
+    # visibility raster + select when use_pallas and not fused_resolve —
+    # and only when the triangle pool is big enough to pay for the
+    # per-frame stream sort (raster.stream_pays_off: measured 31.5 vs
+    # 27.4 ms dense at 1080p on test.lvl's 2048-triangle pool; the stream
+    # wins only past the dense/scatter crossover).
     stream_raster: bool = True
     # Total (tile, triangle) pair capacity of the stream (multiple of
     # 2048 — the kernel's DMA block). Monitored + grown like bin_capacity.
@@ -156,8 +160,10 @@ class RenderConfig:
     # normalized downstream — and the flat material params) as bfloat16,
     # cutting ~1/3 of the kernel-output + untile HBM traffic. world/uv/
     # record/object-id stay f32 (uv feeds texel addressing; record/oid are
-    # exact integers). Off by default pending on-chip A/B.
-    bf16_attrs: bool = False
+    # exact integers). On-chip A/B: −1.5 ms at 1080p for −0.1 dB PSNR
+    # (57.8 vs 57.9 dB against reference_parity) — on by default; off in
+    # reference_parity.
+    bf16_attrs: bool = True
     # Material sampling rate: 1 = per pixel; 2 = sample the composite
     # record on a half-res grid and bilinearly upsample (4x fewer texture
     # gathers, softens texture detail — a speed preset option).
@@ -225,7 +231,7 @@ class RenderConfig:
         return replace(self, texture_filter="trilinear",
                        shadow_lookup_scale=1, sky_scale=1, texture_scale=1,
                        texture_size=1024, mip_levels=10, sky_rgbe=False,
-                       native_texture_pool=True)
+                       native_texture_pool=True, bf16_attrs=False)
 
     @property
     def tiles_y(self) -> int:

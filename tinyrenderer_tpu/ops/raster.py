@@ -455,6 +455,16 @@ def bin_triangles_stream(setup: TriangleSetup, width: int, height: int,
 _SCATTER_MIN_T = 4096
 
 
+def stream_pays_off(triangle_pool: int) -> bool:
+    """Whether the CSR stream raster beats the dense (tiles, K) bins for a
+    triangle pool of this (static) size. Interleaved 1080p A/B on test.lvl
+    (2048-triangle pool): stream 31.5 ms vs dense 27.4 ms — the per-frame
+    stream sort + CSR bookkeeping is pure overhead while the dense hit
+    tensor is small. The stream exists to break the tiles*K wall of
+    high-poly pools, the same crossover as the dense/scatter binners."""
+    return triangle_pool > _SCATTER_MIN_T
+
+
 def bin_triangles(setup: TriangleSetup, width: int, height: int,
                   tile_h: int, tile_w: int, capacity: int,
                   big_capacity: int = 512) -> Bins:

@@ -127,7 +127,8 @@ def _render_band(scene: SceneGPU, pool, lights: LightsGPU, atlas,
             texture_filter=cfg.texture_filter,
             texture_scale=cfg.texture_scale,
             tex_block_capacity=cfg.tex_block_capacity)
-    elif cfg.use_pallas and cfg.stream_raster:
+    elif (cfg.use_pallas and cfg.stream_raster
+          and raster.stream_pays_off(scene.tri_vidx.shape[0])):
         # CSR stream path, like frame._raster_resolve (keep-in-sync)
         setup = raster.triangle_setup(clip, scene.tri_vidx,
                                       scene.tri_deferred, PW, PH, "back")

@@ -126,7 +126,8 @@ def _raster_resolve(clip, tri_vidx, tri_mask, tri_instance, vattrs, scene,
     Returns (tri_id, depth, ResolvedAttrs, overflow)."""
     PW, PH = cfg.padded_width, cfg.padded_height
     setup = raster.triangle_setup(clip, tri_vidx, tri_mask, PW, PH, cull)
-    if cfg.use_pallas and cfg.stream_raster and not cfg.fused_resolve:
+    if (cfg.use_pallas and cfg.stream_raster and not cfg.fused_resolve
+            and raster.stream_pays_off(tri_vidx.shape[0])):
         # CSR stream path: gathers + kernel DMA scale with actual
         # (tile, triangle) pairs, not tiles * bin_capacity
         sbins = raster.bin_triangles_stream(

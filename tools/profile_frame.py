@@ -168,6 +168,13 @@ def main() -> None:
             variants.update(g)
     else:
         variants = groups[args.set]
+    if args.set == "stream":
+        # the stream path only engages past the dense/scatter crossover
+        # (raster.stream_pays_off); force it so small-scene A/Bs measure
+        # the stream machinery rather than silently running dense
+        from tinyrenderer_tpu.ops import raster as rasterlib
+        rasterlib.stream_pays_off = lambda _t: True
+        framelib.compiled_frame.cache_clear()
 
     loops = {}
     for name, cfg in variants.items():
