@@ -319,3 +319,25 @@ def test_shadow_window_pcf_matches_manual():
     want = ((lit(x0, y0) * (1 - fx) + lit(x1, y0) * fx) * (1 - fy)
             + (lit(x0, y1) * (1 - fx) + lit(x1, y1) * fx) * fy)
     np.testing.assert_allclose(np.asarray(got), want, atol=1e-6)
+
+
+def test_upsample_bilinear_int_matches_resize():
+    """post.upsample_bilinear_int (phase-wise shifted adds) must equal
+    jax.image.resize's bilinear for integer factors — it replaces the
+    resize on the sky/texture-scale upsample paths purely for speed
+    (the resize lowers as a dense (out, in) matmul pair)."""
+    import jax
+
+    rng = np.random.default_rng(3)
+    for (h, w, sy, sx) in [(8, 16, 2, 2), (6, 10, 4, 4), (4, 8, 8, 8),
+                           (17, 3, 2, 2), (5, 7, 2, 4)]:
+        x = jnp.asarray(rng.standard_normal((h, w, 3)), jnp.float32)
+        a = post.upsample_bilinear_int(x, sy, sx)
+        b = jax.image.resize(x, (h * sy, w * sx, 3), method="bilinear")
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=0)
+    x2 = jnp.asarray(rng.standard_normal((8, 8)), jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(post.upsample_bilinear_int(x2, 2, 2)),
+        np.asarray(jax.image.resize(x2, (16, 16), method="bilinear")),
+        atol=1e-5, rtol=0)

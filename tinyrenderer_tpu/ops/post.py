@@ -178,3 +178,51 @@ def box_mip(img: jax.Array) -> jax.Array:
     """Device-side 2x2 box mip reduction (mipmap_generator.wgsl:22-30)."""
     h, w, c = img.shape
     return img.reshape(h // 2, 2, w // 2, 2, c).mean(axis=(1, 3))
+
+
+def _upsample_axis(img: jax.Array, s: int, axis: int) -> jax.Array:
+    """Exact integer-factor bilinear upsample along one axis.
+
+    Matches jax.image.resize(..., method='bilinear') for integer factors
+    (same half-pixel-center convention, clamp-at-edge), but lowers as
+    ``s`` phase-wise shifted weighted adds + one interleave instead of the
+    resize's dense (out, in) matmul pair — pure VPU/bandwidth, fusable
+    into neighboring elementwise ops. At 1080p x 9 channels the resize's
+    two GEMMs cost ~1-2 ms; this is one pass over the output."""
+    n = img.shape[axis]
+
+    def shift(k):  # in[i + k] with clamp-at-edge, along `axis`
+        if k == 0:
+            return img
+        sl = [slice(None)] * img.ndim
+        pad = [slice(None)] * img.ndim
+        if k > 0:
+            sl[axis] = slice(k, None)
+            pad[axis] = slice(n - k, None)
+            return jnp.concatenate(
+                [img[tuple(sl)]] + [img[tuple(pad)]], axis=axis)
+        sl[axis] = slice(None, k)
+        pad[axis] = slice(None, -k)
+        return jnp.concatenate(
+            [img[tuple(pad)]] + [img[tuple(sl)]], axis=axis)
+
+    lo, hi = shift(-1), shift(1)
+    phases = []
+    for k in range(s):
+        f = (k + 0.5) / s - 0.5        # offset of out phase k from in[i]
+        if f < 0.0:
+            phases.append(img * (1.0 + f) + lo * (-f))
+        else:
+            phases.append(img * (1.0 - f) + hi * f)
+    out = jnp.stack(phases, axis=axis + 1)          # (..., n, s, ...)
+    shape = list(img.shape)
+    shape[axis] = n * s
+    return out.reshape(shape)
+
+
+def upsample_bilinear_int(img: jax.Array, sy: int, sx: int) -> jax.Array:
+    """(H, W, *C) -> (H*sy, W*sx, *C) bilinear upsample for integer
+    factors; numerically equal to jax.image.resize's bilinear (which
+    separates into per-axis passes for exact integer ratios)."""
+    out = _upsample_axis(img, sy, 0) if sy > 1 else img
+    return _upsample_axis(out, sx, 1) if sx > 1 else out

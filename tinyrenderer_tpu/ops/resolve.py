@@ -769,8 +769,8 @@ def resolve_gbuffer_from_attrs(r: "ResolvedAttrs", tri_id: jax.Array,
         rec, tex_needed = compact.sample_pool_compacted(
             pool, rec_lo, uv_lo, level, need_lo, tex_block_capacity,
             filter=texture_filter, duv=duv)
-        rec = jax.image.resize(rec, (*uv.shape[:2], rec.shape[-1]),
-                               method="bilinear")               # (H, W, 9)
+        from . import post
+        rec = post.upsample_bilinear_int(rec, s, s)             # (H, W, 9)
     else:
         level = sampling.mip_level_from_uv(uv, pool.level_sizes[0])
         duv = (sampling.uv_derivatives(uv)

@@ -76,6 +76,11 @@ def _sovf(bins) -> jax.Array:
 
 
 def _upsample_bilinear(img: jax.Array, shape: tuple) -> jax.Array:
+    H, W = img.shape[0], img.shape[1]
+    if shape[0] % H == 0 and shape[1] % W == 0:
+        # integer factors lower as phase-wise shifted adds (pure VPU)
+        # instead of the resize's dense (out, in) matmul pair
+        return post.upsample_bilinear_int(img, shape[0] // H, shape[1] // W)
     return jax.image.resize(img, shape, method="bilinear")
 
 

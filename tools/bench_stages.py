@@ -54,6 +54,12 @@ def main() -> None:
         framelib.compiled_shadow_atlas(cfg)(scene, lights)[0])
     N = args.frames
 
+    def stage_null(cam):
+        # scan-step floor: measures the per-frame cost of the timing
+        # harness itself (carry chain + scan machinery + host fetch),
+        # which every other row also contains
+        return cam.sum(), cam
+
     def stage_geometry(cam):
         c = framelib._unpack_camera(cam)
         world, clip, attrs = framelib.geometry_stage(scene, c["view_proj"])
@@ -98,12 +104,13 @@ def main() -> None:
             return out.sdr[0, 0, 0].astype(jnp.float32) + out.depth.sum()
         return fn
 
-    stages = ["geometry", "setup", "bin", "raster", "select", "material",
-              "full"]
+    stages = ["null", "geometry", "setup", "bin", "raster", "select",
+              "material", "full"]
 
     loops = {}
     for s in stages:
-        body = stage_geometry if s == "geometry" else upto(s)
+        body = {"null": stage_null,
+                "geometry": stage_geometry}.get(s) or upto(s)
 
         def make(body):
             @jax.jit

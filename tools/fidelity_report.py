@@ -47,9 +47,13 @@ def main() -> None:
     base = RenderConfig(width=args.width, height=args.height)
     configs = {
         "reference_parity": base.reference_parity(),
-        "default": base,
+        "default": base,   # dense raster + bf16_attrs as of round 3
+        "default_f32_attrs": replace(base, bf16_attrs=False),
+        "default_shadow8": replace(base, shadow_lookup_scale=8),
+        "default_shadow8_sky8": replace(base, shadow_lookup_scale=8,
+                                        sky_scale=8),
+        "default_texscale2": replace(base, texture_scale=2),
         "default_75pct": replace(base, render_scale_pct=75),
-        "default_bf16_attrs": replace(base, bf16_attrs=True),
         "performance_preset": base.performance_preset(),
         "preset_75pct": replace(base.performance_preset(),
                                 render_scale_pct=75),

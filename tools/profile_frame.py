@@ -33,7 +33,7 @@ def main() -> None:
     ap.add_argument("--frames", type=int, default=8)
     ap.add_argument("--set", default="all",
                     choices=["all", "filters", "rates", "passes", "layout",
-                             "shadow", "r3", "stream"])
+                             "shadow", "r3", "stream", "next"])
     ap.add_argument("--multilight", action="store_true",
                     help="add point lights up to 4P+1D (BASELINE config 2) "
                          "before packing, so variants measure the "
@@ -86,6 +86,27 @@ def main() -> None:
     N = args.frames
 
     groups = {
+        "next": {
+            # candidate next-default combos (round 3, post dense+bf16).
+            # shadow8's wider coarse cells mark a wider refinement band:
+            # its settled shadow_block_capacity is 3072 (measured via an
+            # engine settle), not base's 2560 — undersizing would silently
+            # drop refinement blocks and look fast.
+            "full": base,
+            "shadow8": replace(base, shadow_lookup_scale=8,
+                               shadow_block_capacity=3072),
+            "shadow8-sky8": replace(base, shadow_lookup_scale=8,
+                                    shadow_block_capacity=3072, sky_scale=8),
+            "texscale-2": replace(base, texture_scale=2),
+            "shadow8-tex2": replace(base, shadow_lookup_scale=8,
+                                    shadow_block_capacity=3072,
+                                    texture_scale=2),
+            "shadow8-sky8-stoch": replace(base, shadow_lookup_scale=8,
+                                          shadow_block_capacity=3072,
+                                          sky_scale=8,
+                                          texture_filter="stochastic",
+                                          windowed_pool=False),
+        },
         "r3": {
             # round-3 levers: gate-refined shadows, RGBE one-gather sky
             "full": base,                      # scale-4 gates + rgbe sky
