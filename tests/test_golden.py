@@ -25,6 +25,10 @@ CFG = RenderConfig(
     env_size=32, irradiance_size=8, texture_size=64, mip_levels=4,
     max_vertices=8192, max_triangles=4096, max_instances=64,
     use_pallas=False, enable_ssr=False,
+    # lookup rates pinned: the 1080p-tuned defaults moved to 8 in round 3,
+    # which on a 256x128 probe scene would mean a 32x16 coarse grid —
+    # goldens keep the rates the images were pinned at
+    shadow_lookup_scale=4, sky_scale=4,
 )
 
 

@@ -124,10 +124,13 @@ class RenderConfig:
     # gate (shading gates on shadow > 0, main.wgsl:228-237) on an
     # s-strided grid and re-evaluates boundary blocks exactly
     # (shadows.gate_refined_visibility) — boundary-exact hard shadows at
-    # ~the coarse pass's gather cost. sky_scale=4 evaluates the skybox at
-    # quarter res (the env map through a smooth unprojection). 1 = full rate.
-    shadow_lookup_scale: int = 4
-    sky_scale: int = 4
+    # ~the coarse pass's gather cost. sky_scale=8 evaluates the skybox at
+    # eighth res (the env map through a smooth unprojection). 1 = full
+    # rate. Round-3 defaults moved 4 -> 8: measured -2.3 ms at 1080p for
+    # 55.1 -> 53.1 dB vs reference_parity (the refinement keeps gates
+    # boundary-exact; only sub-8px shadow features and sky detail soften).
+    shadow_lookup_scale: int = 8
+    sky_scale: int = 8
     # Work list for the shadow gate refinement: (light, 8x16-screen-block)
     # pairs on shadow edges — one batched pass shared by ALL lights, each
     # slot tagged with its light. Monitored + grown like

@@ -87,7 +87,7 @@ def parse(trace_dir: str, top: int) -> None:
           f"(2 frames; includes overlap double-count)")
     print(f"{'us':>10s} {'n':>4s}  op")
     for name, us in tot.most_common(top):
-        print(f"{us:10d} {cnt[name]:4d}  {name[:110]}")
+        print(f"{us:10.0f} {cnt[name]:4d}  {name[:110]}")
 
 
 def main() -> None:
