@@ -188,10 +188,7 @@ def time_engine(eng, trace_dir: str = "", reps: int = REPS,
     for _ in range(10):
         _retry(lambda: eng.run_frame(0.0), label="settle")
     if eng._overflow_inflight:  # drain: growth must land before timing
-        import numpy as _np
-        for kinds, vals in list(eng._overflow_inflight):
-            _np.asarray(vals)
-        eng._check_overflow()
+        eng.drain_monitors()
         for _ in range(2):
             _retry(lambda: eng.run_frame(0.0), label="settle2")
     env = eng._ensure_env()
@@ -432,6 +429,35 @@ def measure_editor_roundtrip() -> dict:
             "lvl_roundtrip": ok}
 
 
+def measure_fidelity() -> dict:
+    """PSNR of the default config against reference_parity() (the
+    reference's exact sampling: trilinear, full-rate lookups, native-size
+    texture pool) at 1080p on test.lvl — the quality side of the headline
+    number (BASELINE asks the speed at default quality; the fidelity
+    table in PARITY.md tracks the full config grid)."""
+    import numpy as np
+
+    from tinyrenderer_tpu.config import RenderConfig
+
+    from tinyrenderer_tpu.render.engine import Engine
+
+    frames = {}
+    base = RenderConfig(width=1920, height=1080)
+    for name, cfg in (("parity", base.reference_parity()), ("default", base)):
+        eng = Engine(cfg=cfg, level_path="/root/reference/levels/test.lvl")
+        for _ in range(4):  # settle capacity monitors
+            out = _retry(lambda: eng.run_frame(0.0), label=f"fidelity {name}")
+        frames[name] = np.asarray(out.sdr)
+    a = frames["parity"].astype(np.float64)
+    b = frames["default"].astype(np.float64)
+    mse = ((a - b) ** 2).mean()
+    d = np.abs(a - b).max(axis=-1)
+    return {
+        "psnr_db_vs_parity": round(10.0 * np.log10(255.0 ** 2 / mse), 1),
+        "frac_gt_4lsb": round(float((d > 4).mean()), 4),
+    }
+
+
 def measure_cpu_raster_ratio(tpu_ms: float) -> dict:
     """BASELINE '>=5x vs CPU software raster': the same 1080p deferred frame
     with use_pallas=False executed on the CPU backend."""
@@ -606,6 +632,11 @@ def main() -> int:
             except Exception as e:  # noqa: BLE001
                 res["extra"]["raster_throughput"] = None
                 print(f"# throughput failed: {e}", file=sys.stderr)
+            try:
+                res["extra"]["fidelity"] = measure_fidelity()
+            except Exception as e:  # noqa: BLE001
+                res["extra"]["fidelity"] = None
+                print(f"# fidelity failed: {e}", file=sys.stderr)
             if not args.no_verify:
                 res["extra"]["tpu_golden"] = verify_tpu_goldens()
 

@@ -134,7 +134,7 @@ def test_multi_field_overflow_grows_in_one_config_change():
     eng = Engine(cfg=RenderConfig(tex_block_capacity=2, fwd_tile_capacity=2))
     configs_seen = {id(eng.cfg)}
     eng._queue_overflow(("tex", "fwdtex"), jnp.asarray([300, 40], jnp.int32))
-    eng._check_overflow()
+    eng._check_overflow(wait=True)
     configs_seen.add(id(eng.cfg))
     assert eng.cfg.tex_block_capacity >= 300
     assert eng.cfg.fwd_tile_capacity >= 40
@@ -157,21 +157,21 @@ def test_capacity_shrinks_after_sustained_underuse():
     eng.SHRINK_AFTER = 5
     for _ in range(4):
         eng._queue_overflow(("tex",), jnp.asarray([10], jnp.int32))
-        eng._check_overflow()
+        eng._check_overflow(wait=True)
     assert eng.cfg.tex_block_capacity == 2048  # hysteresis holds
     eng._queue_overflow(("tex",), jnp.asarray([10], jnp.int32))
-    eng._check_overflow()
+    eng._check_overflow(wait=True)
     assert eng.cfg.tex_block_capacity == RenderConfig().tex_block_capacity
 
     # a spike resets the streak
     eng.cfg = replace(eng.cfg, tex_block_capacity=2048)
     for _ in range(4):
         eng._queue_overflow(("tex",), jnp.asarray([10], jnp.int32))
-        eng._check_overflow()
+        eng._check_overflow(wait=True)
     eng._queue_overflow(("tex",), jnp.asarray([1500], jnp.int32))
-    eng._check_overflow()
+    eng._check_overflow(wait=True)
     eng._queue_overflow(("tex",), jnp.asarray([10], jnp.int32))
-    eng._check_overflow()
+    eng._check_overflow(wait=True)
     assert eng.cfg.tex_block_capacity == 2048
 
 
@@ -194,7 +194,7 @@ def test_shadow_big_need_floors_binsbig_shrink():
     # atlas-time stack ('shadow' present): shadow pass needs 200 big tris
     eng._queue_overflow(("shadow", "binsbig"),
                         jnp.asarray([10, 200], jnp.int32))
-    eng._check_overflow()
+    eng._check_overflow(wait=True)
     assert eng.cfg.bin_big_capacity == 256        # grown past the need
     assert eng._atlas is None                     # atlas-time overflow
 
@@ -202,16 +202,16 @@ def test_shadow_big_need_floors_binsbig_shrink():
     # the shadow pass's recorded need
     for _ in range(10):
         eng._queue_overflow(("binsbig",), jnp.asarray([5], jnp.int32))
-        eng._check_overflow()
+        eng._check_overflow(wait=True)
     assert eng.cfg.bin_big_capacity == 256
 
     # if the shadow need itself drops, the floor follows and shrink works
     eng._queue_overflow(("shadow", "binsbig"),
                         jnp.asarray([10, 20], jnp.int32))
-    eng._check_overflow()
+    eng._check_overflow(wait=True)
     for _ in range(10):
         eng._queue_overflow(("binsbig",), jnp.asarray([5], jnp.int32))
-        eng._check_overflow()
+        eng._check_overflow(wait=True)
     assert eng.cfg.bin_big_capacity == RenderConfig().bin_big_capacity
 
 
@@ -230,6 +230,6 @@ def test_camera_binsbig_growth_keeps_cached_atlas():
     eng._queue_overflow(("binsbig",),
                         jnp.asarray([eng.cfg.bin_big_capacity + 1],
                                     jnp.int32))
-    eng._check_overflow()
+    eng._check_overflow(wait=True)
     assert eng.cfg.bin_big_capacity > RenderConfig().bin_big_capacity
     assert eng._atlas is sentinel

@@ -55,6 +55,16 @@ _IW0, _IW1, _IW2 = 13, 14, 15
 
 W_EPS = 1e-6
 
+# Raster-kernel plane evaluation engine. The original design stacked the
+# 4 affine planes of a chunk into an MXU dot (see _raster_kernel), but
+# depth exactness needs precision=HIGHEST, which decomposes each f32
+# operand into 3 bf16 passes — on a K=3 contraction with M=chunk(32) of
+# 128 MXU rows used, that is mostly wasted array work. The VPU broadcast
+# form ((chunk,1)*(1,P) multiply-adds) is native f32 (exact, no operand
+# splitting) and matches the jnp reference path's arithmetic. Module
+# global so tools/profile_frame.py can A/B both engines in one process.
+_PLANES_ON_MXU = False
+
 
 class TriangleSetup(NamedTuple):
     """Per-triangle raster state (all arrays over the triangle capacity T)."""
@@ -485,15 +495,44 @@ def bin_triangles(setup: TriangleSetup, width: int, height: int,
 # Pallas tile kernel
 # ---------------------------------------------------------------------------
 
+def _pixel_basis(i, j, tile_h: int, tile_w: int):
+    """((1, P) pixel-center xs, ys, (3, P) MXU basis or None) for tile
+    (i, j) — the shared prologue of every tile kernel."""
+    P = tile_h * tile_w
+    ox = (j * tile_w).astype(F32) + 0.5
+    oy = (i * tile_h).astype(F32) + 0.5
+    xs = jax.lax.broadcasted_iota(I32, (1, P), 1).astype(F32)
+    pixx = jnp.remainder(xs, float(tile_w)) + ox
+    pixy = jnp.floor_divide(xs, float(tile_w)) + oy
+    basis = (jnp.concatenate([pixx, pixy, jnp.ones_like(pixx)], axis=0)
+             if _PLANES_ON_MXU else None)
+    return pixx, pixy, basis
+
+
+def _eval_planes(s, lo: int, pixx, pixy, basis):
+    """Evaluate rows' affine plane [lo:lo+3] at the tile's pixel centers:
+    (chunk, 16) setup rows -> (chunk, P). VPU broadcast multiply-adds by
+    default; the MXU dot form behind _PLANES_ON_MXU (see flag note)."""
+    if basis is not None:
+        return jax.lax.dot_general(
+            s[:, lo:lo + 3], basis, (((1,), (0,)), ((), ())),
+            preferred_element_type=F32,
+            precision=jax.lax.Precision.HIGHEST)
+    return (s[:, lo:lo + 1] * pixx + s[:, lo + 1:lo + 2] * pixy
+            + s[:, lo + 2:lo + 3])
+
+
 def _raster_kernel(counts_ref, rows_ref, id_out_ref, z_out_ref,
                    *, tile_h: int, tile_w: int, chunk: int, kb: int):
     """Per-tile visibility raster.
 
-    Plane evaluation is an MXU matmul: the 4 affine planes (3 edges + depth)
-    of ``chunk`` triangles stack into A (4*chunk, 3), the tile's pixels into
-    B (3, P) — one (4*chunk, P) dot per chunk instead of ~12 VPU broadcast
-    multiply-adds per plane. With chunk=32 the A rows fill one 128-row MXU
-    tile. The VPU only does the cover test + running max afterwards.
+    Plane evaluation runs as VPU broadcast multiply-adds (_eval_planes):
+    native f32 (no MXU operand splitting), the same arithmetic as the jnp
+    reference path. The original MXU-dot formulation survives behind
+    _PLANES_ON_MXU for A/B — with precision=HIGHEST it decomposed each
+    f32 operand into 3 bf16 passes on a K=3 contraction, which the trace
+    showed dominating the kernel. The VPU then does the cover test +
+    running max.
 
     The grid's third dimension walks the tile's bin in blocks of ``kb``
     rows, revisiting the output block with a running depth race — per-
@@ -509,12 +548,7 @@ def _raster_kernel(counts_ref, rows_ref, id_out_ref, z_out_ref,
     base = b * kb
 
     P = tile_h * tile_w
-    ox = (j * tile_w).astype(F32) + 0.5
-    oy = (i * tile_h).astype(F32) + 0.5
-    xs = jax.lax.broadcasted_iota(I32, (1, P), 1).astype(F32)
-    pixx = jnp.remainder(xs, float(tile_w)) + ox
-    pixy = jnp.floor_divide(xs, float(tile_w)) + oy
-    basis = jnp.concatenate([pixx, pixy, jnp.ones_like(pixx)], axis=0)  # (3, P)
+    pixx, pixy, basis = _pixel_basis(i, j, tile_h, tile_w)
 
     nchunks = pl.cdiv(jnp.clip(count - base, 0, kb), chunk)
 
@@ -522,16 +556,10 @@ def _raster_kernel(counts_ref, rows_ref, id_out_ref, z_out_ref,
         best_z, best_id = carry
         s = rows_ref[0, 0, pl.ds(c * chunk, chunk), :]  # (chunk, 16)
 
-        def plane_dot(lo):
-            return jax.lax.dot_general(
-                s[:, lo:lo + 3], basis, (((1,), (0,)), ((), ())),
-                preferred_element_type=F32,
-                precision=jax.lax.Precision.HIGHEST)   # (chunk, P) on MXU
-
-        l0 = plane_dot(_E0X)
-        l1 = plane_dot(_E1X)
-        l2 = plane_dot(_E2X)
-        z = plane_dot(_ZX)
+        l0 = _eval_planes(s, _E0X, pixx, pixy, basis)
+        l1 = _eval_planes(s, _E1X, pixx, pixy, basis)
+        l2 = _eval_planes(s, _E2X, pixx, pixy, basis)
+        z = _eval_planes(s, _ZX, pixx, pixy, basis)
         idf = s[:, _IDF][:, None]
 
         covered = (l0 >= 0.0) & (l1 >= 0.0) & (l2 >= 0.0) & (idf > 0.0)
@@ -577,12 +605,7 @@ def _raster_resolve_kernel(counts_ref, rows_ref, table_ref,
 
     P = tile_h * tile_w
     D = table_ref.shape[-1]          # table block: (1, 1, K, D)
-    ox = (j * tile_w).astype(F32) + 0.5
-    oy = (i * tile_h).astype(F32) + 0.5
-    xs = jax.lax.broadcasted_iota(I32, (1, P), 1).astype(F32)
-    pixx = jnp.remainder(xs, float(tile_w)) + ox
-    pixy = jnp.floor_divide(xs, float(tile_w)) + oy
-    basis = jnp.concatenate([pixx, pixy, jnp.ones_like(pixx)], axis=0)
+    pixx, pixy, basis = _pixel_basis(i, j, tile_h, tile_w)
 
     nchunks = pl.cdiv(count, chunk)
 
@@ -591,16 +614,10 @@ def _raster_resolve_kernel(counts_ref, rows_ref, table_ref,
         s = rows_ref[0, 0, pl.ds(c * chunk, chunk), :]      # (chunk, 16)
         t = table_ref[0, 0, pl.ds(c * chunk, chunk), :]     # (chunk, D)
 
-        def plane_dot(lo):
-            return jax.lax.dot_general(
-                s[:, lo:lo + 3], basis, (((1,), (0,)), ((), ())),
-                preferred_element_type=F32,
-                precision=jax.lax.Precision.HIGHEST)
-
-        l0 = plane_dot(_E0X)
-        l1 = plane_dot(_E1X)
-        l2 = plane_dot(_E2X)
-        z = plane_dot(_ZX)
+        l0 = _eval_planes(s, _E0X, pixx, pixy, basis)
+        l1 = _eval_planes(s, _E1X, pixx, pixy, basis)
+        l2 = _eval_planes(s, _E2X, pixx, pixy, basis)
+        z = _eval_planes(s, _ZX, pixx, pixy, basis)
         idf = s[:, _IDF][:, None]
 
         covered = (l0 >= 0.0) & (l1 >= 0.0) & (l2 >= 0.0) & (idf > 0.0)
@@ -787,12 +804,7 @@ def _raster_stream_kernel(starts_ref, rows_ref, id_out_ref, z_out_ref,
     hi = jnp.where(fresh, hi, lo)
 
     P = tile_h * tile_w
-    ox = (j * tile_w).astype(F32) + 0.5
-    oy = (i * tile_h).astype(F32) + 0.5
-    xs = jax.lax.broadcasted_iota(I32, (1, P), 1).astype(F32)
-    pixx = jnp.remainder(xs, float(tile_w)) + ox
-    pixy = jnp.floor_divide(xs, float(tile_w)) + oy
-    basis = jnp.concatenate([pixx, pixy, jnp.ones_like(pixx)], axis=0)
+    pixx, pixy, basis = _pixel_basis(i, j, tile_h, tile_w)
 
     def body(c, carry):
         best_z, best_id = carry
@@ -800,16 +812,10 @@ def _raster_stream_kernel(starts_ref, rows_ref, id_out_ref, z_out_ref,
         rowpos = c * chunk + jax.lax.broadcasted_iota(I32, (chunk, 1), 0)
         seg = (rowpos >= lo) & (rowpos < hi)           # (chunk, 1)
 
-        def plane_dot(lo_col):
-            return jax.lax.dot_general(
-                s[:, lo_col:lo_col + 3], basis, (((1,), (0,)), ((), ())),
-                preferred_element_type=F32,
-                precision=jax.lax.Precision.HIGHEST)   # (chunk, P) on MXU
-
-        l0 = plane_dot(_E0X)
-        l1 = plane_dot(_E1X)
-        l2 = plane_dot(_E2X)
-        z = plane_dot(_ZX)
+        l0 = _eval_planes(s, _E0X, pixx, pixy, basis)
+        l1 = _eval_planes(s, _E1X, pixx, pixy, basis)
+        l2 = _eval_planes(s, _E2X, pixx, pixy, basis)
+        z = _eval_planes(s, _ZX, pixx, pixy, basis)
         idf = s[:, _IDF][:, None]
 
         covered = ((l0 >= 0.0) & (l1 >= 0.0) & (l2 >= 0.0)

@@ -30,6 +30,7 @@ from ..assets import hdr as hdrlib
 from ..scene import level_io
 from ..scene.camera import Camera
 from ..scene.world import World
+from ..utils import async_fetch
 from ..utils.notify import Notifier
 from . import frame as framelib
 from . import reload as reloadlib
@@ -397,36 +398,44 @@ class Engine:
 
     def _queue_overflow(self, kinds: tuple, values) -> None:
         """kinds: monitor names; values: (len(kinds),) i32 device array.
-        All of a frame's monitors ride ONE stacked array -> one readback
-        (a scalar fetch over the remote tunnel costs ~50 ms of round-trip;
-        fetching four separately dominated the edited-frame loop)."""
-        self._overflow_inflight.append((kinds, values))
+        All of a frame's monitors ride ONE stacked array -> one readback,
+        submitted to the shared background fetch thread
+        (utils/async_fetch): over the remote tunnel ``is_ready`` never
+        turns true in a fetch-free loop and a synchronous fetch costs a
+        ~50-200 ms round-trip — the old every-8th-frame forced fetch was
+        the editor round-trip's biggest per-frame stall."""
+        self._overflow_inflight.append(
+            (kinds, async_fetch.submit_fetch(values)))
 
-    def _check_overflow(self) -> None:
+    def _check_overflow(self, wait: bool = False) -> None:
         """Capacity monitors: if a raster tile (main/forward or shadow view)
         wanted more triangles than its bin envelope, triangles were dropped —
         grow that capacity for the next frame (grow-by-reallocating at
         raster scope, like src/light_render_data.rs:145-152 for lights).
-        Values are polled asynchronously (like the pick readback) so the
-        check normally never blocks the frame loop; every 8th frame the
-        oldest entry is force-fetched — over the remote-TPU tunnel
-        ``is_ready`` can stay false indefinitely (the same pathology as
-        block_until_ready, CLAUDE.md), and dropping every not-ready
-        monitor would mean capacities never grow in a fetch-free render
-        loop. One tiny forced fetch per 8 frames bounds both the blocking
-        cost and the growth latency."""
-        force = self.frame_index % 8 == 0
+        Fetches complete on the background thread; the frame loop only
+        applies finished ones (never blocks). If fetches fall behind the
+        frame rate, queued-but-unstarted ones are dropped — newer frames
+        re-report the same monitors. ``wait`` blocks on each fetch
+        (deterministic tests; keeps shrink accounting, unlike
+        drain_monitors/_settle_sync)."""
         while self._overflow_inflight:
             kinds, head = self._overflow_inflight[0]
-            ready = getattr(head, "is_ready", lambda: True)() or force
-            if not ready:
+            if wait and not head.cancelled():
+                head.result()
+            if not head.done():
                 if len(self._overflow_inflight) >= 4:
-                    self._overflow_inflight.pop(0)  # stale; newer re-reports
-                    continue
+                    # bound the backlog: cancel fetches that never started
+                    futs = async_fetch.drop_pending(
+                        [f for _, f in self._overflow_inflight])
+                    kept = set(id(f) for f in futs)
+                    self._overflow_inflight = [
+                        (k, f) for k, f in self._overflow_inflight
+                        if id(f) in kept]
                 break
-            force = False  # at most one blocking fetch per frame
             self._overflow_inflight.pop(0)
-            if self._apply_monitor_values(kinds, np.asarray(head)):
+            if head.cancelled():
+                continue
+            if self._apply_monitor_values(kinds, head.result()):
                 return
 
     def _settle_sync(self) -> bool:
@@ -435,10 +444,19 @@ class Engine:
         sustained under-occupancy."""
         while self._overflow_inflight:
             kinds, head = self._overflow_inflight.pop(0)
-            if self._apply_monitor_values(kinds, np.asarray(head),
+            if head.cancelled():
+                continue
+            if self._apply_monitor_values(kinds, head.result(),
                                           shrink=False):
                 return True
         return False
+
+    def drain_monitors(self) -> None:
+        """Block until every queued monitor fetch has been applied
+        (benches/tools that must not time a pre-growth envelope)."""
+        while self._overflow_inflight:
+            if self._settle_sync():
+                continue
 
     def _apply_monitor_values(self, kinds, vals, shrink: bool = True) -> bool:
         """Grow/shrink capacities from one fetched monitor stack.

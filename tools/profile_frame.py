@@ -33,7 +33,7 @@ def main() -> None:
     ap.add_argument("--frames", type=int, default=8)
     ap.add_argument("--set", default="all",
                     choices=["all", "filters", "rates", "passes", "layout",
-                             "shadow", "r3", "stream", "next"])
+                             "shadow", "r3", "stream", "next", "rkernel"])
     ap.add_argument("--multilight", action="store_true",
                     help="add point lights up to 4P+1D (BASELINE config 2) "
                          "before packing, so variants measure the "
@@ -85,7 +85,22 @@ def main() -> None:
     params = eng.params
     N = args.frames
 
+    # a variant value may be (cfg, setup_fn): setup_fn() runs before that
+    # variant COMPILES (module-global engine flags are read at trace time)
+    from tinyrenderer_tpu.ops import raster as rasterlib
+
+    def _mxu_planes(on):
+        def setup():
+            rasterlib._PLANES_ON_MXU = on
+        return setup
+
     groups = {
+        "rkernel": {
+            # raster-kernel plane-eval engine (VPU broadcasts vs the
+            # legacy precision-HIGHEST MXU dots)
+            "planes-vpu": (base, _mxu_planes(False)),
+            "planes-mxu": (base, _mxu_planes(True)),
+        },
         "next": {
             # candidate next-default combos (round 3, post dense+bf16).
             # shadow8's wider coarse cells mark a wider refinement band:
@@ -198,7 +213,11 @@ def main() -> None:
         framelib.compiled_frame.cache_clear()
 
     loops = {}
-    for name, cfg in variants.items():
+    for name, entry in variants.items():
+        cfg, setup = entry if isinstance(entry, tuple) else (entry, None)
+        if setup is not None:
+            setup()
+            framelib.compiled_frame.cache_clear()
         vpool = eng._packer.pool_for(cfg)
         # steady-state shadow atlas, rendered once per variant config
         # (engine caching semantics; honors shadow_bf16 row width)
