@@ -34,7 +34,7 @@ screen space that is a negative signed area.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -64,6 +64,11 @@ W_EPS = 1e-6
 # splitting) and matches the jnp reference path's arithmetic. Module
 # global so tools/profile_frame.py can A/B both engines in one process.
 _PLANES_ON_MXU = False
+# The VPU form's (chunk, P) temporaries blow VMEM past this pixel count
+# when combined with a large bin block (measured: P=16384 with kb=4096
+# crashes the Mosaic compile subprocess; P=8192 at any K and P=16384 at
+# K<=128 are fine) — big shadow tiles (128x128) keep the MXU dots.
+_VPU_PLANES_MAX_P = 8192
 
 
 class TriangleSetup(NamedTuple):
@@ -83,16 +88,26 @@ def transform_vertices(positions: jax.Array, vert_instance: jax.Array,
                        ) -> tuple[jax.Array, jax.Array]:
     """Object-space positions -> (world (V, 3), clip (V, 4)).
 
-    Per-vertex model matrices are gathered by instance slot; the combined
-    transform runs as one fused einsum (MXU-friendly batched mat4 products).
-    Replaces the instance-attribute vertex shaders (gbuffer_geometry.wgsl:50-85).
+    Per-vertex model matrices are gathered by instance slot as FLAT
+    (V, 16) rows and applied as per-column (V,) multiply-adds. The
+    original batched-einsum form materialized a (V, 4, 4) tensor whose
+    (4, 4) minor dims tile-pad to (8, 128) vector registers — a 32x
+    memory bloat that made the 131k-vertex transform ~1 ms instead of
+    ~30 us (high-poly trace, round 3). Column math keeps every operand a
+    full-lane (V,) vector. Replaces the instance-attribute vertex shaders
+    (gbuffer_geometry.wgsl:50-85).
     """
-    m = jnp.take(inst_model, vert_instance, axis=0)     # (V, 4, 4)
-    world = jnp.einsum("vij,vj->vi", m[:, :3, :],
-                       jnp.concatenate([positions, jnp.ones_like(positions[:, :1])], axis=1),
-                       preferred_element_type=F32)      # (V, 3)
-    wh = jnp.concatenate([world, jnp.ones_like(world[:, :1])], axis=1)
-    clip = wh @ view_proj.T                             # (V, 4)
+    m = jnp.take(inst_model.reshape(-1, 16), vert_instance, axis=0)  # (V, 16)
+    px, py, pz = positions[:, 0], positions[:, 1], positions[:, 2]
+    world_cols = [m[:, 4 * i] * px + m[:, 4 * i + 1] * py
+                  + m[:, 4 * i + 2] * pz + m[:, 4 * i + 3]
+                  for i in range(3)]                                 # 3x (V,)
+    wx, wy, wz = world_cols
+    vp = view_proj  # clip_i = sum_j vp[i, j] * world_j + vp[i, 3]
+    clip_cols = [vp[i, 0] * wx + vp[i, 1] * wy + vp[i, 2] * wz + vp[i, 3]
+                 for i in range(4)]
+    world = jnp.stack(world_cols, axis=1)
+    clip = jnp.stack(clip_cols, axis=1)
     return world, clip
 
 
@@ -104,19 +119,26 @@ def triangle_setup(clip: jax.Array, tri_vidx: jax.Array, tri_mask: jax.Array,
     gbuffer_geometry_renderer.rs:231-237), 'front' keeps back faces (shadow
     passes — the reference's x-flip turns its back-culling into effective
     front-culling, src/pipelines/shadow_rp.rs:81-86), 'none' keeps both.
+
+    Corner data is gathered per corner ((T, 4) rows) and the screen-space
+    math runs on full-lane (T,) columns — a single (T, 3, 4) corner
+    gather's narrow minor dims tile-pad to vector registers and made this
+    setup ~3x its bandwidth cost on 131k-triangle pools (high-poly trace,
+    round 3).
     """
-    c = jnp.take(clip, tri_vidx, axis=0)   # (T, 3, 4)
-    w = c[..., 3]                          # (T, 3)
-    w_ok = jnp.all(w > W_EPS, axis=1)
+    cs = [jnp.take(clip, tri_vidx[:, k], axis=0) for k in range(3)]  # (T,4)x3
+    ws = [c[:, 3] for c in cs]             # (T,) x3
+    w_ok = (ws[0] > W_EPS) & (ws[1] > W_EPS) & (ws[2] > W_EPS)
 
-    inv_w = 1.0 / jnp.where(jnp.abs(w) > W_EPS, w, 1.0)
-    ndc = c[..., :3] * inv_w[..., None]    # (T, 3, 3)
-    sx = (ndc[..., 0] * 0.5 + 0.5) * width
-    sy = (0.5 - ndc[..., 1] * 0.5) * height   # y flipped: NDC +y is up
-    z = ndc[..., 2]                        # reverse-Z depth
+    inv_ws = [1.0 / jnp.where(jnp.abs(w) > W_EPS, w, 1.0) for w in ws]
+    sxs = [(c[:, 0] * iw * 0.5 + 0.5) * width
+           for c, iw in zip(cs, inv_ws)]
+    sys_ = [(0.5 - c[:, 1] * iw * 0.5) * height   # y flipped: NDC +y is up
+            for c, iw in zip(cs, inv_ws)]
+    zs = [c[:, 2] * iw for c, iw in zip(cs, inv_ws)]  # reverse-Z depth
 
-    x0, x1, x2 = sx[:, 0], sx[:, 1], sx[:, 2]
-    y0, y1, y2 = sy[:, 0], sy[:, 1], sy[:, 2]
+    x0, x1, x2 = sxs
+    y0, y1, y2 = sys_
     area2 = (x1 - x0) * (y2 - y0) - (x2 - x0) * (y1 - y0)
 
     if cull == "back":
@@ -137,13 +159,13 @@ def triangle_setup(clip: jax.Array, tri_vidx: jax.Array, tri_mask: jax.Array,
     e2x, e2y = (y0 - y1) * inv_area, (x1 - x0) * inv_area
     e2c = (x0 * y1 - x1 * y0) * inv_area
     # NDC depth is affine in screen space: z(x, y) = sum_i lambda_i * z_i.
-    zx = e0x * z[:, 0] + e1x * z[:, 1] + e2x * z[:, 2]
-    zy = e0y * z[:, 0] + e1y * z[:, 1] + e2y * z[:, 2]
-    zc = e0c * z[:, 0] + e1c * z[:, 1] + e2c * z[:, 2]
+    zx = e0x * zs[0] + e1x * zs[1] + e2x * zs[2]
+    zy = e0y * zs[0] + e1y * zs[1] + e2y * zs[2]
+    zc = e0c * zs[0] + e1c * zs[1] + e2c * zs[2]
 
     idf = (jnp.arange(tri_vidx.shape[0], dtype=I32) + 1).astype(F32)
     rows = jnp.stack([e0x, e0y, e0c, e1x, e1y, e1c, e2x, e2y, e2c,
-                      zx, zy, zc, idf, inv_w[:, 0], inv_w[:, 1], inv_w[:, 2]],
+                      zx, zy, zc, idf, inv_ws[0], inv_ws[1], inv_ws[2]],
                      axis=1)
     rows = jnp.where(valid[:, None], rows, 0.0)
 
@@ -154,7 +176,10 @@ def triangle_setup(clip: jax.Array, tri_vidx: jax.Array, tri_mask: jax.Array,
         jnp.maximum(jnp.maximum(y0, y1), y2),
     ], axis=1)
 
-    screen = jnp.stack([sx, sy], axis=2)
+    screen = jnp.stack([jnp.stack(sxs, axis=1), jnp.stack(sys_, axis=1)],
+                       axis=2)
+    inv_w = jnp.stack(inv_ws, axis=1)
+    z = jnp.stack(zs, axis=1)
     return TriangleSetup(rows=rows, valid=valid, bbox=bbox, screen=screen,
                          inv_w=inv_w, z_ndc=z)
 
@@ -505,7 +530,7 @@ def _pixel_basis(i, j, tile_h: int, tile_w: int):
     pixx = jnp.remainder(xs, float(tile_w)) + ox
     pixy = jnp.floor_divide(xs, float(tile_w)) + oy
     basis = (jnp.concatenate([pixx, pixy, jnp.ones_like(pixx)], axis=0)
-             if _PLANES_ON_MXU else None)
+             if (_PLANES_ON_MXU or P > _VPU_PLANES_MAX_P) else None)
     return pixx, pixy, basis
 
 
@@ -855,7 +880,12 @@ def rasterize_stream(sbins: StreamBins, tiles_y: int, tiles_x: int,
     kmax bounds the per-tile segment length the kernel will walk
     (cfg.bin_capacity — monitored via sbins.overflow); longer segments
     lose their tail until the engine grows the envelope. Returns
-    (tri_id, depth) exactly as rasterize_binned."""
+    (tri_id, depth) exactly as rasterize_binned.
+
+    chunk stays small: per-tile cost is max(chunk, segment) rows of
+    (chunk, P) lane work, and stream segments are short — chunk=256 at
+    (8, 128) tiles measured SLOWER (44.5 vs 37.6 ms on the 108k-tri
+    scene) because most tiles padded a mostly-empty 256-row chunk."""
     Ls = sbins.rows.shape[0]
     kb = min(2048, Ls)
     assert Ls % kb == 0, "stream capacity must be a multiple of 2048"

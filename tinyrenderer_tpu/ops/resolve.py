@@ -165,9 +165,15 @@ def resolve_gbuffer(tri_id: jax.Array, depth: jax.Array, setup_rows: jax.Array,
 # gathers; everything else is plane evaluation on the VPU.
 # ---------------------------------------------------------------------------
 
-# constant-channel layout appended after the planes
+# Table layout: [denominator plane (3: x, y, c) | attribute numerator
+# planes as three COMPONENT BLOCKS A_x (14), A_y (14), A_c (14) | consts].
+# The block form lets the table build and the plane evaluation run as
+# (T/P, 14)-wide ops — the previous per-attribute (c, j) interleave
+# needed a (T, 14, 3) tensor whose minor dims tile-pad to vector
+# registers (measured ~3x bandwidth bloat on 131k-triangle pools).
 _N_ATTR = 14          # world3 uv2 normal3 tangent3 bitangent3
 _PLANES = 3 * (_N_ATTR + 1)   # + the 1/w denominator plane
+_AX, _AY, _AC = 3, 3 + _N_ATTR, 3 + 2 * _N_ATTR   # block starts
 CONST_FLAT = _PLANES          # mat_flat: 6
 CONST_REC = _PLANES + 6       # composite material record index
 CONST_OBJ = _PLANES + 7       # object id
@@ -178,22 +184,31 @@ def build_gbuffer_table(setup, tri_vidx: jax.Array, attrs: "VertexAttrs",
                         tri_instance: jax.Array, inst_object_id: jax.Array,
                         inst_material: jax.Array, mat_record: jax.Array,
                         mat_flat: jax.Array) -> jax.Array:
-    """(T, ROW_D) per-triangle resolve table (triangle-level gathers only)."""
-    T = tri_vidx.shape[0]
-    corner = jnp.take(attrs.rows(), tri_vidx, axis=0)        # (T, 3, C)
-    aw = corner * setup.inv_w[..., None]                     # a_ci / w_i
-    E = setup.rows[:, 0:9].reshape(T, 3, 3)                  # corner edge planes
-    p_attr = jnp.einsum("tic,tij->tcj", aw, E,
-                        preferred_element_type=F32)          # (T, C, 3)
-    p_w = jnp.einsum("ti,tij->tj", setup.inv_w, E,
-                     preferred_element_type=F32)             # (T, 3)
+    """(T, ROW_D) per-triangle resolve table (triangle-level gathers only).
+
+    Corner attributes are gathered per corner ((T, 14) rows) and the
+    plane accumulation runs block-wise: A_j = sum_k (attrs_k / w_k) *
+    E_kj for j in {x, y, c} — all (T, 14) full-width ops, no (T, 3, C)
+    intermediates."""
+    attr_rows = attrs.rows()                                 # (V, 14)
+    blocks = [None, None, None]                              # A_x, A_y, A_c
+    pw = [None, None, None]
+    for k in range(3):
+        ak = jnp.take(attr_rows, tri_vidx[:, k], axis=0)     # (T, 14)
+        iwk = setup.inv_w[:, k]
+        awk = ak * iwk[:, None]
+        for j in range(3):                                   # e_kj columns
+            e = setup.rows[:, 3 * k + j]
+            blocks[j] = awk * e[:, None] if blocks[j] is None \
+                else blocks[j] + awk * e[:, None]
+            pw[j] = iwk * e if pw[j] is None else pw[j] + iwk * e
     mat = jnp.take(inst_material, tri_instance)
-    consts = jnp.concatenate([
+    consts = [
         jnp.take(mat_flat, mat, axis=0),                     # (T, 6)
         jnp.take(mat_record, mat).astype(F32)[:, None],      # (T, 1)
         jnp.take(inst_object_id, tri_instance).astype(F32)[:, None],  # (T, 1)
-    ], axis=1)
-    rows = jnp.concatenate([p_w, p_attr.reshape(T, -1), consts], axis=1)
+    ]
+    rows = jnp.concatenate([jnp.stack(pw, axis=1)] + blocks + consts, axis=1)
     return jnp.where(setup.valid[:, None], rows, 0.0)
 
 
@@ -238,14 +253,10 @@ def resolve_attrs_from_sel_at(tri_id: jax.Array, sel: jax.Array,
     tri_id: (...); sel: (..., D); px/py: broadcastable to (..., 1) pixel
     centers — the standard full-screen grid, or per-slot global coordinates
     for tile-compacted domains."""
-    def plane_eval(block):  # (..., 3k) -> (..., k)
-        k = block.shape[-1] // 3
-        b = block.reshape(*block.shape[:-1], k, 3)
-        return b[..., 0] * px + b[..., 1] * py + b[..., 2]
-
-    denom = plane_eval(sel[..., 0:3])                        # (..., 1)
+    denom = (sel[..., 0:1] * px + sel[..., 1:2] * py + sel[..., 2:3])
     denom = jnp.where(jnp.abs(denom) > 1e-20, denom, 1.0)
-    a = plane_eval(sel[..., 3:_PLANES]) / denom              # (..., 14)
+    a = (sel[..., _AX:_AY] * px + sel[..., _AY:_AC] * py
+         + sel[..., _AC:_PLANES]) / denom                    # (..., 14)
 
     valid = tri_id >= 0
     return ResolvedAttrs(
@@ -296,18 +307,15 @@ def resolve_attrs_tiled(tri_id: jax.Array, bin_ids: jax.Array,
     p = jnp.arange(tile_h * tile_w, dtype=F32)
     lx = jnp.remainder(p, float(tile_w))
     ly = jnp.floor_divide(p, float(tile_w))
-    px = (jnp.arange(tx, dtype=F32) * tile_w)[None, :, None] + lx + 0.5
-    py = (jnp.arange(ty, dtype=F32) * tile_h)[:, None, None] + ly + 0.5
+    px = ((jnp.arange(tx, dtype=F32) * tile_w)[None, :, None]
+          + lx + 0.5)[..., None]
+    py = ((jnp.arange(ty, dtype=F32) * tile_h)[:, None, None]
+          + ly + 0.5)[..., None]
 
-    def plane_eval(block):  # (ty, tx, P, 3k) -> (ty, tx, P, k)
-        k = block.shape[-1] // 3
-        b = block.reshape(*block.shape[:-1], k, 3)
-        return (b[..., 0] * px[..., None] + b[..., 1] * py[..., None]
-                + b[..., 2])
-
-    denom = plane_eval(sel[..., 0:3])
+    denom = sel[..., 0:1] * px + sel[..., 1:2] * py + sel[..., 2:3]
     denom = jnp.where(jnp.abs(denom) > 1e-20, denom, 1.0)
-    a = plane_eval(sel[..., 3:_PLANES]) / denom              # (.., P, 14)
+    a = (sel[..., _AX:_AY] * px + sel[..., _AY:_AC] * py
+         + sel[..., _AC:_PLANES]) / denom                    # (.., P, 14)
     out_t = jnp.concatenate([a, sel[..., _PLANES:ROW_D]], axis=-1)  # 22ch
 
     # single untile of the evaluated channels
@@ -347,8 +355,8 @@ def _write_eval(acc, i, j, out_refs, tile_h: int, tile_w: int) -> None:
 
     denom = acc[0:1] * px + acc[1:2] * py + acc[2:3]         # (1, P)
     denom = jnp.where(jnp.abs(denom) > 1e-20, denom, 1.0)
-    b = acc[3:_PLANES].reshape(_N_ATTR, 3, P)
-    attrs = (b[:, 0] * px + b[:, 1] * py + b[:, 2]) / denom  # (14, P)
+    attrs = (acc[_AX:_AY] * px + acc[_AY:_AC] * py
+             + acc[_AC:_PLANES]) / denom                     # (14, P)
     consts = acc[CONST_FLAT:ROW_D]                           # (8, P)
     if len(out_refs) == 2:
         outf_ref, outh_ref = out_refs

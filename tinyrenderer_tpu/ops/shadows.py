@@ -135,7 +135,7 @@ def _compare_pcf(shadow_map: jax.Array, u: jax.Array, v: jax.Array,
 
 
 def gate_refined_visibility(vis_fn, vis_slot, pos: jax.Array, scale: int,
-                            block_capacity: int
+                            block_capacity: int, halo_exchange=None
                             ) -> tuple[jax.Array, jax.Array]:
     """Binary shadow gate at full resolution from a strided coarse pass +
     exact re-evaluation of boundary blocks.
@@ -163,8 +163,14 @@ def gate_refined_visibility(vis_fn, vis_slot, pos: jax.Array, scale: int,
     vis_slot(pos_c, li_c): exact visibility of compacted blocks pos_c
     (K, bh, bw, 3) under each block's OWN light li_c (K,) int32 (points
     first) — see :func:`make_vis_slot`.
-    pos: (H, W, 3). Returns ((H, W, L) f32 0/1 gates, () i32 total
-    (light, block) work items wanted, monitoring cfg.shadow_block_capacity).
+    pos: (H, W, 3). ``halo_exchange``: optional callable mapping the
+    coarse gate grid lo (hl, wl, L) bool to (above (1, wl, L),
+    below (1, wl, L)) — the NEIGHBORING image bands' boundary coarse rows
+    (the sharded frame passes a ppermute closure). Without it a band pads
+    edge-mode at its boundary, missing cross-band gate disagreements and
+    skipping the refinement blocks the single-chip frame refines there.
+    Returns ((H, W, L) f32 0/1 gates, () i32 total (light, block) work
+    items wanted, monitoring cfg.shadow_block_capacity).
     """
     from . import compact
 
@@ -183,7 +189,13 @@ def gate_refined_visibility(vis_fn, vis_slot, pos: jax.Array, scale: int,
     # Diagonals are required: an edge clipping only a cell's CORNER leaves
     # all four 4-neighbors agreeing while the full-rate gate disagrees on
     # the corner pixels (regression: tests/test_ops.py diagonal gate).
-    padded = jnp.pad(lo, ((1, 1), (1, 1), (0, 0)), mode="edge")
+    if halo_exchange is not None:
+        above, below = halo_exchange(lo)
+        rows = jnp.concatenate([above.astype(bool), lo,
+                                below.astype(bool)], axis=0)
+        padded = jnp.pad(rows, ((0, 0), (1, 1), (0, 0)), mode="edge")
+    else:
+        padded = jnp.pad(lo, ((1, 1), (1, 1), (0, 0)), mode="edge")
     edge = jnp.zeros(lo.shape, bool)
     for dy in (0, 1, 2):
         for dx in (0, 1, 2):

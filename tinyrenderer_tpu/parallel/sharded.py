@@ -192,9 +192,29 @@ def _render_band(scene: SceneGPU, pool, lights: LightsGPU, atlas,
             if Pn > 0 else None,
             lights.dir_viewproj[:D] if D > 0 else None, atlas, bias=sbias)
 
+        # coarse-gate halo exchange: a band's boundary coarse cells must
+        # see the NEIGHBOR band's gates for edge detection, or blocks the
+        # single-chip frame refines at band seams are silently skipped
+        # (keep-in-sync invariant; one (1, wl, L) u8 ppermute each way)
+        nsp = (proj_h or cfg.padded_height) // band_h
+
+        def halo_exchange(lo):
+            u8 = lo.astype(jnp.uint8)
+            above = jax.lax.ppermute(
+                u8[-1:], "sp", [(k, k + 1) for k in range(nsp - 1)])
+            below = jax.lax.ppermute(
+                u8[:1], "sp", [(k + 1, k) for k in range(nsp - 1)])
+            sp_i = jax.lax.axis_index("sp")
+            # frame top/bottom: duplicate own row (the edge-mode pad the
+            # single-chip path applies at the frame border)
+            above = jnp.where(sp_i == 0, u8[:1], above)
+            below = jnp.where(sp_i == nsp - 1, u8[-1:], below)
+            return above, below
+
         gates, shadow_blocks = shadows.gate_refined_visibility(
             vis_all, vis_slot, g.position, cfg.shadow_lookup_scale,
-            cfg.shadow_block_capacity)
+            cfg.shadow_block_capacity,
+            halo_exchange=halo_exchange if nsp > 1 else None)
 
         def point_shadow_fn(i, pos):  # noqa: E306
             return gates[..., i]
@@ -212,14 +232,32 @@ def _render_band(scene: SceneGPU, pool, lights: LightsGPU, atlas,
 
     if env is not None:
         s = cfg.sky_scale
-        sky = envops.skybox_colors(env.env_cube, cam["proj_inv"],
-                                   cam["view_inv"][:3, :3], PW // s,
-                                   band_h // s, y0=y0 / s,
-                                   full_height=PH // s,
-                                   rgbe_win=(env.sky_rgbe if cfg.sky_rgbe
-                                             else None))
         if s > 1:
-            sky = framelib._upsample_bilinear(sky, (band_h, PW, 3))
+            # render the low-res strip with ONE extra coarse row above and
+            # below (pure unprojection — rows outside the band are as
+            # computable as inside), emulate the frame-border clamp, and
+            # crop the upsample back to the band: bit-identical to the
+            # single-chip path's global upsample (a band-local upsample
+            # reads clamped phantom rows at band seams otherwise)
+            hl = band_h // s
+            nsp = (proj_h or cfg.padded_height) // band_h
+            strip = envops.skybox_colors(
+                env.env_cube, cam["proj_inv"], cam["view_inv"][:3, :3],
+                PW // s, hl + 2, y0=y0 / s - 1.0, full_height=PH // s,
+                rgbe_win=(env.sky_rgbe if cfg.sky_rgbe else None))
+            sp_i = jax.lax.axis_index("sp")
+            top = jnp.where(sp_i == 0, strip[1:2], strip[0:1])
+            bot = jnp.where(sp_i == nsp - 1, strip[hl:hl + 1],
+                            strip[hl + 1:hl + 2])
+            strip = jnp.concatenate([top, strip[1:hl + 1], bot], axis=0)
+            sky = framelib._upsample_bilinear(
+                strip, ((hl + 2) * s, PW, 3))[s:s + band_h]
+        else:
+            sky = envops.skybox_colors(env.env_cube, cam["proj_inv"],
+                                       cam["view_inv"][:3, :3], PW, band_h,
+                                       y0=y0, full_height=PH,
+                                       rgbe_win=(env.sky_rgbe if cfg.sky_rgbe
+                                                 else None))
         hdr = jnp.where(g.mask[..., None], hdr, sky)
 
     # forward pass (gizmos/billboards), band-local, own small triangle
