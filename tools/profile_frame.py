@@ -121,6 +121,10 @@ def main() -> None:
                                           sky_scale=8,
                                           texture_filter="stochastic",
                                           windowed_pool=False),
+            # dense material sampling (no block compaction): pays ~33%
+            # more gather rows on test.lvl but skips the to_blocks/
+            # from_blocks relayout round-trip (~3.6 ms in the trace)
+            "densetex": replace(base, tex_block_capacity=0),
         },
         "r3": {
             # round-3 levers: gate-refined shadows, RGBE one-gather sky
@@ -224,9 +228,12 @@ def main() -> None:
         vatlas = None if cfg.forward_only else jax.block_until_ready(
             framelib.compiled_shadow_atlas(cfg)(scene, lights)[0])
 
-        def make(cfg, vpool, vatlas):
+        def make(cfg):
+            # pool/atlas ride as ARGUMENTS: closure constants over ~100 MB
+            # blow the remote-compile request (HTTP 413, CLAUDE.md) — the
+            # 25-view multilight atlas is 420 MB
             @jax.jit
-            def loop(cam, scene, lights, params, env):
+            def loop(cam, scene, lights, params, env, vpool, vatlas):
                 def step(c, _):
                     out = framelib.render_frame(scene, vpool, lights, c,
                                                 params, env, cfg, vatlas)
@@ -235,15 +242,16 @@ def main() -> None:
                 _, outs = jax.lax.scan(step, cam, None, length=N)
                 return outs.sum()
             return loop
-        loops[name] = make(cfg, vpool, vatlas)
+        loops[name] = (make(cfg), vpool, vatlas)
         print(f"compiling {name}...", flush=True)
-        float(loops[name](cam0, scene, lights, params, env))
+        fn, vpool, vatlas = loops[name]
+        float(fn(cam0, scene, lights, params, env, vpool, vatlas))
 
     samples = collections.defaultdict(list)
     for r in range(args.rounds):
-        for name, loop in loops.items():
+        for name, (loop, vpool, vatlas) in loops.items():
             t0 = time.perf_counter()
-            float(loop(cam0, scene, lights, params, env))
+            float(loop(cam0, scene, lights, params, env, vpool, vatlas))
             samples[name].append((time.perf_counter() - t0) * 1e3 / N)
 
     print(f"\n{'variant':22s} {'median':>9s} {'min':>9s}   (ms/frame, "
