@@ -316,9 +316,11 @@ def verify_tpu_goldens() -> dict:
         use_pallas=True, enable_ssr=False,
         # goldens are CPU-rendered through the f32 jnp path: compare the
         # kernels at full precision; the intentional bf16 trade gets its
-        # own variant case below. Lookup rates pinned at the values the
-        # goldens were rendered with (1080p defaults moved to 8).
-        bf16_attrs=False, shadow_lookup_scale=4, sky_scale=4)
+        # own variant case below. Lookup rates + atlas precision pinned at
+        # the values the goldens were rendered with (1080p defaults moved
+        # to 8 / bf16).
+        bf16_attrs=False, shadow_lookup_scale=4, sky_scale=4,
+        shadow_bf16=False)
 
     def build(scene, cfg):
         if scene == "test_lvl":

@@ -25,10 +25,10 @@ CFG = RenderConfig(
     env_size=32, irradiance_size=8, texture_size=64, mip_levels=4,
     max_vertices=8192, max_triangles=4096, max_instances=64,
     use_pallas=False, enable_ssr=False,
-    # lookup rates pinned: the 1080p-tuned defaults moved to 8 in round 3,
-    # which on a 256x128 probe scene would mean a 32x16 coarse grid —
-    # goldens keep the rates the images were pinned at
-    shadow_lookup_scale=4, sky_scale=4,
+    # lookup rates + atlas precision pinned: the 1080p-tuned defaults
+    # moved to 8 / bf16 in round 3; goldens keep the values the images
+    # were pinned at (and compare the f32 kernels strictly)
+    shadow_lookup_scale=4, sky_scale=4, shadow_bf16=False,
 )
 
 

@@ -189,8 +189,12 @@ class RenderConfig:
     # TPU gather rows pay per byte). The depth compare quantizes the
     # occluder depth to 8 mantissa bits — the back-face bake convention
     # already separates occluder and receiver by the object's thickness,
-    # so the ~0.2% relative noise is far below the natural bias.
-    shadow_bf16: bool = False
+    # so the ~0.2% relative noise is far below the natural bias. Measured
+    # ~0% on the 7-view default scene but −2 ms on config 2's 25-view
+    # 420 MB atlas (gather cost grows with table size) — on by default,
+    # off in reference_parity and the golden-verify configs (f32 compare
+    # parity with the CPU goldens).
+    shadow_bf16: bool = True
     # Morton (Z-curve) texel order inside each mip level: locally-smooth
     # uv streams (floors, walls) hit nearby pool rows in both u and v,
     # raising the gather unit's locality (sequential gathers measured ~5x
@@ -234,7 +238,8 @@ class RenderConfig:
         return replace(self, texture_filter="trilinear",
                        shadow_lookup_scale=1, sky_scale=1, texture_scale=1,
                        texture_size=1024, mip_levels=10, sky_rgbe=False,
-                       native_texture_pool=True, bf16_attrs=False)
+                       native_texture_pool=True, bf16_attrs=False,
+                       shadow_bf16=False)
 
     @property
     def tiles_y(self) -> int:

@@ -384,6 +384,24 @@ class Engine:
         """Never shrink below the dataclass default for the field."""
         return getattr(config.RenderConfig(), field)
 
+    def _tex_block_count(self) -> int:
+        """Total (8, bw) screen blocks of the frame the tex monitor
+        describes (the internal low-res frame under render_scale_pct) —
+        the dense-sampling threshold for tex_block_capacity growth."""
+        from ..ops import compact
+
+        cfg = self.cfg
+        if cfg.render_scale_pct != 100:
+            pct = cfg.render_scale_pct
+            cfg = replace(cfg, render_scale_pct=100,
+                          width=max(cfg.tile_w, (cfg.width * pct) // 100),
+                          height=max(cfg.tile_h, (cfg.height * pct) // 100))
+        dims = compact.block_dims(cfg.padded_height, cfg.padded_width)
+        if dims is None:
+            return 0
+        bh, bw = dims
+        return (cfg.padded_height // bh) * (cfg.padded_width // bw)
+
     # capacity monitors: (kind, config field, toast label)
     _OVERFLOW_KINDS = {
         "bins": ("bin_capacity", "Raster bin overflow"),
@@ -490,6 +508,20 @@ class Engine:
                         # dense) wastes the whole saving; 12.5% headroom
                         # rounded to 256 blocks
                         new_cap = -(-int(v * 1.125) // 256) * 256
+                        if kind == "tex":
+                            # high occupancy: the block-compaction round
+                            # trip (to_blocks/plan/scatter relayouts,
+                            # ~3.6 ms at 1080p) costs more than the extra
+                            # gather rows it saves — measured dense 24.5
+                            # vs compacted 29.6 ms on test.lvl's 75%
+                            # textured screen. Grow straight to the block
+                            # count: sample_pool_compacted goes dense at
+                            # capacity >= n_blocks (zero overhead), and
+                            # the shrink hysteresis re-compacts if
+                            # occupancy falls.
+                            nb = self._tex_block_count()
+                            if nb and new_cap >= nb // 2:
+                                new_cap = nb
                     else:
                         new_cap = 1 << (v - 1).bit_length()
                     log.info("%s %d > %d; growing %s to %d",
