@@ -24,6 +24,16 @@ import numpy as np
 F32 = jnp.float32
 I32 = jnp.int32
 
+# Windowed-blend domain (A/B flag for tools/profile_frame.py --set
+# wblend). Interleaved 1080p A/B: flat (N, 4C) rows 27.2 ms vs (H, W, 4C)
+# image tensors 23.9 — image shapes WIN despite the ~1.5 ms of relayout
+# copies the trace attributes between gather/convert/blend, because XLA
+# lays (H, W, C) out with W in the 128 lanes (full occupancy) while a
+# flat (N, C<128) blend output pads C to the lanes (14x bloat at C=9).
+# Rule of thumb: flat 2D rows for GATHER TABLES and per-row/triangle
+# math; image-shaped tensors for bulk per-pixel math.
+_FLAT_WINDOW_BLEND = False
+
 
 @jax.tree_util.register_pytree_node_class
 class TexturePoolGPU:
@@ -253,9 +263,21 @@ def _sample_bilinear_dynamic_level(pool: TexturePoolGPU, tex: jax.Array,
         # one gather fetches all 4 bilinear corners (window layout)
         x0c = jnp.clip(x0i, 0, sizes - 1)
         y0c = jnp.clip(y0i, 0, sizes - 1)
-        row = pool._decode(jnp.take(
-            pool.texels, base + pool._texel_index(y0c, x0c, sizes), axis=0))
+        idx = base + pool._texel_index(y0c, x0c, sizes)
         C = pool.base_channels
+        if _FLAT_WINDOW_BLEND:
+            # decode + blend on the FLAT (N, 4C) gathered rows instead of
+            # (H, W, 4C) 3D tensors (layout-relayout A/B; see flag note)
+            row = pool._decode(jnp.take(pool.texels, idx.reshape(-1),
+                                        axis=0))
+            fxf = fx.reshape(-1, 1)
+            fyf = fy.reshape(-1, 1)
+            out = ((row[:, 0:C] * (1 - fxf) + row[:, C:2 * C] * fxf)
+                   * (1 - fyf)
+                   + (row[:, 2 * C:3 * C] * (1 - fxf)
+                      + row[:, 3 * C:4 * C] * fxf) * fyf)
+            return out.reshape(*idx.shape, C)
+        row = pool._decode(jnp.take(pool.texels, idx, axis=0))
         c00 = row[..., 0:C]
         c10 = row[..., C:2 * C]
         c01 = row[..., 2 * C:3 * C]

@@ -33,7 +33,7 @@ def main() -> None:
     ap.add_argument("--frames", type=int, default=8)
     ap.add_argument("--set", default="all",
                     choices=["all", "filters", "rates", "passes", "layout",
-                             "shadow", "r3", "stream", "next", "rkernel"])
+                             "shadow", "r3", "stream", "next", "rkernel", "wblend"])
     ap.add_argument("--multilight", action="store_true",
                     help="add point lights up to 4P+1D (BASELINE config 2) "
                          "before packing, so variants measure the "
@@ -94,7 +94,17 @@ def main() -> None:
             rasterlib._PLANES_ON_MXU = on
         return setup
 
+    def _flat_blend(on):
+        def setup():
+            sampling._FLAT_WINDOW_BLEND = on
+        return setup
+
     groups = {
+        "wblend": {
+            # windowed-blend domain: flat (N, 4C) rows vs (H, W, 4C)
+            "flat": (base, _flat_blend(True)),
+            "image3d": (base, _flat_blend(False)),
+        },
         "rkernel": {
             # raster-kernel plane-eval engine (VPU broadcasts vs the
             # legacy precision-HIGHEST MXU dots)
