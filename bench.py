@@ -38,7 +38,13 @@ import time
 
 BASELINE_MS = 16.0
 WARMUP = 2
-ITERS = 15          # frames per scan
+# frames per scan: the timed unit is one scan + ONE host fetch, so the
+# tunnel round-trip (~35 ms) amortizes as RTT/ITERS per frame — a
+# measured 3.5 ms/frame at N=10 for an EMPTY scan body
+# (tools/bench_stages.py 'null' row). 32 frames/scan keeps that
+# measurement tax ~1 ms; the scan-doubling check still guards against
+# constant folding.
+ITERS = 32
 REPS = 4            # timed scan repetitions (percentiles over these)
 RETRIES = 5
 # tunnel outages last minutes, not seconds: escalate the backoff so a
