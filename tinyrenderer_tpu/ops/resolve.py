@@ -340,12 +340,15 @@ def _write_eval(acc, i, j, out_refs, tile_h: int, tile_w: int) -> None:
     numerator/denominator planes of the accumulated (Dp, P) selection at
     this tile's pixel centers and write the 22 result channels.
 
-    One out ref: all channels f32 (rows [attrs 14 | flat 6 | record | oid],
-    padded to the ref's row count). Two out refs (cfg.bf16_attrs): the
-    f32 ref carries [world3 uv2 record oid] and the bf16 ref carries
-    [normal3 tangent3 bitangent3 flat6] — the channels that tolerate 8
-    mantissa bits (normals are normalized downstream; flat params are
-    8-bit colors) — cutting ~1/3 of the output + untile HBM traffic."""
+    Outputs are CHANNEL-FIRST image blocks (C, tile_h, tile_w) of a
+    (C, H, W) array — the (C, P) accumulator reshapes into them for
+    free, and (C, H, W) keeps W in the 128 vector lanes so downstream
+    slicing/moveaxis is one healthy relayout instead of the multi-copy
+    untile chain the old (ty, tx, C, P) output needed (~1.8 ms at
+    1080p). One out ref: all channels f32 (rows [attrs 14 | flat 6 |
+    record | oid]). Two out refs (cfg.bf16_attrs): the f32 ref carries
+    [world3 uv2 record oid] and the bf16 ref [normal3 tangent3
+    bitangent3 flat6] — the channels that tolerate 8 mantissa bits."""
     P = tile_h * tile_w
     ox = (j * tile_w).astype(F32) + 0.5
     oy = (i * tile_h).astype(F32) + 0.5
@@ -360,18 +363,15 @@ def _write_eval(acc, i, j, out_refs, tile_h: int, tile_w: int) -> None:
     consts = acc[CONST_FLAT:ROW_D]                           # (8, P)
     if len(out_refs) == 2:
         outf_ref, outh_ref = out_refs
-        nf = outf_ref.shape[-2] - 7
-        outf_ref[0, 0] = jnp.concatenate(
-            [attrs[0:5], consts[6:8], jnp.zeros((nf, P), F32)], axis=0)
-        nh = outh_ref.shape[-2] - 15
-        outh_ref[0, 0] = jnp.concatenate(
-            [attrs[5:14], consts[0:6],
-             jnp.zeros((nh, P), F32)], axis=0).astype(jnp.bfloat16)
+        outf_ref[...] = jnp.concatenate(
+            [attrs[0:5], consts[6:8]], axis=0).reshape(7, tile_h, tile_w)
+        outh_ref[...] = jnp.concatenate(
+            [attrs[5:14], consts[0:6]],
+            axis=0).astype(jnp.bfloat16).reshape(15, tile_h, tile_w)
     else:
         (out_ref,) = out_refs
-        n_pad = out_ref.shape[-2] - (_N_ATTR + (ROW_D - CONST_FLAT))
-        out_ref[0, 0] = jnp.concatenate(
-            [attrs, consts, jnp.zeros((n_pad, P), F32)], axis=0)
+        out_ref[...] = jnp.concatenate(
+            [attrs, consts], axis=0).reshape(22, tile_h, tile_w)
 
 
 def _select_eval_kernel(counts_ref, tid_ref, ids_ref, rows_ref, *refs,
@@ -425,24 +425,23 @@ def _select_eval_kernel(counts_ref, tid_ref, ids_ref, rows_ref, *refs,
         _write_eval(acc_ref[...], i, j, out_refs, tile_h, tile_w)
 
 
-def _split_out_shapes(ty: int, tx: int, P: int):
+def _split_out_shapes(H: int, W: int, tile_h: int, tile_w: int):
     """(out_shape, out_specs) for the bf16_attrs split-output layout:
-    8 f32 rows [world3 uv2 record oid pad] + 16 bf16 rows
-    [normal3 tangent3 bitangent3 flat6 pad]."""
+    channel-first (7, H, W) f32 [world3 uv2 record oid] + (15, H, W)
+    bf16 [normal3 tangent3 bitangent3 flat6]."""
     def spec(c):
-        return pl.BlockSpec((1, 1, c, P), lambda *g: (g[0], g[1], 0, 0),
+        return pl.BlockSpec((c, tile_h, tile_w),
+                            lambda *g: (0, g[0], g[1]),
                             memory_space=pltpu.VMEM)
-    shapes = (jax.ShapeDtypeStruct((ty, tx, 8, P), F32),
-              jax.ShapeDtypeStruct((ty, tx, 16, P), jnp.bfloat16))
-    return shapes, (spec(8), spec(16))
+    shapes = (jax.ShapeDtypeStruct((7, H, W), F32),
+              jax.ShapeDtypeStruct((15, H, W), jnp.bfloat16))
+    return shapes, (spec(7), spec(15))
 
 
-def _untile(out_tiles: jax.Array, ty: int, tx: int, tile_h: int,
-            tile_w: int, keep: int) -> jax.Array:
-    c = out_tiles.shape[-2]
-    out = out_tiles.reshape(ty, tx, c, tile_h, tile_w)
-    out = out.transpose(0, 3, 1, 4, 2).reshape(ty * tile_h, tx * tile_w, c)
-    return out[..., :keep]
+def _to_hwc(out_cfirst: jax.Array) -> jax.Array:
+    """(C, H, W) kernel output -> (H, W, C) for the downstream per-pixel
+    math (one relayout; W stays in the vector lanes on both sides)."""
+    return jnp.moveaxis(out_cfirst, 0, -1)
 
 
 def select_eval_pallas(tri_id: jax.Array, bin_ids: jax.Array,
@@ -468,7 +467,7 @@ def select_eval_pallas(tri_id: jax.Array, bin_ids: jax.Array,
     tid_tiles = tri_id.reshape(ty, tile_h, tx, tile_w).transpose(0, 2, 1, 3)
 
     P = tile_h * tile_w
-    C_OUT = 24                                               # 22 padded to 8
+    C_OUT = 22
     if counts is None:  # valid ids are a contiguous prefix of each bin
         counts = jnp.sum((bin_ids >= 0).astype(I32), axis=2)
     # stream K through the innermost grid dim so VMEM stays bounded when
@@ -481,12 +480,12 @@ def select_eval_pallas(tri_id: jax.Array, bin_ids: jax.Array,
                                tile_w=tile_w, chunk=min(chunk, kblock),
                                kblock=kblock, nk=nk)
     if bf16:
-        out_shape, out_specs = _split_out_shapes(ty, tx, P)
-        out_bytes = ty * tx * P * (8 * 4 + 16 * 2)
+        out_shape, out_specs = _split_out_shapes(H, W, tile_h, tile_w)
+        out_bytes = ty * tx * P * (7 * 4 + 15 * 2)
     else:
-        out_shape = jax.ShapeDtypeStruct((ty, tx, C_OUT, P), F32)
-        out_specs = pl.BlockSpec((1, 1, C_OUT, P),
-                                 lambda i, j, k: (i, j, 0, 0),
+        out_shape = jax.ShapeDtypeStruct((C_OUT, H, W), F32)
+        out_specs = pl.BlockSpec((C_OUT, tile_h, tile_w),
+                                 lambda i, j, k: (0, i, j),
                                  memory_space=pltpu.VMEM)
         out_bytes = ty * tx * C_OUT * P * 4
     interpret = jax.default_backend() != "tpu"
@@ -515,9 +514,8 @@ def select_eval_pallas(tri_id: jax.Array, bin_ids: jax.Array,
 
     if bf16:
         outf, outh = out_tiles
-        return (_untile(outf, ty, tx, tile_h, tile_w, 7),
-                _untile(outh, ty, tx, tile_h, tile_w, 15))
-    return _untile(out_tiles, ty, tx, tile_h, tile_w, 22)
+        return _to_hwc(outf), _to_hwc(outh)
+    return _to_hwc(out_tiles)
 
 
 def _attrs_from_split(tri_id: jax.Array, outf: jax.Array,
@@ -641,7 +639,7 @@ def select_eval_stream(tri_id: jax.Array, sbins, table: jax.Array,
 
     from . import raster
     P = tile_h * tile_w
-    C_OUT = 24
+    C_OUT = 22
     Ls = sbins.ids.shape[0]
     kb = min(2048, Ls)
     nblocks = Ls // kb
@@ -656,12 +654,12 @@ def select_eval_stream(tri_id: jax.Array, sbins, table: jax.Array,
                                      nblocks), 0)
 
     if bf16:
-        out_shape, out_specs = _split_out_shapes(ty, tx, P)
-        out_bytes = ty * tx * P * (8 * 4 + 16 * 2)
+        out_shape, out_specs = _split_out_shapes(H, W, tile_h, tile_w)
+        out_bytes = ty * tx * P * (7 * 4 + 15 * 2)
     else:
-        out_shape = jax.ShapeDtypeStruct((ty, tx, C_OUT, P), F32)
-        out_specs = pl.BlockSpec((1, 1, C_OUT, P),
-                                 lambda i, j, b, starts: (i, j, 0, 0),
+        out_shape = jax.ShapeDtypeStruct((C_OUT, H, W), F32)
+        out_specs = pl.BlockSpec((C_OUT, tile_h, tile_w),
+                                 lambda i, j, b, starts: (0, i, j),
                                  memory_space=pltpu.VMEM)
         out_bytes = ty * tx * C_OUT * P * 4
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -691,9 +689,8 @@ def select_eval_stream(tri_id: jax.Array, sbins, table: jax.Array,
 
     if bf16:
         outf, outh = out_tiles
-        return (_untile(outf, ty, tx, tile_h, tile_w, 7),
-                _untile(outh, ty, tx, tile_h, tile_w, 15))
-    return _untile(out_tiles, ty, tx, tile_h, tile_w, 22)
+        return _to_hwc(outf), _to_hwc(outh)
+    return _to_hwc(out_tiles)
 
 
 def resolve_attrs_stream(tri_id: jax.Array, sbins, table: jax.Array,
