@@ -15,11 +15,14 @@ lookup share one convention — this replaces the reference's x-flip dance
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 F32 = jnp.float32
 I32 = jnp.int32
@@ -33,6 +36,84 @@ I32 = jnp.int32
 # Rule of thumb: flat 2D rows for GATHER TABLES and per-row/triangle
 # math; image-shaped tensors for bulk per-pixel math.
 _FLAT_WINDOW_BLEND = False
+
+# Windowed u8 blend engine. The XLA image-domain blend pays a channel-
+# major relayout of the 36 B gather rows (0.84 ms at 1080p), a dense
+# f32 decode materialization and the blend pass (~2.1 ms total in the
+# trace). The Pallas kernel consumes the FLAT (N, 4C) u8 gather output
+# in its native row-major layout (no relayout), decodes and blends in
+# VMEM, and writes only the C blended channels, channel-first.
+# MEASURED SLOWER (interleaved A/B at 1080p test.lvl): 24.2 vs 23.2 ms
+# — the (C, N) kernel output must transpose back to channel-last for
+# the block-compacted (K, bh*bw*C) scatter rows, and that transpose
+# fuses into downstream selects as expensive ops (first attempt with a
+# flat 1D index gather was +3.1 ms from s32[N,1]{0,1:T(1,128)} index
+# layouts; the image-shaped gather fixed that but +1.0 ms remains).
+# Kept for A/B via tools/profile_frame.py --set wblend; default OFF.
+_WINDOWED_BLEND_PALLAS = False
+
+
+def _windowed_blend_kernel(rows_ref, fx_ref, fy_ref, out_ref, *, C: int):
+    """One (R, 4C) u8 row block -> (C, R) blended texels.
+
+    Channels sit in the minor dim of the gathered rows (36 of 128 lanes
+    at C=9), so per-channel math there wastes ~93% of the VPU. An MXU
+    identity dot transposes the block to (4C, R) — pixels in the lanes —
+    and the bilinear blend runs at full occupancy. The one-hot identity
+    matmul copies rows exactly at any matmul precision; the decode/blend
+    op order matches the jnp windowed path (equal to within 1 ULP — the
+    two layouts FMA-contract differently)."""
+    # Mosaic has no u8->f32 cast; widen through i32 (exact for 0..255)
+    t = rows_ref[...].astype(I32).astype(F32) * (1.0 / 255.0)  # (R, 4C)
+    tt = jax.lax.dot_general(
+        jnp.eye(4 * C, dtype=F32), t, (((1,), (1,)), ((), ())),
+        preferred_element_type=F32)                          # (4C, R)
+    fx = fx_ref[0, :]
+    fy = fy_ref[0, :]
+    c00, c10 = tt[0:C], tt[C:2 * C]
+    c01, c11 = tt[2 * C:3 * C], tt[3 * C:4 * C]
+    out_ref[...] = ((c00 * (1.0 - fx) + c10 * fx) * (1.0 - fy)
+                    + (c01 * (1.0 - fx) + c11 * fx) * fy)
+
+
+def _windowed_blend_u8(texels: jax.Array, idx: jax.Array, fx: jax.Array,
+                       fy: jax.Array, C: int) -> jax.Array | None:
+    """Pallas windowed blend: gather (N, 4C) u8 rows flat, blend on-chip.
+
+    idx: (...) int32 window-row indices; fx/fy: (..., 1) f32 corner
+    fractions. Returns (..., C) f32, or None when the shape doesn't fit
+    the kernel (caller falls back to the jnp image-domain blend)."""
+    N = int(np.prod(idx.shape))
+    R = 2048
+    while R > N or N % R:
+        R //= 2
+    if R < 256 or not _WINDOWED_BLEND_PALLAS:
+        return None
+    # gather with the ORIGINAL index shape: a flat (N,) index vector got
+    # laid out (N, 1) T(1,128) with a 2.2 ms materialized clamp pass; the
+    # image-shaped gather keeps the clamp fused into the gather custom
+    # call. The (N, 4C) reshape of its row-major output is a free bitcast.
+    rows = jnp.take(texels, idx, axis=0).reshape(N, texels.shape[-1])
+    fxf = fx.reshape(1, N)
+    fyf = fy.reshape(1, N)
+    out = pl.pallas_call(
+        functools.partial(_windowed_blend_kernel, C=C),
+        grid=(N // R,),
+        interpret=jax.default_backend() != "tpu",
+        in_specs=[
+            pl.BlockSpec((R, 4 * C), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((C, R), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((C, N), F32),
+        cost_estimate=pl.CostEstimate(
+            flops=N * C * 8, bytes_accessed=N * (4 * C + 8 + C * 4),
+            transcendentals=0),
+    )(rows, fxf, fyf)
+    return jnp.moveaxis(out.reshape((C,) + idx.shape), 0, -1)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -265,6 +346,10 @@ def _sample_bilinear_dynamic_level(pool: TexturePoolGPU, tex: jax.Array,
         y0c = jnp.clip(y0i, 0, sizes - 1)
         idx = base + pool._texel_index(y0c, x0c, sizes)
         C = pool.base_channels
+        if pool.u8 and not _FLAT_WINDOW_BLEND:
+            out = _windowed_blend_u8(pool.texels, idx, fx, fy, C)
+            if out is not None:
+                return out
         if _FLAT_WINDOW_BLEND:
             # decode + blend on the FLAT (N, 4C) gathered rows instead of
             # (H, W, 4C) 3D tensors (layout-relayout A/B; see flag note)

@@ -99,11 +99,19 @@ def main() -> None:
             sampling._FLAT_WINDOW_BLEND = on
         return setup
 
+    def _pallas_blend(on):
+        def setup():
+            sampling._WINDOWED_BLEND_PALLAS = on
+            sampling._FLAT_WINDOW_BLEND = False
+        return setup
+
     groups = {
         "wblend": {
-            # windowed-blend domain: flat (N, 4C) rows vs (H, W, 4C)
+            # windowed-blend engine: Pallas VMEM blend vs the XLA
+            # image-domain blend vs flat (N, 4C) rows
+            "pallas": (base, _pallas_blend(True)),
+            "image3d": (base, _pallas_blend(False)),
             "flat": (base, _flat_blend(True)),
-            "image3d": (base, _flat_blend(False)),
         },
         "rkernel": {
             # raster-kernel plane-eval engine (VPU broadcasts vs the
