@@ -321,6 +321,43 @@ def test_shadow_window_pcf_matches_manual():
     np.testing.assert_allclose(np.asarray(got), want, atol=1e-6)
 
 
+def test_cube_closed_form_matches_matrix_projection():
+    """_cube_uvz_closed must reproduce projecting through the per-face
+    viewproj matrices (point_light_face_viewprojs) — the closed form
+    replaces the all-faces einsum + one-hot select in every point-light
+    lookup path, so any drift here shifts shadow seams."""
+    from tinyrenderer_tpu.ops import shadows as sh
+    from tinyrenderer_tpu.scene import lights as lt
+
+    rng = np.random.default_rng(11)
+    light = rng.standard_normal(3).astype(F32) * 5.0
+    pos = (light + rng.standard_normal((257, 3)).astype(F32) * 20.0)
+    vps = jnp.asarray(lt.point_light_face_viewprojs(light))
+
+    d = jnp.asarray(pos) - jnp.asarray(light)
+    face_c, u_c, v_c, z_c, m_c = sh._cube_uvz_closed(d)
+
+    # matrix path: project through every face, pick the owner
+    face_m = np.asarray(sh._cube_face(d))
+    u_m = np.zeros(len(pos), np.float32)
+    v_m = np.zeros(len(pos), np.float32)
+    z_m = np.zeros(len(pos), np.float32)
+    w_m = np.zeros(len(pos), np.float32)
+    for f in range(6):
+        uf, vf, zf, wf = sh._project(jnp.asarray(pos), vps[f])
+        pick = face_m == f
+        u_m[pick] = np.asarray(uf)[pick]
+        v_m[pick] = np.asarray(vf)[pick]
+        z_m[pick] = np.asarray(zf)[pick]
+        w_m[pick] = np.asarray(wf)[pick]
+
+    np.testing.assert_array_equal(np.asarray(face_c), face_m)
+    np.testing.assert_allclose(np.asarray(u_c), u_m, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(v_c), v_m, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(z_c), z_m, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(m_c), w_m, rtol=1e-6)
+
+
 def test_upsample_bilinear_int_matches_resize():
     """post.upsample_bilinear_int (phase-wise shifted adds) must equal
     jax.image.resize's bilinear for integer factors — it replaces the

@@ -80,6 +80,38 @@ def _cube_face(d: jax.Array) -> jax.Array:
                   jnp.where(d[..., 2] >= 0, 4, 5))).astype(I32)
 
 
+def _cube_uvz_closed(d: jax.Array, near: float = 0.1, far: float = 100.0
+                     ) -> tuple[jax.Array, ...]:
+    """Closed-form cube-face projection: (face, u, v, z_ndc, m) from the
+    light-to-point vector d (..., 3) for the standard point-light frusta
+    (perspective fov pi/2, aspect 1, reverse-Z — src/lights.rs:16-18,
+    scene/lights.py::point_light_face_viewprojs).
+
+    With fov pi/2 the face camera basis is axis-aligned (CUBE_FACE_DIRS
+    table), so projecting through the 4x4 viewproj reduces to signed
+    component picks: x_cam/y_cam are +/-components of d, w = m is the
+    dominant-axis distance, u = 0.5*x/m + 0.5, v = 0.5 - 0.5*y/m, and
+    reverse-Z depth z = (c1*m + c2)/m with c1 = n/(n-f), c2 = -nf/(n-f).
+    Replaces the (..., 6, 4) all-faces einsum + one-hot select of the
+    matrix path (the refinement-path einsum and its relayout copy cost
+    ~1.1 ms/frame at 1080p; equal to the matrix path to f32 rounding —
+    tests/test_ops.py closed-form parity)."""
+    face = _cube_face(d)
+    d0, d1, d2 = d[..., 0], d[..., 1], d[..., 2]
+    m = jnp.max(jnp.abs(d), axis=-1)       # owner-face |d[axis]| = w_clip
+    x_loc = jnp.where(face == 0, d2,
+                      jnp.where(face == 1, -d2,
+                                jnp.where(face == 5, d0, -d0)))
+    y_loc = jnp.where(face == 2, -d2, jnp.where(face == 3, d2, d1))
+    inv_m = 1.0 / jnp.where(m > 1e-9, m, 1.0)   # _ndc_uvz divide guard
+    c1 = near / (near - far)
+    c2 = -near * far / (near - far)
+    u = (x_loc * inv_m) * 0.5 + 0.5
+    v = 0.5 - (y_loc * inv_m) * 0.5
+    z = (c1 * m + c2) * inv_m
+    return face, u, v, z, m
+
+
 def _ndc_uvz(c: jax.Array) -> tuple[jax.Array, ...]:
     """Clip-space (..., 4) -> (u, v, z, w): guarded perspective divide and
     the shadow-map uv convention (v flipped). Shared by every lookup path
@@ -270,18 +302,10 @@ def make_vis_slot(light_positions, point_viewprojs, dir_viewprojs,
         if Pn:
             pi = jnp.clip(li_c, 0, Pn - 1)
             lp = jnp.take(light_positions, pi, axis=0)       # (K, 3)
-            vp6 = jnp.take(point_viewprojs, pi, axis=0)      # (K, 6, 4, 4)
             d = pos_c - lp[:, None, None, :]
-            face = _cube_face(d)
-            c = jnp.einsum("khwj,kfij->kfhwi", ph, vp6,
-                           preferred_element_type=F32)       # (K, 6, h, w, 4)
-            u_f, v_f, z_f, w = _ndc_uvz(c)
-            onehot = jax.nn.one_hot(face, 6, axis=1, dtype=F32)
-            u = jnp.sum(u_f * onehot, axis=1)
-            v = jnp.sum(v_f * onehot, axis=1)
-            z = jnp.sum(z_f * onehot, axis=1)
+            face, u, v, z, m = _cube_uvz_closed(d)
             base = (pi[:, None, None] * 6 + face) * (S * S)
-            ok = jnp.sum(w * onehot, axis=1) > 0.0
+            ok = m > 0.0
         if D:
             di = jnp.clip(li_c - Pn, 0, D - 1)
             vpd = jnp.take(dir_viewprojs, di, axis=0)        # (K, 4, 4)
@@ -325,29 +349,19 @@ def _point_taps(world_pos: jax.Array, light_positions: jax.Array,
 
     Returns ((P, ...) u, v, z, flat window base, outside-mask pass-lit
     condition) — the pure-ALU half of the point lookup, shared by
-    point_shadow_multi and shadow_multi."""
+    point_shadow_multi and shadow_multi. ``viewprojs`` is unused (kept
+    for signature stability): the standard cube frusta admit the
+    closed-form projection (:func:`_cube_uvz_closed`)."""
+    del viewprojs
     Pn = light_positions.shape[0]
     d = world_pos[None, ...] - light_positions[
         (slice(None),) + (None,) * (world_pos.ndim - 1) + (slice(None),)]
-    face = _cube_face(d)
-
-    # project through all P*6 viewprojs at once (pure ALU), select the
-    # owning face's coordinates per light
-    ph = jnp.concatenate([world_pos, jnp.ones_like(world_pos[..., :1])],
-                         axis=-1)
-    c = jnp.einsum("...j,pfij->pf...i", ph, viewprojs,
-                   preferred_element_type=F32)       # (P, 6, ..., 4)
-    u_f, v_f, z_f, w = _ndc_uvz(c)                   # (P, 6, ...)
-    onehot = jax.nn.one_hot(face, 6, axis=1, dtype=F32)  # (P, 6, ...)
-    u = jnp.sum(u_f * onehot, axis=1)
-    v = jnp.sum(v_f * onehot, axis=1)
-    z = jnp.sum(z_f * onehot, axis=1)
-    wsel = jnp.sum(w * onehot, axis=1)
+    face, u, v, z, m = _cube_uvz_closed(d)
 
     light_idx = jnp.arange(Pn, dtype=I32)[
         (slice(None),) + (None,) * (world_pos.ndim - 1)]
     base = (light_idx * 6 + face) * (S * S)
-    return u, v, z, base, wsel > 0.0
+    return u, v, z, base, m > 0.0
 
 
 def point_shadow_multi(world_pos: jax.Array, light_positions: jax.Array,
