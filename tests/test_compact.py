@@ -139,3 +139,57 @@ def test_tex_block_overflow_grows_capacity():
     for _ in range(4):
         eng.run_frame(0.0)
     assert eng.cfg.tex_block_capacity > 1
+
+
+def test_forward_overlay_compose_matches_scatter_path():
+    """forward_overlay_compose (per-tile dynamic-slice composite) must be
+    exactly the scatter path's hdr*(1-a)+color*a blend + pick override —
+    including dropped blocks when capacity < occupied tiles (both paths
+    share one plan, so they drop the same work)."""
+    import jax.numpy as jnp
+
+    from tinyrenderer_tpu.ops import raster, resolve
+
+    H, W, th, tw = 32, 256, 8, 128
+    rng = np.random.default_rng(5)
+    # two small CCW triangles in NDC (w=1), one per screen half
+    v = np.array([
+        [-0.9, -0.9, 0.5], [-0.2, -0.9, 0.5], [-0.9, -0.2, 0.5],
+        [0.2, 0.1, 0.7], [0.9, 0.1, 0.7], [0.2, 0.9, 0.7],
+    ], F32)
+    clip = jnp.asarray(np.concatenate([v, np.ones((6, 1), F32)], axis=1))
+    tri_vidx = jnp.asarray([[0, 1, 2], [3, 4, 5]], jnp.int32)
+    mask = jnp.ones((2,), bool)
+    setup = raster.triangle_setup(clip, tri_vidx, mask, W, H, "none")
+    bins = raster.bin_triangles(setup, W, H, th, tw, 16, 16)
+    f_id, _ = raster.rasterize_binned(bins, th, tw, use_pallas=False)
+
+    attrs = resolve.VertexAttrs(
+        world=jnp.asarray(rng.standard_normal((6, 3)), jnp.float32),
+        uv=jnp.asarray(rng.random((6, 2)), jnp.float32),
+        normal=jnp.asarray(rng.standard_normal((6, 3)), jnp.float32),
+        tangent=jnp.asarray(rng.standard_normal((6, 3)), jnp.float32),
+        bitangent=jnp.asarray(rng.standard_normal((6, 3)), jnp.float32))
+    table = resolve.build_gbuffer_table(
+        setup, tri_vidx, attrs, jnp.zeros((2,), jnp.int32),
+        jnp.asarray([7], jnp.int32), jnp.zeros((1,), jnp.int32),
+        jnp.zeros((1,), jnp.int32),
+        jnp.asarray([[0.8, 0.2, 0.1, 0.5, 0.0, 0.0]], jnp.float32))
+
+    pool = _pool()
+    hdr0 = jnp.asarray(rng.random((H, W, 3)), jnp.float32)
+    pick0 = jnp.asarray(rng.integers(0, 3, (H, W)), jnp.int32)
+
+    for cap in (0, 2):  # dense and under-capacity (drops blocks)
+        c, a, oid, valid, need0 = resolve.forward_overlay_tiles(
+            f_id, bins, table, pool, th, tw, cap)
+        want_hdr = hdr0 * (1.0 - a[..., None]) + c * a[..., None]
+        want_pick = jnp.where(valid & (a > 0.5), oid, pick0)
+        got_hdr, got_pick, need1 = resolve.forward_overlay_compose(
+            hdr0, pick0, f_id, bins, table, pool, th, tw, cap)
+        np.testing.assert_array_equal(np.asarray(got_hdr),
+                                      np.asarray(want_hdr))
+        np.testing.assert_array_equal(np.asarray(got_pick),
+                                      np.asarray(want_pick))
+        assert int(need0) == int(need1)
+        assert (np.asarray(got_pick) == 7).any() or cap == 2

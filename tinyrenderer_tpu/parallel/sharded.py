@@ -273,13 +273,10 @@ def _render_band(scene: SceneGPU, pool, lights: LightsGPU, atlas,
             f_setup, scene.fwd_tri_vidx, attrs, scene.fwd_tri_instance,
             scene.inst_object_id, scene.inst_material, scene.mat_record,
             scene.mat_flat)
-        f_color, f_alpha, f_oid, f_valid, fwd_needed = \
-            resolve.forward_overlay_tiles(
-                f_id, f_bins, f_table, pool, cfg.tile_h, cfg.tile_w,
-                cfg.fwd_tile_capacity, texture_filter=cfg.texture_filter,
-                fs=max(cfg.texture_scale, 2))
-        hdr = hdr * (1.0 - f_alpha[..., None]) + f_color * f_alpha[..., None]
-        pick = jnp.where(f_valid & (f_alpha > 0.5), f_oid, pick)
+        hdr, pick, fwd_needed = resolve.forward_overlay_compose(
+            hdr, pick, f_id, f_bins, f_table, pool, cfg.tile_h, cfg.tile_w,
+            cfg.fwd_tile_capacity, texture_filter=cfg.texture_filter,
+            fs=max(cfg.texture_scale, 2))
 
     if cfg.enable_ssr:
         # The SSR march taps arbitrary screen rows, which crosses band

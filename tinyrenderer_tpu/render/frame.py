@@ -414,15 +414,13 @@ def render_frame(scene: SceneGPU, pool: sampling.TexturePoolGPU,
             scene.mat_flat)
         overflow = jnp.maximum(overflow, f_bins.overflow)
         big_overflow = jnp.maximum(big_overflow, f_bins.big_overflow)
-        f_color, f_alpha, f_oid, f_valid, fwd_needed = \
-            resolve.forward_overlay_tiles(
-                f_id, f_bins, f_table, pool, cfg.tile_h, cfg.tile_w,
-                cfg.fwd_tile_capacity, texture_filter=cfg.texture_filter,
-                fs=max(cfg.texture_scale, 2))
-        hdr = hdr * (1.0 - f_alpha[..., None]) + f_color * f_alpha[..., None]
-        # pick: forward (non-depth-tested) objects override, like the second
+        # compose in the compacted tile domain (no full-image untiles);
+        # pick override for forward objects matches the second
         # object-picker pipeline (src/pipelines/object_picker_rp.rs:151-178)
-        pick = jnp.where(f_valid & (f_alpha > 0.5), f_oid, pick)
+        hdr, pick, fwd_needed = resolve.forward_overlay_compose(
+            hdr, pick, f_id, f_bins, f_table, pool, cfg.tile_h, cfg.tile_w,
+            cfg.fwd_tile_capacity, texture_filter=cfg.texture_filter,
+            fs=max(cfg.texture_scale, 2))
 
     # ---- SSR (reference ships an effective pass-through; strength=0) ----
     if cfg.enable_ssr:
