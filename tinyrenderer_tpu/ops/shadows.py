@@ -26,6 +26,15 @@ from . import raster
 F32 = jnp.float32
 I32 = jnp.int32
 
+# Gate-refinement block dims (rows, cols). Smaller blocks track the
+# shadow-boundary band tighter (fewer refined pixels = fewer PCF gather
+# rows) but need proportionally more work-list slots for the same screen
+# coverage — A/B via tools/profile_frame.py --set gateblk with
+# capacity-fair shadow_block_capacity settings. Measured 1080p test.lvl
+# (capacity-fair, interleaved): 8x32 20.2 ms < 8x16 20.5 < 16x16 20.9
+# < 8x8 22.7 — full-lane 32-wide rows beat tighter boundary tracking.
+_GATE_BLOCK_DIMS = (8, 32)
+
 
 @jax.named_scope("shadow_pass")
 def render_shadow_views(clip_per_view: jax.Array, tri_vidx: jax.Array,
@@ -243,7 +252,7 @@ def gate_refined_visibility(vis_fn, vis_slot, pos: jax.Array, scale: int,
 
     coarse_up = up(lo).astype(F32)                  # (H, W, L)
 
-    bh, bw = 8, 16                                  # fine-grained blocks
+    bh, bw = _GATE_BLOCK_DIMS                       # fine-grained blocks
     if H % bh or W % bw:
         return (vis_fn(pos) > 0.0).astype(F32), jnp.int32(0)
     nby, nbx = H // bh, W // bw

@@ -33,7 +33,7 @@ def main() -> None:
     ap.add_argument("--frames", type=int, default=8)
     ap.add_argument("--set", default="all",
                     choices=["all", "filters", "rates", "passes", "layout",
-                             "shadow", "r3", "stream", "next", "rkernel", "wblend"])
+                             "shadow", "r3", "stream", "next", "rkernel", "wblend", "gateblk"])
     ap.add_argument("--multilight", action="store_true",
                     help="add point lights up to 4P+1D (BASELINE config 2) "
                          "before packing, so variants measure the "
@@ -105,7 +105,25 @@ def main() -> None:
             sampling._FLAT_WINDOW_BLEND = False
         return setup
 
+    def _gate_block(dims):
+        def setup():
+            from tinyrenderer_tpu.ops import shadows as sh
+            sh._GATE_BLOCK_DIMS = dims
+        return setup
+
     groups = {
+        "gateblk": {
+            # gate-refinement block dims. Capacity-fair: slots scale
+            # inversely with block area for the same boundary coverage
+            # (base settled 2560 at (8,16); oversizing is pessimistic-fair)
+            "blk8x16": (base, _gate_block((8, 16))),
+            "blk8x8": (replace(base, shadow_block_capacity=5632),
+                       _gate_block((8, 8))),
+            "blk8x32": (replace(base, shadow_block_capacity=1536),
+                        _gate_block((8, 32))),
+            "blk16x16": (replace(base, shadow_block_capacity=1536),
+                         _gate_block((16, 16))),
+        },
         "wblend": {
             # windowed-blend engine: Pallas VMEM blend vs the XLA
             # image-domain blend vs flat (N, 4C) rows
