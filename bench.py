@@ -94,13 +94,25 @@ def build_engine(stress: bool = False, forward: bool = False,
             camera=demo.build_demo_camera(cfg.width, cfg.height), cfg=cfg)
     if stress:
         # BASELINE config 5: 500+ draws, 2K shadow atlas, 1440p
+        # gate_block (8, 8): this scene's shadow edges tile the whole
+        # floor, so refined ROW COUNT dominates the gather cost — the
+        # smallest full-sublane block wins (70.4 vs 82.0 ms at (8, 32),
+        # capacity-fair interleaved)
         cfg = RenderConfig(width=2560, height=1440, shadow_size=2048,
                            max_instances=1024, max_vertices=16384,
                            max_triangles=8192, max_materials=1024,
-                           bin_capacity=512)
-        return Engine.from_world(
+                           bin_capacity=512, gate_block_h=8, gate_block_w=8)
+        eng = Engine.from_world(
             demo.build_stress_world(500),
             camera=demo.build_demo_camera(cfg.width, cfg.height), cfg=cfg)
+        # Scene-appropriate shadow bias (the live GlobalParams knob,
+        # src/global_params.rs:26-29): this scene's 150-unit directional
+        # ortho box at 2048 texels self-shadows every lit face at bias 0
+        # (acne), which also floods the gate refinement with fake
+        # boundary blocks (13.5k -> 9.6k at 2e-3, measured)
+        from tinyrenderer_tpu.render import frame as framelib
+        eng.set_param(framelib.PARAM_SHADOW_BIAS, 2e-3)
+        return eng
     if highpoly:
         # raster-throughput scene: 9 high-poly spheres (~110k triangles).
         # (8, 128) tiles: high-poly triangles are a few pixels, so the

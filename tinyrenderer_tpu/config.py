@@ -131,11 +131,20 @@ class RenderConfig:
     # boundary-exact; only sub-8px shadow features and sky detail soften).
     shadow_lookup_scale: int = 8
     sky_scale: int = 8
-    # Work list for the shadow gate refinement: (light, 8x16-screen-block)
+    # Work list for the shadow gate refinement: (light, screen-block)
     # pairs on shadow edges — one batched pass shared by ALL lights, each
     # slot tagged with its light. Monitored + grown like
     # tex_block_capacity; 0 = refine every block (dense).
     shadow_block_capacity: int = 1536
+    # Gate-refinement block shape (rows, cols). Full-lane (8, 32) rows win
+    # on sparse-boundary scenes (test.lvl: 20.2 ms vs 22.7 at (8, 8),
+    # capacity-fair interleaved); boundary-DENSE scenes want the smallest
+    # (8, 8) block because refined ROW COUNT dominates (1440p 500-cube
+    # stress: 70.4 vs 82.0 ms — its shadow edges tile the whole floor, so
+    # each marked block's pixel count is the cost). Rows below 8 pad to
+    # the (8, 128) vector registers; don't go lower.
+    gate_block_h: int = 8
+    gate_block_w: int = 32
     # Sample the sky from the windowed-RGBE u8 display cube (ONE gather per
     # bilinear tap vs four f32 gathers; sub-LSB after tone mapping). Off in
     # reference_parity (bit-exact f32 sampling).

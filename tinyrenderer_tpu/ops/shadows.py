@@ -26,13 +26,16 @@ from . import raster
 F32 = jnp.float32
 I32 = jnp.int32
 
-# Gate-refinement block dims (rows, cols). Smaller blocks track the
+# Default gate-refinement block dims (rows, cols) for direct op calls;
+# the frame passes cfg.gate_block_h/w. Smaller blocks track the
 # shadow-boundary band tighter (fewer refined pixels = fewer PCF gather
 # rows) but need proportionally more work-list slots for the same screen
 # coverage — A/B via tools/profile_frame.py --set gateblk with
-# capacity-fair shadow_block_capacity settings. Measured 1080p test.lvl
-# (capacity-fair, interleaved): 8x32 20.2 ms < 8x16 20.5 < 16x16 20.9
-# < 8x8 22.7 — full-lane 32-wide rows beat tighter boundary tracking.
+# capacity-fair shadow_block_capacity settings. Measured capacity-fair
+# interleaved: sparse boundaries (1080p test.lvl) want full-lane rows
+# (8x32 20.2 ms < 8x16 20.5 < 16x16 20.9 < 8x8 22.7); boundary-DENSE
+# scenes (1440p 500-cube stress) want minimal block area — row count
+# dominates (8x8 70.4 < 8x16 73.5 < 16x16 80.2 < 8x32 82.0).
 _GATE_BLOCK_DIMS = (8, 32)
 
 
@@ -171,12 +174,19 @@ def _compare_pcf(shadow_map: jax.Array, u: jax.Array, v: jax.Array,
     win = jnp.take(flat, base + y0 * S + x0, axis=0)   # (..., 4)
     # atlas may be bf16 (cfg.shadow_bf16) — compare in f32
     lit = (ref_z[..., None] + bias > win.astype(F32)).astype(F32)
-    return ((lit[..., 0] * (1 - fx) + lit[..., 1] * fx) * (1 - fy)
-            + (lit[..., 2] * (1 - fx) + lit[..., 3] * fx) * fy)
+    # blend as row-weights + row-sum, NOT per-column lit[..., i] slices:
+    # column reads made XLA lay the gather output out column-major inside
+    # lax.scan at 1440p ({0,1}: the 3M-row dim MINOR, every 8-byte window
+    # row strided across four planes) — the gather ran at 61M rows/s vs
+    # the ~140M/s row-major floor (48.9 ms/frame, stress-config trace)
+    w = jnp.stack([(1 - fx) * (1 - fy), fx * (1 - fy),
+                   (1 - fx) * fy, fx * fy], axis=-1)
+    return jnp.sum(lit * w, axis=-1)
 
 
 def gate_refined_visibility(vis_fn, vis_slot, pos: jax.Array, scale: int,
-                            block_capacity: int, halo_exchange=None
+                            block_capacity: int, halo_exchange=None,
+                            block_dims: tuple[int, int] | None = None
                             ) -> tuple[jax.Array, jax.Array]:
     """Binary shadow gate at full resolution from a strided coarse pass +
     exact re-evaluation of boundary blocks.
@@ -252,7 +262,7 @@ def gate_refined_visibility(vis_fn, vis_slot, pos: jax.Array, scale: int,
 
     coarse_up = up(lo).astype(F32)                  # (H, W, L)
 
-    bh, bw = _GATE_BLOCK_DIMS                       # fine-grained blocks
+    bh, bw = block_dims or _GATE_BLOCK_DIMS         # fine-grained blocks
     if H % bh or W % bw:
         return (vis_fn(pos) > 0.0).astype(F32), jnp.int32(0)
     nby, nbx = H // bh, W // bw
@@ -317,9 +327,17 @@ def make_vis_slot(light_positions, point_viewprojs, dir_viewprojs,
             ok = m > 0.0
         if D:
             di = jnp.clip(li_c - Pn, 0, D - 1)
-            vpd = jnp.take(dir_viewprojs, di, axis=0)        # (K, 4, 4)
-            c = jnp.einsum("khwj,kij->khwi", ph, vpd,
-                           preferred_element_type=F32)
+            if D == 1:
+                # one directional light (every bundled scene): all slots
+                # share the same matrix — a plain (K*P, 4) @ (4, 4) matmul
+                # instead of the per-slot matrix gather + K-batched einsum
+                # (whose (K, hw, 4) batch output needed a relayout copy)
+                c = jnp.einsum("khwj,ij->khwi", ph, dir_viewprojs[0],
+                               preferred_element_type=F32)
+            else:
+                vpd = jnp.take(dir_viewprojs, di, axis=0)    # (K, 4, 4)
+                c = jnp.einsum("khwj,kij->khwi", ph, vpd,
+                               preferred_element_type=F32)
             ud, vd, zd, w = _ndc_uvz(c)
             based = jnp.broadcast_to(
                 ((6 * Pn + di) * (S * S))[:, None, None], ud.shape)

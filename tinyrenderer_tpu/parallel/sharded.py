@@ -214,7 +214,8 @@ def _render_band(scene: SceneGPU, pool, lights: LightsGPU, atlas,
         gates, shadow_blocks = shadows.gate_refined_visibility(
             vis_all, vis_slot, g.position, cfg.shadow_lookup_scale,
             cfg.shadow_block_capacity,
-            halo_exchange=halo_exchange if nsp > 1 else None)
+            halo_exchange=halo_exchange if nsp > 1 else None,
+            block_dims=(cfg.gate_block_h, cfg.gate_block_w))
 
         def point_shadow_fn(i, pos):  # noqa: E306
             return gates[..., i]

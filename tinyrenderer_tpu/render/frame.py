@@ -367,7 +367,8 @@ def render_frame(scene: SceneGPU, pool: sampling.TexturePoolGPU,
 
         gates, shadow_blocks = shadows.gate_refined_visibility(
             vis_all, vis_slot, g.position, cfg.shadow_lookup_scale,
-            cfg.shadow_block_capacity)
+            cfg.shadow_block_capacity,
+            block_dims=(cfg.gate_block_h, cfg.gate_block_w))
 
         def point_shadow_fn(i, pos):  # noqa: E306
             return gates[..., i]

@@ -38,6 +38,11 @@ def main() -> None:
                     help="add point lights up to 4P+1D (BASELINE config 2) "
                          "before packing, so variants measure the "
                          "multi-light shadow ledger")
+    ap.add_argument("--scene", default="test",
+                    choices=["test", "stress", "highpoly"],
+                    help="stress = bench.py's BASELINE config 5 (1440p, "
+                         "500 draws, 2K atlas); highpoly = the 110k-tri "
+                         "raster-throughput scene")
     args = ap.parse_args()
 
     from dataclasses import replace
@@ -49,8 +54,14 @@ def main() -> None:
 
     import numpy as np
 
-    eng = Engine(cfg=RenderConfig(width=args.width, height=args.height),
-                 level_path="/root/reference/levels/test.lvl")
+    if args.scene != "test":
+        sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+        import bench
+        eng = bench.build_engine(stress=(args.scene == "stress"),
+                                 highpoly=(args.scene == "highpoly"))
+    else:
+        eng = Engine(cfg=RenderConfig(width=args.width, height=args.height),
+                     level_path="/root/reference/levels/test.lvl")
     if args.multilight:
         from tinyrenderer_tpu.scene import components as comp
         from tinyrenderer_tpu.scene.world import WorldObject
@@ -105,24 +116,18 @@ def main() -> None:
             sampling._FLAT_WINDOW_BLEND = False
         return setup
 
-    def _gate_block(dims):
-        def setup():
-            from tinyrenderer_tpu.ops import shadows as sh
-            sh._GATE_BLOCK_DIMS = dims
-        return setup
-
     groups = {
         "gateblk": {
-            # gate-refinement block dims. Capacity-fair: slots scale
-            # inversely with block area for the same boundary coverage
-            # (base settled 2560 at (8,16); oversizing is pessimistic-fair)
-            "blk8x16": (base, _gate_block((8, 16))),
-            "blk8x8": (replace(base, shadow_block_capacity=5632),
-                       _gate_block((8, 8))),
-            "blk8x32": (replace(base, shadow_block_capacity=1536),
-                        _gate_block((8, 32))),
-            "blk16x16": (replace(base, shadow_block_capacity=1536),
-                         _gate_block((16, 16))),
+            # gate-refinement block dims (now cfg fields). Capacity-fair:
+            # slots scale inversely with block area for the same boundary
+            # coverage (oversizing is pessimistic-fair)
+            "blk8x16": replace(base, gate_block_h=8, gate_block_w=16,
+                               shadow_block_capacity=2560),
+            "blk8x8": replace(base, gate_block_h=8, gate_block_w=8,
+                              shadow_block_capacity=5632),
+            "blk8x32": replace(base, gate_block_h=8, gate_block_w=32),
+            "blk16x16": replace(base, gate_block_h=16, gate_block_w=16,
+                                shadow_block_capacity=1536),
         },
         "wblend": {
             # windowed-blend engine: Pallas VMEM blend vs the XLA
