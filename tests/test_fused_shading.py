@@ -1,0 +1,78 @@
+"""Fused shading kernel (shading.shade_deferred_fused) vs the unfused
+deferred chain: identical pass sequence, same per-pixel math, so outputs
+must agree to float-reassociation noise (the kernel divides/multiplies in a
+slightly different association than XLA's fusion of the jnp chain).
+
+Runs the Pallas paths in interpreter mode on the CPU backend (tiny sizes).
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from tinyrenderer_tpu.config import RenderConfig
+from tinyrenderer_tpu.render import frame as framelib
+from tinyrenderer_tpu.render.engine import Engine
+
+CFG = RenderConfig(
+    width=160, height=96, tile_h=16, tile_w=128, bin_capacity=128,
+    shadow_size=128, shadow_tile=128, shadow_bin_capacity=128,
+    env_size=32, irradiance_size=8, texture_size=64, mip_levels=4,
+    max_vertices=4096, max_triangles=2048, max_instances=64,
+    use_pallas=True, fused_shading=True,
+)
+
+
+def _render_pair(cfg, level_path):
+    """(fused FrameOutput, unfused FrameOutput) for one engine state."""
+    eng = Engine(cfg=cfg, level_path=level_path)
+    assert framelib._use_fused_shading(eng.cfg), "fused gate must engage"
+    fused = eng.run_frame(0.0)
+
+    eng2 = Engine(cfg=dataclasses.replace(cfg, fused_shading=False),
+                  level_path=level_path)
+    unfused = eng2.run_frame(0.0)
+    return fused, unfused
+
+
+@pytest.mark.parametrize("variant", ["default", "bf16_off", "no_ibl"])
+def test_fused_matches_unfused(reference_level_path, variant):
+    cfg = CFG
+    if variant == "bf16_off":
+        cfg = dataclasses.replace(cfg, bf16_attrs=False)
+    if variant == "no_ibl":
+        cfg = dataclasses.replace(cfg, enable_ibl=False)
+    fused, unfused = _render_pair(cfg, reference_level_path)
+
+    # exact-integer outputs must match exactly
+    np.testing.assert_array_equal(np.asarray(fused.pick_id),
+                                  np.asarray(unfused.pick_id))
+    np.testing.assert_array_equal(np.asarray(fused.depth),
+                                  np.asarray(unfused.depth))
+    # HDR: same math, different fp association -> tight tolerance
+    a = np.asarray(fused.hdr)
+    b = np.asarray(unfused.hdr)
+    np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-4)
+    # tone-mapped u8 within 1 LSB everywhere
+    d = np.abs(np.asarray(fused.sdr).astype(np.int16)
+               - np.asarray(unfused.sdr).astype(np.int16))
+    assert d.max() <= 1, f"sdr differs by {d.max()} LSB"
+
+
+def test_fused_gate_conditions():
+    """The static dispatch engages exactly when the fused kernel supports
+    the configuration."""
+    assert framelib._use_fused_shading(CFG)
+    off = [dict(fused_shading=False), dict(use_pallas=False),
+           dict(fused_resolve=True), dict(enable_ssr=True),
+           dict(texture_scale=2), dict(enable_shadows=False)]
+    for kw in off:
+        assert not framelib._use_fused_shading(
+            dataclasses.replace(CFG, **kw)), kw
+
+
+def test_sharded_config_forces_fused_off():
+    from tinyrenderer_tpu import parallel
+    cfg_s = parallel.sharded_config(CFG, 4)
+    assert not cfg_s.fused_shading

@@ -167,6 +167,18 @@ class RenderConfig:
     # at 1080p (the fused kernel's (D, P) VMEM carry serializes against its
     # MXU selects), so it is the default; the fused kernel remains available.
     fused_resolve: bool = False
+    # Fused deferred-shading Pallas kernel (shading.shade_deferred_fused):
+    # consumes the select+eval raw channel-first outputs, the compacted
+    # material sample, the shadow gates and the sky in VMEM and evaluates
+    # normalize + TBN + material select + the Cook-Torrance loop + SH-9
+    # ambient + sky composite in ONE pass, writing only (3, H, W) HDR —
+    # killing the (H, W, 15) attr relayout and the GBuffer-materialization
+    # HBM round trips the trace attributed ~2 ms of layout copies to.
+    # Engages on the deferred single-chip path when use_pallas and not
+    # fused_resolve, texture_scale == 1, SSR off, shadows on; otherwise the
+    # unfused chain runs (identical math). The sharded path forces it off
+    # (parallel.sharded_config) so band outputs stay comparable.
+    fused_shading: bool = True
     # bf16 select+eval output channels: the resolve kernels write the
     # precision-tolerant channels (geometric normal/tangent/bitangent —
     # normalized downstream — and the flat material params) as bfloat16,

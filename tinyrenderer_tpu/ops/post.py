@@ -226,3 +226,10 @@ def upsample_bilinear_int(img: jax.Array, sy: int, sx: int) -> jax.Array:
     separates into per-axis passes for exact integer ratios)."""
     out = _upsample_axis(img, sy, 0) if sy > 1 else img
     return _upsample_axis(out, sx, 1) if sx > 1 else out
+
+
+def upsample_bilinear_int_cf(img: jax.Array, sy: int, sx: int) -> jax.Array:
+    """(C, H, W) channel-first variant of :func:`upsample_bilinear_int`
+    (the fused shading kernel's sky input layout)."""
+    out = _upsample_axis(img, sy, 1) if sy > 1 else img
+    return _upsample_axis(out, sx, 2) if sx > 1 else out

@@ -367,7 +367,7 @@ def _write_eval(acc, i, j, out_refs, tile_h: int, tile_w: int) -> None:
             [attrs[0:5], consts[6:8]], axis=0).reshape(7, tile_h, tile_w)
         outh_ref[...] = jnp.concatenate(
             [attrs[5:14], consts[0:6]],
-            axis=0).astype(jnp.bfloat16).reshape(15, tile_h, tile_w)
+            axis=0).astype(outh_ref.dtype).reshape(15, tile_h, tile_w)
     else:
         (out_ref,) = out_refs
         out_ref[...] = jnp.concatenate(
@@ -425,16 +425,18 @@ def _select_eval_kernel(counts_ref, tid_ref, ids_ref, rows_ref, *refs,
         _write_eval(acc_ref[...], i, j, out_refs, tile_h, tile_w)
 
 
-def _split_out_shapes(H: int, W: int, tile_h: int, tile_w: int):
-    """(out_shape, out_specs) for the bf16_attrs split-output layout:
-    channel-first (7, H, W) f32 [world3 uv2 record oid] + (15, H, W)
-    bf16 [normal3 tangent3 bitangent3 flat6]."""
+def _split_out_shapes(H: int, W: int, tile_h: int, tile_w: int,
+                      hdtype=jnp.bfloat16):
+    """(out_shape, out_specs) for the split-output layout: channel-first
+    (7, H, W) f32 [world3 uv2 record oid] + (15, H, W) ``hdtype``
+    [normal3 tangent3 bitangent3 flat6] (bf16 under cfg.bf16_attrs, f32
+    for the fused-shading path at full precision)."""
     def spec(c):
         return pl.BlockSpec((c, tile_h, tile_w),
                             lambda *g: (0, g[0], g[1]),
                             memory_space=pltpu.VMEM)
     shapes = (jax.ShapeDtypeStruct((7, H, W), F32),
-              jax.ShapeDtypeStruct((15, H, W), jnp.bfloat16))
+              jax.ShapeDtypeStruct((15, H, W), hdtype))
     return shapes, (spec(7), spec(15))
 
 
@@ -448,13 +450,16 @@ def select_eval_pallas(tri_id: jax.Array, bin_ids: jax.Array,
                        table: jax.Array, tile_h: int, tile_w: int,
                        chunk: int = 128,
                        counts: jax.Array | None = None,
-                       bf16: bool = False):
+                       bf16: bool = False, raw: bool = False):
     """(H, W) winner ids + (ty, tx, K) bins + (T, ROW_D) table ->
     (H, W, 22) evaluated channels [attrs 14 | flat 6 | record | oid],
     numerically identical to resolve_attrs_tiled's pre-normalize output
     (one-hot selection copies rows exactly at any matmul precision).
     With ``bf16`` returns ((H, W, 7) f32 [world3 uv2 record oid],
-    (H, W, 9+6) bf16 [normal/tangent/bitangent 9 | flat 6])."""
+    (H, W, 9+6) bf16 [normal/tangent/bitangent 9 | flat 6]).
+    With ``raw`` the split outputs stay CHANNEL-FIRST ((7, H, W) f32,
+    (15, H, W) bf16|f32) — the fused shading kernel's input layout,
+    skipping the (H, W, 15) relayout entirely."""
     H, W = tri_id.shape
     ty, tx, K = bin_ids.shape
     T, D = table.shape
@@ -479,9 +484,11 @@ def select_eval_pallas(tri_id: jax.Array, bin_ids: jax.Array,
     kernel = functools.partial(_select_eval_kernel, tile_h=tile_h,
                                tile_w=tile_w, chunk=min(chunk, kblock),
                                kblock=kblock, nk=nk)
-    if bf16:
-        out_shape, out_specs = _split_out_shapes(H, W, tile_h, tile_w)
-        out_bytes = ty * tx * P * (7 * 4 + 15 * 2)
+    if bf16 or raw:
+        hdtype = jnp.bfloat16 if bf16 else F32
+        out_shape, out_specs = _split_out_shapes(H, W, tile_h, tile_w,
+                                                 hdtype)
+        out_bytes = ty * tx * P * (7 * 4 + 15 * (2 if bf16 else 4))
     else:
         out_shape = jax.ShapeDtypeStruct((C_OUT, H, W), F32)
         out_specs = pl.BlockSpec((C_OUT, tile_h, tile_w),
@@ -512,6 +519,8 @@ def select_eval_pallas(tri_id: jax.Array, bin_ids: jax.Array,
             transcendentals=0),
     )(counts, tid_tiles, idsf, rows_tile)
 
+    if raw:
+        return out_tiles
     if bf16:
         outf, outh = out_tiles
         return _to_hwc(outf), _to_hwc(outh)
@@ -619,7 +628,8 @@ def _select_eval_stream_kernel(starts_ref, tid_ref, ids_ref, rows_ref,
 
 def select_eval_stream(tri_id: jax.Array, sbins, table: jax.Array,
                        tile_h: int, tile_w: int, kmax: int,
-                       chunk: int = 128, bf16: bool = False):
+                       chunk: int = 128, bf16: bool = False,
+                       raw: bool = False):
     """select_eval_pallas over CSR stream bins (raster.StreamBins).
 
     The dense variant gathers + DMAs (tiles, K, Dp) table rows — at a
@@ -653,9 +663,11 @@ def select_eval_stream(tri_id: jax.Array, sbins, table: jax.Array,
         return (raster._stream_block(starts[t], starts[t + 1], b, kb,
                                      nblocks), 0)
 
-    if bf16:
-        out_shape, out_specs = _split_out_shapes(H, W, tile_h, tile_w)
-        out_bytes = ty * tx * P * (7 * 4 + 15 * 2)
+    if bf16 or raw:
+        hdtype = jnp.bfloat16 if bf16 else F32
+        out_shape, out_specs = _split_out_shapes(H, W, tile_h, tile_w,
+                                                 hdtype)
+        out_bytes = ty * tx * P * (7 * 4 + 15 * (2 if bf16 else 4))
     else:
         out_shape = jax.ShapeDtypeStruct((C_OUT, H, W), F32)
         out_specs = pl.BlockSpec((C_OUT, tile_h, tile_w),
@@ -687,6 +699,8 @@ def select_eval_stream(tri_id: jax.Array, sbins, table: jax.Array,
             transcendentals=0),
     )(sbins.starts, tid_tiles, idsf, rows)
 
+    if raw:
+        return out_tiles
     if bf16:
         outf, outh = out_tiles
         return _to_hwc(outf), _to_hwc(outh)

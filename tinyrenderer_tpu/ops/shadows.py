@@ -186,7 +186,8 @@ def _compare_pcf(shadow_map: jax.Array, u: jax.Array, v: jax.Array,
 
 def gate_refined_visibility(vis_fn, vis_slot, pos: jax.Array, scale: int,
                             block_capacity: int, halo_exchange=None,
-                            block_dims: tuple[int, int] | None = None
+                            block_dims: tuple[int, int] | None = None,
+                            channel_first: bool = False
                             ) -> tuple[jax.Array, jax.Array]:
     """Binary shadow gate at full resolution from a strided coarse pass +
     exact re-evaluation of boundary blocks.
@@ -220,14 +221,19 @@ def gate_refined_visibility(vis_fn, vis_slot, pos: jax.Array, scale: int,
     (the sharded frame passes a ppermute closure). Without it a band pads
     edge-mode at its boundary, missing cross-band gate disagreements and
     skipping the refinement blocks the single-chip frame refines there.
-    Returns ((H, W, L) f32 0/1 gates, () i32 total (light, block) work
-    items wanted, monitoring cfg.shadow_block_capacity).
+    Returns ((H, W, L) f32 0/1 gates — or (L, H, W) with ``channel_first``,
+    the fused shading kernel's input layout, skipping the final relayout —
+    () i32 total (light, block) work items wanted, monitoring
+    cfg.shadow_block_capacity).
     """
     from . import compact
 
+    def out_layout(gates_hwl):
+        return jnp.moveaxis(gates_hwl, -1, 0) if channel_first else gates_hwl
+
     H, W = pos.shape[:2]
     if scale <= 1:
-        return (vis_fn(pos) > 0.0).astype(F32), jnp.int32(0)
+        return out_layout((vis_fn(pos) > 0.0).astype(F32)), jnp.int32(0)
     lo = vis_fn(pos[::scale, ::scale]) > 0.0       # (hl, wl, L) bool
 
     L = lo.shape[-1]
@@ -260,11 +266,20 @@ def gate_refined_visibility(vis_fn, vis_slot, pos: jax.Array, scale: int,
         return jax.image.resize(img.astype(F32), (H, W) + img.shape[2:],
                                 method="nearest")
 
-    coarse_up = up(lo).astype(F32)                  # (H, W, L)
+    # coarse gate upsampled CHANNEL-FIRST: the final composite works in
+    # (L, H, W) (one batched untile for all lights), so upsampling the
+    # tiny (L, hl, wl) grid after a coarse-res transpose avoids a full-res
+    # (H, W, L) -> (L, H, W) relayout
+    lo_cf = jnp.moveaxis(lo, -1, 0).astype(F32)     # (L, hl, wl)
+    if hl * scale == H and wl * scale == W:
+        coarse_up_cf = jnp.repeat(jnp.repeat(lo_cf, scale, axis=1),
+                                  scale, axis=2)
+    else:
+        coarse_up_cf = jax.image.resize(lo_cf, (L, H, W), method="nearest")
 
     bh, bw = block_dims or _GATE_BLOCK_DIMS         # fine-grained blocks
     if H % bh or W % bw:
-        return (vis_fn(pos) > 0.0).astype(F32), jnp.int32(0)
+        return out_layout((vis_fn(pos) > 0.0).astype(F32)), jnp.int32(0)
     nby, nbx = H // bh, W // bw
     n_blocks = nby * nbx
     n_flat = L * n_blocks
@@ -300,7 +315,9 @@ def gate_refined_visibility(vis_fn, vis_slot, pos: jax.Array, scale: int,
     r_all = jnp.moveaxis(r_all, 2, 3).reshape(L, H, W)
     sel = (plan.inv >= 0).reshape(L, nby, 1, nbx, 1)
     m_all = jnp.broadcast_to(sel, (L, nby, bh, nbx, bw)).reshape(L, H, W)
-    gates = jnp.where(m_all, r_all, jnp.moveaxis(coarse_up, -1, 0))
+    gates = jnp.where(m_all, r_all, coarse_up_cf)
+    if channel_first:
+        return gates, plan.needed
     return jnp.moveaxis(gates, 0, -1), plan.needed
 
 

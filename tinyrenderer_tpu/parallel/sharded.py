@@ -55,10 +55,15 @@ def make_mesh(n_devices: Optional[int] = None, dp: int = 1) -> Mesh:
 
 
 def sharded_config(cfg: config.RenderConfig, n_sp: int) -> config.RenderConfig:
-    """Pad the frame height so the tile rows divide evenly over ``sp``."""
+    """Pad the frame height so the tile rows divide evenly over ``sp``.
+
+    Also forces the fused shading kernel off: the band renderer runs the
+    unfused chain (identical math), and the single-chip frame it is
+    exactness-tested against must run the same one."""
     rows_per_dev = -(-cfg.tiles_y // n_sp)
     from dataclasses import replace
-    return replace(cfg, height=rows_per_dev * n_sp * cfg.tile_h)
+    return replace(cfg, height=rows_per_dev * n_sp * cfg.tile_h,
+                   fused_shading=False)
 
 
 class ShardedFrameOutput(NamedTuple):

@@ -276,6 +276,165 @@ def compiled_shadow_atlas(cfg: config.RenderConfig):
     return jax.jit(fn)
 
 
+def _use_fused_shading(cfg: config.RenderConfig) -> bool:
+    """Static dispatch for the fused shading kernel: the Pallas two-pass
+    resolve paths at full texture rate, with shadows on and SSR off (SSR
+    reads image-domain GBuffer planes the fused path never materializes)."""
+    P, D = cfg.num_point_lights, cfg.num_directional_lights
+    return (cfg.fused_shading and cfg.use_pallas and not cfg.fused_resolve
+            and not cfg.enable_ssr and cfg.texture_scale == 1
+            and cfg.enable_shadows and (P + D) > 0)
+
+
+def _render_frame_fused(scene: SceneGPU, pool: sampling.TexturePoolGPU,
+                        lights: LightsGPU, camera_raw: jax.Array,
+                        params: jax.Array, env: Optional[EnvGPU],
+                        cfg: config.RenderConfig,
+                        atlas: Optional[jax.Array]) -> FrameOutput:
+    """Deferred frame via the fused shading kernel (same pass sequence and
+    math as :func:`render_frame`'s unfused chain; see
+    shading.shade_deferred_fused). The gather stages (raster bins, texture
+    compaction, shadow gates) are shared ops — only the elementwise tail
+    between them fuses into one VMEM pass."""
+    cam = _unpack_camera(camera_raw)
+    W, H = cfg.width, cfg.height
+    PW, PH = cfg.padded_width, cfg.padded_height
+    P, D = cfg.num_point_lights, cfg.num_directional_lights
+
+    world, clip, attrs = geometry_stage(scene, cam["view_proj"])
+
+    # ---- main visibility raster + raw channel-first select+eval ----
+    setup = raster.triangle_setup(clip, scene.tri_vidx, scene.tri_deferred,
+                                  PW, PH, "back")
+    table = resolve.build_gbuffer_table(
+        setup, scene.tri_vidx, attrs, scene.tri_instance,
+        scene.inst_object_id, scene.inst_material, scene.mat_record,
+        scene.mat_flat)
+    if cfg.stream_raster and raster.stream_pays_off(scene.tri_vidx.shape[0]):
+        m_bins = raster.bin_triangles_stream(
+            setup, PW, PH, cfg.tile_h, cfg.tile_w, cfg.stream_capacity,
+            cfg.bin_big_capacity)
+        ty, tx = m_bins.counts.shape
+        tri_id, depth = raster.rasterize_stream(
+            m_bins, ty, tx, cfg.tile_h, cfg.tile_w, kmax=cfg.bin_capacity)
+        outf_c, outh_c = resolve.select_eval_stream(
+            tri_id, m_bins, table, cfg.tile_h, cfg.tile_w,
+            kmax=cfg.bin_capacity, bf16=cfg.bf16_attrs, raw=True)
+    else:
+        m_bins = raster.bin_triangles(setup, PW, PH, cfg.tile_h, cfg.tile_w,
+                                      cfg.bin_capacity, cfg.bin_big_capacity)
+        tri_id, depth = raster.rasterize_binned(m_bins, cfg.tile_h,
+                                                cfg.tile_w, use_pallas=True)
+        outf_c, outh_c = resolve.select_eval_pallas(
+            tri_id, m_bins.ids, table, cfg.tile_h, cfg.tile_w,
+            counts=m_bins.counts, bf16=cfg.bf16_attrs, raw=True)
+    overflow = m_bins.overflow
+    big_overflow = m_bins.big_overflow
+
+    # image-domain planes the gather stages need: world (shadow gates),
+    # uv/record (texture compaction) — one 7-channel relayout; the 15
+    # attribute channels stay channel-first for the kernel
+    outf = jnp.moveaxis(outf_c, 0, -1)                  # (H, W, 7)
+    valid = tri_id >= 0
+    g_pos = jnp.where(valid[..., None], outf[..., 0:3], 0.0)
+    uv = outf[..., 3:5]
+    record = jnp.round(outf[..., 5]).astype(I32)
+    pick = jnp.where(valid, jnp.round(outf_c[6]).astype(I32), 0)
+    use_tex = outh_c[14].astype(F32) > 0.5              # (H, W) — flat[5]
+
+    # ---- material sample (block-compacted, same op as the unfused path) ----
+    lvl = sampling.mip_level_from_uv(uv, pool.level_sizes[0])
+    duv = (sampling.uv_derivatives(uv)
+           if isinstance(pool, sampling.NativeTexturePoolGPU) else None)
+    rec, tex_needed = compact.sample_pool_compacted(
+        pool, record, uv, lvl, use_tex & valid, cfg.tex_block_capacity,
+        filter=cfg.texture_filter, duv=duv)             # (H, W, 9)
+    rec_c = jnp.moveaxis(rec, -1, 0)                    # (9, H, W)
+
+    # ---- shadow atlas + channel-first gates ----
+    shadow_overflow = jnp.int32(0)
+    if atlas is None:
+        atlas, shadow_overflow, s_big = render_shadow_atlas(scene, lights,
+                                                            cfg)
+        big_overflow = jnp.maximum(big_overflow, s_big)
+    sbias = params[PARAM_SHADOW_BIAS]
+
+    def vis_all(p):
+        vm = shadows.shadow_multi(
+            p, lights.point_position[:P],
+            lights.shadow_viewprojs[:6 * P].reshape(P, 6, 4, 4)
+            if P > 0 else None,
+            lights.dir_viewproj[:D] if D > 0 else None, atlas, bias=sbias)
+        return jnp.moveaxis(vm, 0, -1)
+
+    vis_slot = shadows.make_vis_slot(
+        lights.point_position[:P],
+        lights.shadow_viewprojs[:6 * P].reshape(P, 6, 4, 4)
+        if P > 0 else None,
+        lights.dir_viewproj[:D] if D > 0 else None, atlas, bias=sbias)
+    gates_c, shadow_blocks = shadows.gate_refined_visibility(
+        vis_all, vis_slot, g_pos, cfg.shadow_lookup_scale,
+        cfg.shadow_block_capacity,
+        block_dims=(cfg.gate_block_h, cfg.gate_block_w), channel_first=True)
+
+    # ---- channel-first sky ----
+    sky_c = None
+    if env is not None:
+        s = cfg.sky_scale
+        sky = envops.skybox_colors(env.env_cube, cam["proj_inv"],
+                                   cam["view_inv"][:3, :3], PW // s, PH // s,
+                                   rgbe_win=(env.sky_rgbe if cfg.sky_rgbe
+                                             else None))
+        sky_c = jnp.moveaxis(sky, -1, 0)                # cheap at sky res
+        if s > 1:
+            if PH % s == 0 and PW % s == 0:
+                sky_c = post.upsample_bilinear_int_cf(sky_c, s, s)
+            else:
+                sky_c = jax.image.resize(sky_c, (3, PH, PW),
+                                         method="bilinear")
+
+    # ---- fused shading: one VMEM pass over the resolved planes ----
+    slights = shading.ShadingLights(
+        point_position=lights.point_position, point_color=lights.point_color,
+        dir_direction=lights.dir_direction, dir_color=lights.dir_color,
+        dir_viewproj=lights.dir_viewproj)
+    irradiance = (env.irradiance_sh
+                  if (env is not None and cfg.enable_ibl) else None)
+    hdr_c = shading.shade_deferred_fused(
+        tri_id, outf_c, outh_c, rec_c, gates_c, sky_c, cam["position"],
+        slights, P, D, irradiance)
+    hdr = jnp.moveaxis(hdr_c, 0, -1)                    # (H, W, 3)
+
+    # ---- forward pass (identical to render_frame) ----
+    fwd_needed = jnp.int32(0)
+    if cfg.has_forward:
+        f_setup = raster.triangle_setup(clip, scene.fwd_tri_vidx,
+                                        scene.fwd_tri_mask, PW, PH, "none")
+        f_bins = raster.bin_triangles(f_setup, PW, PH, cfg.tile_h, cfg.tile_w,
+                                      cfg.bin_capacity, cfg.bin_big_capacity)
+        f_id, _ = raster.rasterize_binned(f_bins, cfg.tile_h, cfg.tile_w,
+                                          use_pallas=cfg.use_pallas)
+        f_table = resolve.build_gbuffer_table(
+            f_setup, scene.fwd_tri_vidx, attrs, scene.fwd_tri_instance,
+            scene.inst_object_id, scene.inst_material, scene.mat_record,
+            scene.mat_flat)
+        overflow = jnp.maximum(overflow, f_bins.overflow)
+        big_overflow = jnp.maximum(big_overflow, f_bins.big_overflow)
+        hdr, pick, fwd_needed = resolve.forward_overlay_compose(
+            hdr, pick, f_id, f_bins, f_table, pool, cfg.tile_h, cfg.tile_w,
+            cfg.fwd_tile_capacity, texture_filter=cfg.texture_filter,
+            fs=max(cfg.texture_scale, 2))
+
+    sdr = post.tone_map(hdr, params[PARAM_TONE_TYPE], params[PARAM_EXPOSURE])
+    return FrameOutput(sdr=sdr[:H, :W], pick_id=pick[:H, :W],
+                       depth=depth[:H, :W], hdr=hdr[:H, :W],
+                       bin_overflow=overflow, shadow_overflow=shadow_overflow,
+                       tex_overflow=jnp.stack([tex_needed, fwd_needed]),
+                       big_overflow=big_overflow,
+                       shadow_blocks=shadow_blocks,
+                       stream_overflow=_sovf(m_bins))
+
+
 def render_frame(scene: SceneGPU, pool: sampling.TexturePoolGPU,
                  lights: LightsGPU, camera_raw: jax.Array,
                  params: jax.Array, env: Optional[EnvGPU],
@@ -287,6 +446,9 @@ def render_frame(scene: SceneGPU, pool: sampling.TexturePoolGPU,
     if cfg.forward_only:
         return render_frame_forward(scene, pool, lights, camera_raw, params,
                                     env, cfg)
+    if cfg.render_scale_pct == 100 and _use_fused_shading(cfg):
+        return _render_frame_fused(scene, pool, lights, camera_raw, params,
+                                   env, cfg, atlas)
     if cfg.render_scale_pct != 100:
         # Reduced internal resolution (cfg.render_scale_pct): run the whole
         # deferred pipeline on a proportionally smaller grid (aspect — and

@@ -33,7 +33,8 @@ def main() -> None:
     ap.add_argument("--frames", type=int, default=8)
     ap.add_argument("--set", default="all",
                     choices=["all", "filters", "rates", "passes", "layout",
-                             "shadow", "r3", "stream", "next", "rkernel", "wblend", "gateblk"])
+                             "shadow", "r3", "stream", "next", "rkernel",
+                             "wblend", "gateblk", "fshade"])
     ap.add_argument("--multilight", action="store_true",
                     help="add point lights up to 4P+1D (BASELINE config 2) "
                          "before packing, so variants measure the "
@@ -117,6 +118,13 @@ def main() -> None:
         return setup
 
     groups = {
+        "fshade": {
+            # fused deferred-shading kernel (round 4): the select+eval raw
+            # channel-first outputs + material sample + gates + sky shade
+            # in ONE VMEM pass vs the unfused jnp chain
+            "fused": replace(base, fused_shading=True),
+            "unfused": replace(base, fused_shading=False),
+        },
         "gateblk": {
             # gate-refinement block dims (now cfg fields). Capacity-fair:
             # slots scale inversely with block area for the same boundary
