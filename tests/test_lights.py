@@ -182,3 +182,43 @@ def test_gate_refinement_exact_on_diagonal_edges():
         np.testing.assert_array_equal(
             np.asarray(got), want, err_msg=f"scale {scale}")
         assert int(needed) > 0
+
+
+def test_gate_variants_match_thresholded_pcf():
+    """shadow_multi_gate / make_vis_slot_gate (1-channel min-window
+    compares, shadows.gate_min_maps) must equal the thresholded PCF
+    lookups everywhere except exactly-zero bilinear weights (measure-zero
+    under random uv — none in this seed)."""
+    import jax.numpy as jnp
+
+    from tinyrenderer_tpu.ops import shadows as S
+
+    rng = np.random.default_rng(17)
+    Pn, D, size = 2, 2, 32
+    pts = [(rng.uniform(-4, 4, 3).astype(F32), np.ones(3, F32))
+           for _ in range(Pn)]
+    dirs = [(rng.uniform(-1, -0.2, 3).astype(F32), np.ones(3, F32))
+            for _ in range(D)]
+    packed = L.pack_lights(pts, dirs)
+    atlas = S.window_depth_maps(
+        jnp.asarray(rng.uniform(0, 1, (6 * Pn + D, size, size)), jnp.float32))
+    min_map = S.gate_min_maps(atlas)
+    assert min_map.shape == (6 * Pn + D, size, size)
+    vps = jnp.asarray(packed.shadow_viewprojs)
+    lp = jnp.asarray(packed.point_position[:Pn])
+    pvp = vps[:6 * Pn].reshape(Pn, 6, 4, 4)
+    dvp = jnp.asarray(packed.dir_viewproj[:D])
+
+    pos = jnp.asarray(rng.uniform(-30, 30, (8, 16, 3)), jnp.float32)
+    pcf = S.shadow_multi(pos, lp, pvp, dvp, atlas, bias=1e-4)
+    gate = S.shadow_multi_gate(pos, lp, pvp, dvp, min_map, bias=1e-4)
+    np.testing.assert_array_equal(np.asarray(gate),
+                                  np.asarray(pcf) > 0.0)
+
+    K = 12
+    pos_c = jnp.asarray(rng.uniform(-30, 30, (K, 8, 16, 3)), jnp.float32)
+    li_c = jnp.asarray(rng.integers(0, Pn + D, K), jnp.int32)
+    slot_pcf = S.make_vis_slot(lp, pvp, dvp, atlas, bias=1e-4)
+    slot_gate = S.make_vis_slot_gate(lp, pvp, dvp, min_map, bias=1e-4)
+    np.testing.assert_array_equal(np.asarray(slot_gate(pos_c, li_c)),
+                                  np.asarray(slot_pcf(pos_c, li_c)) > 0.0)

@@ -184,6 +184,36 @@ def _compare_pcf(shadow_map: jax.Array, u: jax.Array, v: jax.Array,
     return jnp.sum(lit * w, axis=-1)
 
 
+def gate_min_maps(win: jax.Array) -> jax.Array:
+    """(V, S, S, 4) windowed atlas -> (V, S, S) per-texel 2x2-window MIN.
+
+    The shading gate consumes ``visibility > 0`` (main.wgsl:228-237 ``if
+    shadow > 0.0``), and a bilinear PCF is > 0 iff ANY window texel with
+    nonzero weight compares lit — for interior weights, iff ``ref_z + bias
+    > min(window)``. Gathering the gate from this 1-channel map quarters
+    both the table bytes and the bytes per row: the 25-view BASELINE-
+    config-2 atlas gathered its 8 B windowed rows from a 210 MB table at
+    only 80 M rows/s (10.7 ms/frame in the round-4 trace — table size is
+    the rate killer; the 7-view 59 MB table ran 225 M rows/s). Pixels
+    whose bilinear weight is EXACTLY zero (fx or fy == 0) are treated as
+    the +epsilon limit, i.e. a sub-ULP uv perturbation."""
+    return jnp.min(win, axis=-1)
+
+
+def _compare_gate(min_map: jax.Array, u: jax.Array, v: jax.Array,
+                  ref_z: jax.Array, base=0, bias=0.0) -> jax.Array:
+    """Binary shadow gate: ref_z + bias > min(2x2 window), ONE scalar
+    gather per pixel against :func:`gate_min_maps`' flat table. Same
+    texel addressing as _compare_pcf."""
+    S = min_map.shape[-1]
+    fu = u * S - 0.5
+    fv = v * S - 0.5
+    x0 = jnp.clip(jnp.floor(fu).astype(I32), 0, S - 1)
+    y0 = jnp.clip(jnp.floor(fv).astype(I32), 0, S - 1)
+    m = jnp.take(min_map.reshape(-1), base + y0 * S + x0)
+    return ref_z + bias > m.astype(F32)
+
+
 def gate_refined_visibility(vis_fn, vis_slot, pos: jax.Array, scale: int,
                             block_capacity: int, halo_exchange=None,
                             block_dims: tuple[int, int] | None = None,
@@ -321,6 +351,47 @@ def gate_refined_visibility(vis_fn, vis_slot, pos: jax.Array, scale: int,
     return jnp.moveaxis(gates, 0, -1), plan.needed
 
 
+# Gate compare table selection ("auto" | True | False; profile_frame A/B
+# overrides). The 1-channel min map wins only on BIG atlases: its scalar
+# rows gather at a lower fixed rate than 8 B windowed rows, but the rate
+# of the windowed gather collapses with table size (measured 1080p, same
+# row counts: 7-view 59 MB table — min 18.9 vs windowed 17.6 ms; 25-view
+# 210 MB — min 25.0 vs windowed 31.3 ms). "auto" switches at this table
+# size, a static shape property.
+_GATE_VIA_MIN = "auto"
+_GATE_MIN_TABLE_BYTES = 128 * 1024 * 1024
+
+
+def gate_fns(light_positions, point_viewprojs, dir_viewprojs,
+             atlas: jax.Array, bias=0.0):
+    """(vis_all, vis_slot) pair for :func:`gate_refined_visibility`.
+
+    vis_all(pos (..., 3)) -> (..., L) per-light visibility (channel-last);
+    vis_slot(pos_c, li_c) -> (K, bh, bw) — both consumed through ``> 0``
+    thresholds only, so on big atlases they compare against the 1-channel
+    min-window map (:func:`gate_min_maps`; 1/4 the gather table and row
+    bytes of the windowed ``atlas`` — the BASELINE-config-2 lever). One
+    shared builder for the single-chip and sharded frames (keep-in-sync
+    invariant)."""
+    Pn = light_positions.shape[0] if light_positions is not None else 0
+    pvp = point_viewprojs if Pn > 0 else None
+    lp = light_positions if Pn > 0 else None
+    use_min = (_GATE_VIA_MIN if _GATE_VIA_MIN != "auto" else
+               atlas.size * atlas.dtype.itemsize >= _GATE_MIN_TABLE_BYTES)
+    if use_min:
+        table = gate_min_maps(atlas)
+        multi, slot = shadow_multi_gate, make_vis_slot_gate
+    else:
+        table = atlas
+        multi, slot = shadow_multi, make_vis_slot
+
+    def vis_all(p):
+        return jnp.moveaxis(
+            multi(p, lp, pvp, dir_viewprojs, table, bias=bias), 0, -1)
+
+    return vis_all, slot(lp, pvp, dir_viewprojs, table, bias=bias)
+
+
 def make_vis_slot(light_positions, point_viewprojs, dir_viewprojs,
                   atlas: jax.Array, bias=0.0):
     """Build the per-slot exact-visibility callback for the batched gate
@@ -329,10 +400,42 @@ def make_vis_slot(light_positions, point_viewprojs, dir_viewprojs,
     engine's atlas view order). Each slot projects through ITS light's
     viewprojs (pure ALU) and all slots share ONE PCF gather round."""
     S = atlas.shape[-2]
+
+    taps = _slot_taps(light_positions, point_viewprojs, dir_viewprojs, S)
+
+    def vis_slot(pos_c: jax.Array, li_c: jax.Array) -> jax.Array:
+        u, v, z, base, ok = taps(pos_c, li_c)
+        vis = _compare_pcf(atlas, u, v, z, base=base, bias=bias)
+        return jnp.where(ok, vis, 1.0)
+
+    return vis_slot
+
+
+def make_vis_slot_gate(light_positions, point_viewprojs, dir_viewprojs,
+                       min_map: jax.Array, bias=0.0):
+    """make_vis_slot's BINARY variant: min-window compare against
+    :func:`gate_min_maps` (one 1-channel gather round). vis_slot_gate(
+    pos_c, li_c) -> (K, bh, bw) bool; out-of-frustum slots lit."""
+    S = min_map.shape[-1]
+    taps = _slot_taps(light_positions, point_viewprojs, dir_viewprojs, S)
+
+    def vis_slot_gate(pos_c: jax.Array, li_c: jax.Array) -> jax.Array:
+        u, v, z, base, ok = taps(pos_c, li_c)
+        lit = _compare_gate(min_map, u, v, z, base=base, bias=bias)
+        return lit | ~ok
+
+    return vis_slot_gate
+
+
+def _slot_taps(light_positions, point_viewprojs, dir_viewprojs, S: int):
+    """Per-(block, light)-slot tap coordinates for the gate refinement:
+    taps(pos_c (K, bh, bw, 3), li_c (K,) i32) -> (u, v, z, flat base, ok).
+    Each slot projects through ITS light's viewprojs (pure ALU); shared
+    by make_vis_slot (PCF) and make_vis_slot_gate (min-window)."""
     Pn = point_viewprojs.shape[0] if point_viewprojs is not None else 0
     D = dir_viewprojs.shape[0] if dir_viewprojs is not None else 0
 
-    def vis_slot(pos_c: jax.Array, li_c: jax.Array) -> jax.Array:
+    def taps(pos_c: jax.Array, li_c: jax.Array):
         ph = jnp.concatenate([pos_c, jnp.ones_like(pos_c[..., :1])], axis=-1)
         u = v = z = base = ok = None
         if Pn:
@@ -371,10 +474,9 @@ def make_vis_slot(light_positions, point_viewprojs, dir_viewprojs,
                 ok = jnp.where(is_dir, okd, ok)
             else:
                 u, v, z, base, ok = ud, vd, zd, based, okd
-        vis = _compare_pcf(atlas, u, v, z, base=base, bias=bias)
-        return jnp.where(ok, vis, 1.0)
+        return u, v, z, base, ok
 
-    return vis_slot
+    return taps
 
 
 def directional_shadow(world_pos: jax.Array, viewproj: jax.Array,
@@ -440,7 +542,18 @@ def shadow_multi(world_pos: jax.Array, light_positions: jax.Array,
     reason). atlas: (6P+D, S, S, 4) in engine view order (points first).
     Returns (P+D, ...) visibility, point lights first.
     """
-    S = atlas.shape[-2]
+    u, v, z, base, inside = _multi_taps(world_pos, light_positions,
+                                        point_viewprojs, dir_viewprojs,
+                                        atlas.shape[-2])
+    vis = _compare_pcf(atlas, u, v, z, base=base, bias=bias)
+    return jnp.where(inside, vis, 1.0)
+
+
+def _multi_taps(world_pos, light_positions, point_viewprojs, dir_viewprojs,
+                S: int):
+    """All lights' tap coordinates, point-first: ((P+D, ...) u, v, z,
+    flat layer base, inside). The pure-ALU half shared by shadow_multi
+    (PCF fractions) and shadow_multi_gate (binary min-window gate)."""
     Pn = light_positions.shape[0] if point_viewprojs is not None else 0
     us, vs, zs, bases, insides = [], [], [], [], []
     if Pn:
@@ -455,10 +568,23 @@ def shadow_multi(world_pos: jax.Array, light_positions: jax.Array,
         us.append(u[None]); vs.append(v[None]); zs.append(z[None])
         bases.append(jnp.full(u.shape, (6 * Pn + i) * S * S, I32)[None])
         insides.append(inside[None])
-    vis = _compare_pcf(atlas, jnp.concatenate(us), jnp.concatenate(vs),
-                       jnp.concatenate(zs), base=jnp.concatenate(bases),
-                       bias=bias)
-    return jnp.where(jnp.concatenate(insides), vis, 1.0)
+    return (jnp.concatenate(us), jnp.concatenate(vs), jnp.concatenate(zs),
+            jnp.concatenate(bases), jnp.concatenate(insides))
+
+
+def shadow_multi_gate(world_pos: jax.Array, light_positions: jax.Array,
+                      point_viewprojs: jax.Array, dir_viewprojs: jax.Array,
+                      min_map: jax.Array, bias=0.0) -> jax.Array:
+    """shadow_multi's BINARY gate: same taps, min-window compare against
+    :func:`gate_min_maps` — one 1-channel gather round. Returns
+    (P+D, ...) bool, point lights first; outside-frustum taps are lit.
+    Equals ``shadow_multi(...) > 0`` except on exactly-zero bilinear
+    weights (see gate_min_maps)."""
+    u, v, z, base, inside = _multi_taps(world_pos, light_positions,
+                                        point_viewprojs, dir_viewprojs,
+                                        min_map.shape[-1])
+    lit = _compare_gate(min_map, u, v, z, base=base, bias=bias)
+    return lit | ~inside
 
 
 def point_shadow(world_pos: jax.Array, light_pos: jax.Array,

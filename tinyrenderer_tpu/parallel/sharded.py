@@ -179,23 +179,12 @@ def _render_band(scene: SceneGPU, pool, lights: LightsGPU, atlas,
     if cfg.enable_shadows and (Pn + D) > 0 and atlas is not None:
         # same batched-gate path as render_frame (keep-in-sync invariant):
         # one coarse strided pass + boundary-block refinement per band
-        sbias = params[framelib.PARAM_SHADOW_BIAS]
-
-        def vis_all(p):
-            # one gather round for ALL lights (P cubes + D directionals)
-            vm = shadows.shadow_multi(
-                p, lights.point_position[:Pn],
-                lights.shadow_viewprojs[:6 * Pn].reshape(Pn, 6, 4, 4)
-                if Pn > 0 else None,
-                lights.dir_viewproj[:D] if D > 0 else None,
-                atlas, bias=sbias)
-            return jnp.moveaxis(vm, 0, -1)
-
-        vis_slot = shadows.make_vis_slot(
+        vis_all, vis_slot = shadows.gate_fns(
             lights.point_position[:Pn],
             lights.shadow_viewprojs[:6 * Pn].reshape(Pn, 6, 4, 4)
             if Pn > 0 else None,
-            lights.dir_viewproj[:D] if D > 0 else None, atlas, bias=sbias)
+            lights.dir_viewproj[:D] if D > 0 else None, atlas,
+            bias=params[framelib.PARAM_SHADOW_BIAS])
 
         # coarse-gate halo exchange: a band's boundary coarse cells must
         # see the NEIGHBOR band's gates for edge detection, or blocks the

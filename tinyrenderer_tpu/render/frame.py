@@ -357,21 +357,14 @@ def _render_frame_fused(scene: SceneGPU, pool: sampling.TexturePoolGPU,
         atlas, shadow_overflow, s_big = render_shadow_atlas(scene, lights,
                                                             cfg)
         big_overflow = jnp.maximum(big_overflow, s_big)
-    sbias = params[PARAM_SHADOW_BIAS]
-
-    def vis_all(p):
-        vm = shadows.shadow_multi(
-            p, lights.point_position[:P],
-            lights.shadow_viewprojs[:6 * P].reshape(P, 6, 4, 4)
-            if P > 0 else None,
-            lights.dir_viewproj[:D] if D > 0 else None, atlas, bias=sbias)
-        return jnp.moveaxis(vm, 0, -1)
-
-    vis_slot = shadows.make_vis_slot(
+    # gates compare against the 1-channel min-window map: 1/4 the gather
+    # table and row bytes of the windowed PCF atlas (shadows.gate_min_maps)
+    vis_all, vis_slot = shadows.gate_fns(
         lights.point_position[:P],
         lights.shadow_viewprojs[:6 * P].reshape(P, 6, 4, 4)
         if P > 0 else None,
-        lights.dir_viewproj[:D] if D > 0 else None, atlas, bias=sbias)
+        lights.dir_viewproj[:D] if D > 0 else None, atlas,
+        bias=params[PARAM_SHADOW_BIAS])
     gates_c, shadow_blocks = shadows.gate_refined_visibility(
         vis_all, vis_slot, g_pos, cfg.shadow_lookup_scale,
         cfg.shadow_block_capacity,
@@ -506,26 +499,16 @@ def render_frame(scene: SceneGPU, pool: sampling.TexturePoolGPU,
             big_overflow = jnp.maximum(big_overflow, s_big)
 
         # All lights' binary gates in one coarse pass + one boundary-block
-        # refinement (shadows.gate_refined_visibility); point lights batch
-        # their cube lookups into a single gather round
-        # (shadows.point_shadow_multi — the BASELINE-config-2 lever).
-        sbias = params[PARAM_SHADOW_BIAS]
-
-        def vis_all(p):
-            # one gather round for ALL lights (P cubes + D directionals)
-            vm = shadows.shadow_multi(
-                p, lights.point_position[:P],
-                lights.shadow_viewprojs[:6 * P].reshape(P, 6, 4, 4)
-                if P > 0 else None,
-                lights.dir_viewproj[:D] if D > 0 else None,
-                atlas, bias=sbias)
-            return jnp.moveaxis(vm, 0, -1)
-
-        vis_slot = shadows.make_vis_slot(
+        # refinement (shadows.gate_refined_visibility); all lights batch
+        # their lookups into a single gather round against the 1-channel
+        # min-window map (shadows.gate_min_maps — 1/4 the gather table
+        # and row bytes; the BASELINE-config-2 lever).
+        vis_all, vis_slot = shadows.gate_fns(
             lights.point_position[:P],
             lights.shadow_viewprojs[:6 * P].reshape(P, 6, 4, 4)
             if P > 0 else None,
-            lights.dir_viewproj[:D] if D > 0 else None, atlas, bias=sbias)
+            lights.dir_viewproj[:D] if D > 0 else None, atlas,
+            bias=params[PARAM_SHADOW_BIAS])
 
         gates, shadow_blocks = shadows.gate_refined_visibility(
             vis_all, vis_slot, g.position, cfg.shadow_lookup_scale,

@@ -34,7 +34,7 @@ def main() -> None:
     ap.add_argument("--set", default="all",
                     choices=["all", "filters", "rates", "passes", "layout",
                              "shadow", "r3", "stream", "next", "rkernel",
-                             "wblend", "gateblk", "fshade"])
+                             "wblend", "gateblk", "fshade", "gatemin"])
     ap.add_argument("--multilight", action="store_true",
                     help="add point lights up to 4P+1D (BASELINE config 2) "
                          "before packing, so variants measure the "
@@ -117,7 +117,20 @@ def main() -> None:
             sampling._FLAT_WINDOW_BLEND = False
         return setup
 
+    from tinyrenderer_tpu.ops import shadows as shadowslib
+
+    def _gate_min(on):
+        def setup():
+            shadowslib._GATE_VIA_MIN = on
+        return setup
+
     groups = {
+        "gatemin": {
+            # shadow-gate compare table (round 4): 1-channel min-window map
+            # vs the 4-channel windowed PCF atlas (thresholded either way)
+            "min-map": (base, _gate_min(True)),
+            "pcf-win": (base, _gate_min(False)),
+        },
         "fshade": {
             # fused deferred-shading kernel (round 4): the select+eval raw
             # channel-first outputs + material sample + gates + sky shade

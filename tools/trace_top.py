@@ -22,7 +22,8 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def capture(trace_dir: str, shadow8: bool = False) -> None:
+def capture(trace_dir: str, shadow8: bool = False, scene: str = "test",
+            multilight: bool = False) -> None:
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -33,10 +34,22 @@ def capture(trace_dir: str, shadow8: bool = False) -> None:
     from tinyrenderer_tpu.render import frame as framelib
     from tinyrenderer_tpu.render.engine import Engine
 
-    cfg = RenderConfig(width=1920, height=1080)
-    if shadow8:
-        cfg = replace(cfg, shadow_lookup_scale=8, shadow_block_capacity=3072)
-    eng = Engine(cfg=cfg, level_path="/root/reference/levels/test.lvl")
+    if scene != "test":
+        import bench
+        eng = bench.build_engine(stress=(scene == "stress"),
+                                 highpoly=(scene == "highpoly"),
+                                 multilight=multilight)
+    else:
+        cfg = RenderConfig(width=1920, height=1080)
+        if shadow8:
+            cfg = replace(cfg, shadow_lookup_scale=8,
+                          shadow_block_capacity=3072)
+        if multilight:
+            import bench
+            eng = bench.build_engine(multilight=True)
+        else:
+            eng = Engine(cfg=cfg,
+                         level_path="/root/reference/levels/test.lvl")
     eng.update(0.0)
     eng._drain_actions()
     for _ in range(4):
@@ -96,9 +109,13 @@ def main() -> None:
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--parse-only", action="store_true")
     ap.add_argument("--shadow8", action="store_true")
+    ap.add_argument("--multilight", action="store_true")
+    ap.add_argument("--scene", default="test",
+                    choices=["test", "stress", "highpoly"])
     args = ap.parse_args()
     if not args.parse_only:
-        capture(args.dir, shadow8=args.shadow8)
+        capture(args.dir, shadow8=args.shadow8, scene=args.scene,
+                multilight=args.multilight)
     parse(args.dir, args.top)
 
 
