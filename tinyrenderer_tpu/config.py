@@ -162,6 +162,15 @@ class RenderConfig:
     # Statically skip the forward overlay (set by the engine when the scene
     # has no gizmos/billboards — saves a raster + resolve + texture taps).
     has_forward: bool = True
+    # Statically skip the deferred material-sampling machinery (set by the
+    # engine when NO material in the scene uses textures — the flat-only
+    # high-poly workload): drops the per-pixel mip/uv math, the windowed
+    # u8 gather and the block-compaction scatter/untile round trip
+    # (~5 ms/frame of the 131k-triangle trace, round 4). The TPU analog of
+    # the reference's flat-parameter pipeline variant
+    # (src/shaders/gbuffer_geometry_flat_parameter.wgsl) never binding
+    # texture groups at all.
+    any_textured: bool = True
     # Select resolve rows inside the Pallas raster kernel (fused) vs a
     # separate per-tile one-hot matmul pass. Two-pass measured ~5% faster
     # at 1080p (the fused kernel's (D, P) VMEM carry serializes against its

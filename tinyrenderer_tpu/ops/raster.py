@@ -106,8 +106,10 @@ def transform_vertices(positions: jax.Array, vert_instance: jax.Array,
     vp = view_proj  # clip_i = sum_j vp[i, j] * world_j + vp[i, 3]
     clip_cols = [vp[i, 0] * wx + vp[i, 1] * wy + vp[i, 2] * wz + vp[i, 3]
                  for i in range(4)]
-    world = jnp.stack(world_cols, axis=1)
-    clip = jnp.stack(clip_cols, axis=1)
+    # axis=0 stacks + transpose: stacking (V,) columns on axis=1 lowers
+    # each as a lane-padded (V, 1) tile (see triangle_setup note)
+    world = jnp.stack(world_cols, axis=0).T
+    clip = jnp.stack(clip_cols, axis=0).T
     return world, clip
 
 
@@ -164,22 +166,27 @@ def triangle_setup(clip: jax.Array, tri_vidx: jax.Array, tri_mask: jax.Array,
     zc = e0c * zs[0] + e1c * zs[1] + e2c * zs[2]
 
     idf = (jnp.arange(tri_vidx.shape[0], dtype=I32) + 1).astype(F32)
-    rows = jnp.stack([e0x, e0y, e0c, e1x, e1y, e1c, e2x, e2y, e2c,
-                      zx, zy, zc, idf, inv_ws[0], inv_ws[1], inv_ws[2]],
-                     axis=1)
-    rows = jnp.where(valid[:, None], rows, 0.0)
+    # Column-major assembly: stacking (T,) columns on axis=1 makes XLA
+    # materialize each as a lane-padded (T, 1) tile (128x its logical
+    # bytes — ~6.4 ms/frame of the 131k-triangle trace, round 4). A
+    # (16, T) stack keeps every operand full-lane; ONE transpose pays the
+    # row table's physical write once.
+    rows_cf = jnp.stack([e0x, e0y, e0c, e1x, e1y, e1c, e2x, e2y, e2c,
+                         zx, zy, zc, idf, inv_ws[0], inv_ws[1], inv_ws[2]],
+                        axis=0)                       # (16, T) full-lane
+    rows = jnp.where(valid[None, :], rows_cf, 0.0).T  # (T, 16)
 
     bbox = jnp.stack([
         jnp.minimum(jnp.minimum(x0, x1), x2),
         jnp.minimum(jnp.minimum(y0, y1), y2),
         jnp.maximum(jnp.maximum(x0, x1), x2),
         jnp.maximum(jnp.maximum(y0, y1), y2),
-    ], axis=1)
+    ], axis=0).T                                      # (T, 4)
 
-    screen = jnp.stack([jnp.stack(sxs, axis=1), jnp.stack(sys_, axis=1)],
-                       axis=2)
-    inv_w = jnp.stack(inv_ws, axis=1)
-    z = jnp.stack(zs, axis=1)
+    screen = jnp.stack([jnp.stack(sxs, axis=0), jnp.stack(sys_, axis=0)],
+                       axis=0).transpose(2, 1, 0)     # (T, 3, 2)
+    inv_w = jnp.stack(inv_ws, axis=0).T
+    z = jnp.stack(zs, axis=0).T
     return TriangleSetup(rows=rows, valid=valid, bbox=bbox, screen=screen,
                          inv_w=inv_w, z_ndc=z)
 

@@ -191,25 +191,30 @@ def build_gbuffer_table(setup, tri_vidx: jax.Array, attrs: "VertexAttrs",
     E_kj for j in {x, y, c} — all (T, 14) full-width ops, no (T, 3, C)
     intermediates."""
     attr_rows = attrs.rows()                                 # (V, 14)
+    # Channel-first accumulation: (T, C) intermediates lane-pad C -> 128
+    # (64 MB each at T=131k — the round-4 high-poly trace's top fusion
+    # group), so the plane accumulation runs on (14, T) full-lane tensors
+    # and ONE final transpose pays the (T, ROW_D) table's physical write.
     blocks = [None, None, None]                              # A_x, A_y, A_c
     pw = [None, None, None]
     for k in range(3):
-        ak = jnp.take(attr_rows, tri_vidx[:, k], axis=0)     # (T, 14)
+        ak = jnp.take(attr_rows, tri_vidx[:, k], axis=0).T   # (14, T)
         iwk = setup.inv_w[:, k]
-        awk = ak * iwk[:, None]
+        awk = ak * iwk[None, :]
         for j in range(3):                                   # e_kj columns
             e = setup.rows[:, 3 * k + j]
-            blocks[j] = awk * e[:, None] if blocks[j] is None \
-                else blocks[j] + awk * e[:, None]
+            blocks[j] = awk * e[None, :] if blocks[j] is None \
+                else blocks[j] + awk * e[None, :]
             pw[j] = iwk * e if pw[j] is None else pw[j] + iwk * e
     mat = jnp.take(inst_material, tri_instance)
     consts = [
-        jnp.take(mat_flat, mat, axis=0),                     # (T, 6)
-        jnp.take(mat_record, mat).astype(F32)[:, None],      # (T, 1)
-        jnp.take(inst_object_id, tri_instance).astype(F32)[:, None],  # (T, 1)
+        jnp.take(mat_flat, mat, axis=0).T,                   # (6, T)
+        jnp.take(mat_record, mat).astype(F32)[None, :],      # (1, T)
+        jnp.take(inst_object_id, tri_instance).astype(F32)[None, :],
     ]
-    rows = jnp.concatenate([jnp.stack(pw, axis=1)] + blocks + consts, axis=1)
-    return jnp.where(setup.valid[:, None], rows, 0.0)
+    rows_cf = jnp.concatenate([jnp.stack(pw, axis=0)] + blocks + consts,
+                              axis=0)                        # (ROW_D, T)
+    return jnp.where(setup.valid[None, :], rows_cf, 0.0).T
 
 
 def select_rows_onehot(tri_id: jax.Array, bin_ids: jax.Array,
@@ -755,7 +760,8 @@ def resolve_gbuffer_from_attrs(r: "ResolvedAttrs", tri_id: jax.Array,
                                pool: sampling.TexturePoolGPU,
                                texture_filter: str = "dithered",
                                texture_scale: int = 1,
-                               tex_block_capacity: int = 0
+                               tex_block_capacity: int = 0,
+                               sample_textures: bool = True
                                ) -> tuple[GBuffer, jax.Array]:
     """Material evaluation + GBuffer assembly from resolved attributes.
 
@@ -773,6 +779,23 @@ def resolve_gbuffer_from_attrs(r: "ResolvedAttrs", tri_id: jax.Array,
     n_geom, tangent, bitangent = r.normal, r.tangent, r.bitangent
     flat, object_id, valid = r.flat, r.object_id, r.valid
     use_tex = flat[..., 5] > 0.5
+
+    if not sample_textures:
+        # static flat-only scene (cfg.any_textured False): no material in
+        # the pack uses textures, so skip the mip/uv math and the sampling
+        # machinery entirely (the flat-parameter pipeline variant)
+        vm = valid[..., None]
+        return GBuffer(
+            position=jnp.where(vm, world, 0.0),
+            normal=jnp.where(vm, n_geom, 0.0),
+            albedo=jnp.where(vm, flat[..., 0:3], 0.0),
+            rough_metal_ao=jnp.where(
+                vm, jnp.stack([flat[..., 3], flat[..., 4],
+                               jnp.ones_like(flat[..., 3])], axis=-1), 0.0),
+            depth=depth,
+            object_id=object_id,
+            mask=valid,
+        ), jnp.int32(0)
 
     if texture_scale > 1:
         s = texture_scale
@@ -993,7 +1016,8 @@ def resolve_gbuffer_onehot(tri_id: jax.Array, depth: jax.Array, setup,
                            tex_block_capacity: int = 0,
                            use_pallas: bool = False,
                            counts: jax.Array | None = None,
-                           bf16: bool = False
+                           bf16: bool = False,
+                           sample_textures: bool = True
                            ) -> tuple[GBuffer, jax.Array]:
     """Two-pass gather-free GBuffer resolve (select pass + epilogue)."""
     r = resolve_attrs_onehot(tri_id, setup, bin_ids, tri_vidx, tri_instance,
@@ -1002,7 +1026,8 @@ def resolve_gbuffer_onehot(tri_id: jax.Array, depth: jax.Array, setup,
                              use_pallas=use_pallas, counts=counts, bf16=bf16)
     return resolve_gbuffer_from_attrs(r, tri_id, depth, pool,
                                       texture_filter, texture_scale,
-                                      tex_block_capacity)
+                                      tex_block_capacity,
+                                      sample_textures=sample_textures)
 
 
 def _safe_normalize(v: jax.Array) -> jax.Array:

@@ -205,37 +205,53 @@ def _norm3(x, y, z):
     return x / d, y / d, z / d
 
 
-def _shade_kernel(consts_ref, tid_ref, outf_ref, outh_ref, rec_ref,
-                  gates_ref, *refs, num_point: int, num_dir: int,
-                  has_ibl: bool, has_sky: bool):
+def _shade_kernel(consts_ref, tid_ref, outf_ref, outh_ref, *refs,
+                  num_point: int, num_dir: int,
+                  has_ibl: bool, has_sky: bool, has_rec: bool = True):
+    idx = 0
+    rec_ref = None
+    if has_rec:
+        rec_ref = refs[idx]
+        idx += 1
+    gates_ref = refs[idx]
+    idx += 1
+    sky_ref = None
     if has_sky:
-        sky_ref, hdr_ref = refs
-    else:
-        (hdr_ref,) = refs
+        sky_ref = refs[idx]
+        idx += 1
+    hdr_ref = refs[idx]
     c = consts_ref
 
     valid = tid_ref[...] >= 0                         # (bh, bw) bool
     h = outh_ref[...].astype(F32)                     # (15, bh, bw)
     ngx, ngy, ngz = _norm3(h[0], h[1], h[2])          # geometric normal
-    tx, ty, tz = _norm3(h[3], h[4], h[5])             # tangent
-    bx, by, bz = _norm3(h[6], h[7], h[8])             # bitangent
-    # flat material params [albedo3 rough metal use_tex]
-    use_tex = h[14] > 0.5
 
-    rec = rec_ref[...]                                # (9, bh, bw)
-    # tangent-space normal -> world (resolve_gbuffer_from_attrs TBN)
-    ntx = rec[4] * 2.0 - 1.0
-    nty = rec[5] * 2.0 - 1.0
-    ntz = rec[6] * 2.0 - 1.0
-    mx, my, mz = _norm3(ntx * tx + nty * bx + ntz * ngx,
-                        ntx * ty + nty * by + ntz * ngy,
-                        ntx * tz + nty * bz + ntz * ngz)
-    nx = jnp.where(use_tex, mx, ngx)
-    ny = jnp.where(use_tex, my, ngy)
-    nz = jnp.where(use_tex, mz, ngz)
-    alb = [jnp.where(use_tex, rec[k], h[9 + k]) for k in range(3)]
-    rough = jnp.where(use_tex, rec[7], h[12])
-    metal = jnp.where(use_tex, rec[8], h[13])
+    if has_rec:
+        tx, ty, tz = _norm3(h[3], h[4], h[5])         # tangent
+        bx, by, bz = _norm3(h[6], h[7], h[8])         # bitangent
+        # flat material params [albedo3 rough metal use_tex]
+        use_tex = h[14] > 0.5
+
+        rec = rec_ref[...]                            # (9, bh, bw)
+        # tangent-space normal -> world (resolve_gbuffer_from_attrs TBN)
+        ntx = rec[4] * 2.0 - 1.0
+        nty = rec[5] * 2.0 - 1.0
+        ntz = rec[6] * 2.0 - 1.0
+        mx, my, mz = _norm3(ntx * tx + nty * bx + ntz * ngx,
+                            ntx * ty + nty * by + ntz * ngy,
+                            ntx * tz + nty * bz + ntz * ngz)
+        nx = jnp.where(use_tex, mx, ngx)
+        ny = jnp.where(use_tex, my, ngy)
+        nz = jnp.where(use_tex, mz, ngz)
+        alb = [jnp.where(use_tex, rec[k], h[9 + k]) for k in range(3)]
+        rough = jnp.where(use_tex, rec[7], h[12])
+        metal = jnp.where(use_tex, rec[8], h[13])
+    else:
+        # flat-only scene (cfg.any_textured False): geometric normal +
+        # flat params, no material plane
+        nx, ny, nz = ngx, ngy, ngz
+        alb = [h[9 + k] for k in range(3)]
+        rough, metal = h[12], h[13]
 
     px, py, pz = outf_ref[0], outf_ref[1], outf_ref[2]   # world position
     vx, vy, vz = _norm3(c[0, 0] - px, c[0, 1] - py, c[0, 2] - pz)  # to cam
@@ -333,7 +349,9 @@ def shade_deferred_fused(tri_id: jax.Array, outf_c: jax.Array,
 
     tri_id (H, W) i32; outf_c (7, H, W) f32 / outh_c (15, H, W) f32|bf16:
     the select+eval kernel's raw split outputs (resolve.select_eval_*,
-    raw=True); rec_c (9, H, W) material sample; gates_c (L, H, W) 0/1
+    raw=True); rec_c (9, H, W) material sample, or None for a statically
+    flat-only scene (cfg.any_textured False — geometric normals + flat
+    params, no material plane read); gates_c (L, H, W) 0/1
     shadow gates, points first (L == num_point + num_dir); sky_c
     (3, H, W) or None."""
     H, W = tri_id.shape
@@ -346,10 +364,11 @@ def shade_deferred_fused(tri_id: jax.Array, outf_c: jax.Array,
     consts = pack_shading_consts(camera_pos, lights, num_point, num_dir,
                                  irradiance_sh)
     has_sky = sky_c is not None
+    has_rec = rec_c is not None
     kernel = functools.partial(_shade_kernel, num_point=num_point,
                                num_dir=num_dir,
                                has_ibl=irradiance_sh is not None,
-                               has_sky=has_sky)
+                               has_sky=has_sky, has_rec=has_rec)
 
     def cmap(C):
         return pl.BlockSpec((C, bh, bw), lambda i, j: (0, i, j),
@@ -359,15 +378,20 @@ def shade_deferred_fused(tri_id: jax.Array, outf_c: jax.Array,
         pl.BlockSpec(memory_space=pltpu.SMEM),
         pl.BlockSpec((bh, bw), lambda i, j: (i, j),
                      memory_space=pltpu.VMEM),
-        cmap(7), cmap(15), cmap(9), cmap(L),
+        cmap(7), cmap(15),
     ]
-    args = [consts, tri_id, outf_c, outh_c, rec_c,
-            (gates_c if num_point + num_dir > 0 else
-             jnp.ones((1, H, W), F32))]
+    args = [consts, tri_id, outf_c, outh_c]
+    if has_rec:
+        in_specs.append(cmap(9))
+        args.append(rec_c)
+    in_specs.append(cmap(L))
+    args.append(gates_c if num_point + num_dir > 0 else
+                jnp.ones((1, H, W), F32))
     if has_sky:
         in_specs.append(cmap(3))
         args.append(sky_c)
     interpret = jax.default_backend() != "tpu"
+    rec_bytes = rec_c.size * 4 if has_rec else 0
     return pl.pallas_call(
         kernel,
         grid=(H // bh, W // bw),
@@ -377,7 +401,7 @@ def shade_deferred_fused(tri_id: jax.Array, outf_c: jax.Array,
         out_shape=jax.ShapeDtypeStruct((3, H, W), F32),
         cost_estimate=pl.CostEstimate(
             flops=int(H * W * (80 + 90 * (num_point + num_dir))),
-            bytes_accessed=(outf_c.size + rec_c.size + 3 * H * W) * 4
+            bytes_accessed=(outf_c.size + 3 * H * W) * 4 + rec_bytes
             + outh_c.size * outh_c.dtype.itemsize,
             transcendentals=0),
     )(*args)

@@ -131,7 +131,8 @@ def _render_band(scene: SceneGPU, pool, lights: LightsGPU, atlas,
             r, tri_id, depth, pool,
             texture_filter=cfg.texture_filter,
             texture_scale=cfg.texture_scale,
-            tex_block_capacity=cfg.tex_block_capacity)
+            tex_block_capacity=cfg.tex_block_capacity,
+            sample_textures=cfg.any_textured)
     elif (cfg.use_pallas and cfg.stream_raster
           and raster.stream_pays_off(scene.tri_vidx.shape[0])):
         # CSR stream path, like frame._raster_resolve (keep-in-sync)
@@ -155,7 +156,8 @@ def _render_band(scene: SceneGPU, pool, lights: LightsGPU, atlas,
             r, tri_id, depth, pool,
             texture_filter=cfg.texture_filter,
             texture_scale=cfg.texture_scale,
-            tex_block_capacity=cfg.tex_block_capacity)
+            tex_block_capacity=cfg.tex_block_capacity,
+            sample_textures=cfg.any_textured)
     else:
         tri_id, depth, setup, bins = band_raster(scene.tri_vidx,
                                                  scene.tri_deferred, "back")
@@ -168,7 +170,7 @@ def _render_band(scene: SceneGPU, pool, lights: LightsGPU, atlas,
             texture_scale=cfg.texture_scale,
             tex_block_capacity=cfg.tex_block_capacity,
             use_pallas=cfg.use_pallas, counts=bins.counts,
-            bf16=cfg.bf16_attrs)
+            bf16=cfg.bf16_attrs, sample_textures=cfg.any_textured)
     bin_overflow = bins.overflow
     big_overflow = bins.big_overflow
     stream_overflow = getattr(bins, "stream_overflow", jnp.int32(0))

@@ -304,13 +304,16 @@ class Engine:
         # forward-triangle presence toggles the overlay pass
         c = self._pack.counts
         has_fwd = c.get("forward_triangles", 0) > 0
+        any_tex = c.get("textured_materials", 1) > 0
         if (c["point_lights"] != self.cfg.num_point_lights
                 or c["directional_lights"] != self.cfg.num_directional_lights
-                or has_fwd != self.cfg.has_forward):
+                or has_fwd != self.cfg.has_forward
+                or any_tex != self.cfg.any_textured):
             self.cfg = replace(self.cfg,
                                num_point_lights=c["point_lights"],
                                num_directional_lights=c["directional_lights"],
-                               has_forward=has_fwd)
+                               has_forward=has_fwd,
+                               any_textured=any_tex)
             self._pack = None
             self._repack()
             return

@@ -97,14 +97,23 @@ def geometry_stage(scene: SceneGPU, view_proj: jax.Array,
     data = jnp.take(scene.vert_data, scene.vert_src, axis=0)   # (Vc, 14)
     world, clip = raster.transform_vertices(
         data[:, 0:3], scene.vert_instance, scene.inst_model, view_proj)
-    nm = jnp.take(scene.inst_normal_mat, scene.vert_instance, axis=0)
-    n_w = jnp.einsum("vij,vj->vi", nm, data[:, 5:8],
-                     preferred_element_type=F32)
+    # normal matrices gathered as FLAT (V, 9) rows + full-lane column
+    # multiply-adds: the batched-einsum form gathers a (V, 3, 3) tensor
+    # whose (3, 3) minor dims tile-pad to (8, 128) vector registers
+    # (~100x memory bloat; same fix as transform_vertices)
+    nm = jnp.take(scene.inst_normal_mat.reshape(-1, 9),
+                  scene.vert_instance, axis=0)                 # (V, 9)
+
+    def _nm_apply(vec):                                        # (V, 3)
+        vx, vy, vz = vec[:, 0], vec[:, 1], vec[:, 2]
+        return jnp.stack([nm[:, 3 * i] * vx + nm[:, 3 * i + 1] * vy
+                          + nm[:, 3 * i + 2] * vz
+                          for i in range(3)], axis=0).T
+
+    n_w = _nm_apply(data[:, 5:8])
     if need_tbn:
-        t_w = jnp.einsum("vij,vj->vi", nm, data[:, 8:11],
-                         preferred_element_type=F32)
-        b_w = jnp.einsum("vij,vj->vi", nm, data[:, 11:14],
-                         preferred_element_type=F32)
+        t_w = _nm_apply(data[:, 8:11])
+        b_w = _nm_apply(data[:, 11:14])
     else:
         t_w = b_w = n_w
     attrs = resolve.VertexAttrs(world=world, uv=data[:, 3:5], normal=n_w,
@@ -343,13 +352,19 @@ def _render_frame_fused(scene: SceneGPU, pool: sampling.TexturePoolGPU,
     use_tex = outh_c[14].astype(F32) > 0.5              # (H, W) — flat[5]
 
     # ---- material sample (block-compacted, same op as the unfused path) ----
-    lvl = sampling.mip_level_from_uv(uv, pool.level_sizes[0])
-    duv = (sampling.uv_derivatives(uv)
-           if isinstance(pool, sampling.NativeTexturePoolGPU) else None)
-    rec, tex_needed = compact.sample_pool_compacted(
-        pool, record, uv, lvl, use_tex & valid, cfg.tex_block_capacity,
-        filter=cfg.texture_filter, duv=duv)             # (H, W, 9)
-    rec_c = jnp.moveaxis(rec, -1, 0)                    # (9, H, W)
+    if cfg.any_textured:
+        lvl = sampling.mip_level_from_uv(uv, pool.level_sizes[0])
+        duv = (sampling.uv_derivatives(uv)
+               if isinstance(pool, sampling.NativeTexturePoolGPU) else None)
+        rec, tex_needed = compact.sample_pool_compacted(
+            pool, record, uv, lvl, use_tex & valid, cfg.tex_block_capacity,
+            filter=cfg.texture_filter, duv=duv)         # (H, W, 9)
+        rec_c = jnp.moveaxis(rec, -1, 0)                # (9, H, W)
+    else:
+        # statically flat-only scene: the kernel shades from geometric
+        # normals + flat params; no material plane is materialized
+        rec_c = None
+        tex_needed = jnp.int32(0)
 
     # ---- shadow atlas + channel-first gates ----
     shadow_overflow = jnp.int32(0)
@@ -483,7 +498,8 @@ def render_frame(scene: SceneGPU, pool: sampling.TexturePoolGPU,
     g, tex_needed = resolve.resolve_gbuffer_from_attrs(
         r_main, tri_id, depth, pool,
         texture_filter=cfg.texture_filter, texture_scale=cfg.texture_scale,
-        tex_block_capacity=cfg.tex_block_capacity)
+        tex_block_capacity=cfg.tex_block_capacity,
+        sample_textures=cfg.any_textured)
 
     # ---- shadow atlas (cached across frames when precomputed) ----
     overflow = m_bins.overflow

@@ -220,6 +220,18 @@ class ScenePacker:
 
     # -- materials -------------------------------------------------------------
 
+    def _count_textured_deferred(self, t_inst, t_def, i_mat) -> int:
+        """Textured materials referenced by at least one deferred triangle
+        (cfg.any_textured derivation — see pack())."""
+        if not t_inst:
+            return 0
+        inst = np.concatenate([np.asarray(a).ravel() for a in t_inst])
+        deff = np.concatenate(
+            [np.asarray(a).ravel() for a in t_def]).astype(bool)
+        refd = np.unique(inst[deff])
+        return int(sum(1 for mi in refd
+                       if self._materials[int(i_mat[int(mi)])][1][5] > 0.5))
+
     def _register_default_material(self) -> int:
         slots = np.array([texlib.DEFAULT_ALBEDO_SLOT, texlib.DEFAULT_NORMAL_SLOT,
                           texlib.DEFAULT_ROUGHNESS_SLOT, texlib.DEFAULT_METALNESS_SLOT],
@@ -383,7 +395,15 @@ class ScenePacker:
                       forward_triangles=n_fwd,
                       point_lights=len(point_lights),
                       directional_lights=len(dir_lights),
-                      textures=self.pool.next_slot)
+                      textures=self.pool.next_slot,
+                      # textured materials actually referenced by DEFERRED
+                      # triangles (mat_flat[5] is the use_textures flag);
+                      # drives the static cfg.any_textured envelope bit.
+                      # The always-registered default material (slot 0) and
+                      # forward-only (billboard) materials don't count —
+                      # the forward overlay samples independently.
+                      textured_materials=self._count_textured_deferred(
+                          t_inst, t_def, i_mat))
 
         if (n_verts > cfg.max_vertices or n_tris > cfg.max_triangles
                 or u_off > cfg.max_unique_vertices
