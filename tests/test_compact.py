@@ -1,6 +1,7 @@
 """Block-compacted texture sampling (ops/compact.py): bit-exactness with
 the dense path, overflow accounting, and frame-level equivalence."""
 
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -79,6 +80,7 @@ def test_compacted_sampling_overflow_zeroes_unselected():
     np.testing.assert_array_equal(a[16:], 0.0)  # overflowed blocks zeroed
 
 
+@pytest.mark.slow
 def test_frame_compaction_matches_dense():
     """Full-frame equivalence: compacted vs dense configs render identical
     images (texture_scale 1 and 2) on the CPU backend."""
@@ -141,6 +143,7 @@ def test_tex_block_overflow_grows_capacity():
     assert eng.cfg.tex_block_capacity > 1
 
 
+@pytest.mark.slow
 def test_forward_overlay_compose_matches_scatter_path():
     """forward_overlay_compose (per-tile dynamic-slice composite) must be
     exactly the scatter path's hdr*(1-a)+color*a blend + pick override —

@@ -135,6 +135,7 @@ def test_render_scale_pipeline(reference_level_path):
     assert major <= set(np.unique(pick))
 
 
+@pytest.mark.slow
 def test_morton_pool_frame_bit_exact(reference_level_path):
     """cfg.morton_pool is a pure layout change: the rendered frame must be
     bit-identical to the linear-layout default."""

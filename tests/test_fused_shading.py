@@ -36,6 +36,7 @@ def _render_pair(cfg, level_path):
     return fused, unfused
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("variant", ["default", "bf16_off", "no_ibl"])
 def test_fused_matches_unfused(reference_level_path, variant):
     cfg = CFG
@@ -72,7 +73,43 @@ def test_fused_gate_conditions():
             dataclasses.replace(CFG, **kw)), kw
 
 
-def test_sharded_config_forces_fused_off():
+@pytest.mark.slow
+def test_flat_only_fused_matches_unfused():
+    """has_rec=False branch (rec_c=None — statically flat-only scene,
+    cfg.any_textured off): fused vs unfused on the untextured demo world
+    (ADVICE r4 #1 — this branch previously shipped without CI coverage)."""
+    from tinyrenderer_tpu.scene import demo
+
+    def build(cfg):
+        eng = Engine.from_world(
+            demo.build_demo_world(n_cubes=9),
+            camera=demo.build_demo_camera(cfg.width, cfg.height), cfg=cfg)
+        eng.update(0.0)
+        eng._drain_actions()
+        return eng
+
+    eng = build(CFG)
+    assert not eng.cfg.any_textured, "demo world must be statically flat"
+    assert framelib._use_fused_shading(eng.cfg)
+    fused = eng.run_frame(0.0)
+    eng2 = build(dataclasses.replace(CFG, fused_shading=False))
+    unfused = eng2.run_frame(0.0)
+
+    np.testing.assert_array_equal(np.asarray(fused.pick_id),
+                                  np.asarray(unfused.pick_id))
+    np.testing.assert_allclose(np.asarray(fused.hdr),
+                               np.asarray(unfused.hdr),
+                               rtol=2e-4, atol=2e-4)
+    d = np.abs(np.asarray(fused.sdr).astype(np.int16)
+               - np.asarray(unfused.sdr).astype(np.int16))
+    assert d.max() <= 1, f"sdr differs by {d.max()} LSB"
+
+
+def test_sharded_config_keeps_fused_when_bands_fit():
     from tinyrenderer_tpu import parallel
     cfg_s = parallel.sharded_config(CFG, 4)
-    assert not cfg_s.fused_shading
+    # tile_h=16 bands host the 16-sublane bf16 block: fused stays on
+    assert cfg_s.fused_shading
+    # an 8-row band with bf16 attrs cannot host the kernel block
+    cfg8 = dataclasses.replace(CFG, tile_h=8, height=64)
+    assert not parallel.sharded_config(cfg8, 8).fused_shading

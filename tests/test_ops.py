@@ -358,6 +358,7 @@ def test_cube_closed_form_matches_matrix_projection():
     np.testing.assert_allclose(np.asarray(m_c), w_m, rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_upsample_bilinear_int_matches_resize():
     """post.upsample_bilinear_int (phase-wise shifted adds) must equal
     jax.image.resize's bilinear for integer factors — it replaces the

@@ -146,6 +146,7 @@ def _random_setup(rng, V, T, width, height):
     return raster.triangle_setup(clip, tri, mask, width, height, "none")
 
 
+@pytest.mark.slow
 def test_scatter_binning_matches_dense(rng):
     """bin_triangles_scatter must bin exactly the same triangle sets per
     tile as the dense path (order may differ: bigs first), with identical
@@ -165,6 +166,7 @@ def test_scatter_binning_matches_dense(rng):
     np.testing.assert_array_equal(ia, ib)
 
 
+@pytest.mark.slow
 def test_scatter_binning_raster_equivalence(rng):
     """End to end: rasterizing scatter-binned tiles gives the same
     visibility buffer as dense-binned tiles (the depth race is bin-order

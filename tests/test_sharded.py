@@ -95,6 +95,7 @@ def test_sharded_config_pads_height():
     assert cfg.tiles_y % 8 == 0
 
 
+@pytest.mark.slow
 def test_sharded_cached_atlas_matches_inline(engine):
     """Steady-state path: the atlas rendered once by
     render_shadow_atlas_sharded and passed in must give the same frame as
@@ -144,6 +145,36 @@ def test_sharded_fused_resolve_matches(engine):
     assert (d > 1).mean() < 5e-3, f"{(d > 1).sum()} pixels differ"
 
 
+def test_sharded_fused_shading_matches_single_chip(engine):
+    """The fused deferred-shading kernel — the kernel every single-chip
+    default frame actually runs (config.fused_shading) — executes per band
+    in the sharded renderer (VERDICT r4 #6). Sharded-fused must match
+    single-chip-fused the way the unfused pair does: picks exact, interior
+    rows within 1 LSB."""
+    from dataclasses import replace
+    scene, pool, lights, cam, params, env = _args(engine)
+    mesh = parallel.make_mesh(4, dp=1)
+    cfg_s = parallel.sharded_config(replace(engine.cfg, use_pallas=True),
+                                    mesh.shape["sp"])
+    assert cfg_s.fused_shading and framelib._use_fused_shading(cfg_s)
+
+    single = framelib.compiled_frame(cfg_s)(scene, pool, lights, cam,
+                                            params, env)
+    out = parallel.compiled_sharded_frame(cfg_s, mesh)(
+        scene, pool, lights, cam[None], params, env)
+
+    np.testing.assert_array_equal(np.asarray(out.pick_id[0]),
+                                  np.asarray(single.pick_id))
+    d = np.abs(np.asarray(out.sdr[0]).astype(np.int16)
+               - np.asarray(single.sdr).astype(np.int16)).max(axis=-1)
+    assert (d > 1).mean() < 5e-3, f"{(d > 1).sum()} pixels differ"
+    band_h = cfg_s.padded_height // 4
+    interior = np.ones(d.shape[0], bool)
+    for k in range(5):
+        interior[max(0, k * band_h - 1):k * band_h + 1] = False
+    assert (d[interior] <= 1).all(), "interior rows must match"
+
+
 def test_sharded_stream_bf16_matches(engine, monkeypatch):
     """Round-3 knobs in the sharded path (keep-in-sync invariant):
     cfg.stream_raster (CSR stream raster + select) and cfg.bf16_attrs
@@ -159,8 +190,10 @@ def test_sharded_stream_bf16_matches(engine, monkeypatch):
     scene, pool, lights, cam, params, env = _args(engine)
     mesh = parallel.make_mesh(4, dp=1)
     cfg_s = parallel.sharded_config(engine.cfg, mesh.shape["sp"])
+    # fused_shading off: this test pins the stream+bf16 knobs specifically
+    # (the fused band kernel has its own equality test above)
     cfg_b = replace(cfg_s, use_pallas=True, stream_raster=True,
-                    bf16_attrs=True)
+                    bf16_attrs=True, fused_shading=False)
 
     a = parallel.compiled_sharded_frame(cfg_s, mesh)(
         scene, pool, lights, cam[None], params, env)
@@ -172,6 +205,7 @@ def test_sharded_stream_bf16_matches(engine, monkeypatch):
     assert (d > 2).mean() < 0.01, f"{(d > 2).sum()} pixels differ"
 
 
+@pytest.mark.slow
 def test_sharded_512(engine):
     """Sharding at a realistic resolution (VERDICT r1: tiny dryrun shapes
     validate nothing) — 512x512, preset config, 8-band decomposition."""

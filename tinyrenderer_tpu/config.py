@@ -183,10 +183,11 @@ class RenderConfig:
     # ambient + sky composite in ONE pass, writing only (3, H, W) HDR —
     # killing the (H, W, 15) attr relayout and the GBuffer-materialization
     # HBM round trips the trace attributed ~2 ms of layout copies to.
-    # Engages on the deferred single-chip path when use_pallas and not
-    # fused_resolve, texture_scale == 1, SSR off, shadows on; otherwise the
-    # unfused chain runs (identical math). The sharded path forces it off
-    # (parallel.sharded_config) so band outputs stay comparable.
+    # Engages when use_pallas and not fused_resolve, texture_scale == 1,
+    # SSR off, shadows on; otherwise the unfused chain runs (identical
+    # math). The sharded band renderer runs the same kernel per band
+    # (parallel._render_band) unless the band is too short for its minimum
+    # block (sharded_config falls back to unfused then).
     fused_shading: bool = True
     # bf16 select+eval output channels: the resolve kernels write the
     # precision-tolerant channels (geometric normal/tangent/bitangent —

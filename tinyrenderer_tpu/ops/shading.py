@@ -351,9 +351,14 @@ def shade_deferred_fused(tri_id: jax.Array, outf_c: jax.Array,
     the select+eval kernel's raw split outputs (resolve.select_eval_*,
     raw=True); rec_c (9, H, W) material sample, or None for a statically
     flat-only scene (cfg.any_textured False — geometric normals + flat
-    params, no material plane read); gates_c (L, H, W) 0/1
-    shadow gates, points first (L == num_point + num_dir); sky_c
-    (3, H, W) or None."""
+    params, no material plane read). PRECONDITION: rec_c=None requires
+    outh_c's use_tex plane (h[14]) to be 0 everywhere — textured pixels
+    would silently shade with flat white albedo otherwise. The engine
+    guarantees this by deriving cfg.any_textured from the pack
+    (scene_gpu counts textured materials referenced by deferred
+    triangles); callers constructing inputs by hand must too.
+    gates_c (L, H, W) 0/1 shadow gates, points first
+    (L == num_point + num_dir); sky_c (3, H, W) or None."""
     H, W = tri_id.shape
     L = max(num_point + num_dir, 1)
     assert gates_c.shape[0] == num_point + num_dir or (

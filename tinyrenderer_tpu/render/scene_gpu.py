@@ -399,9 +399,12 @@ class ScenePacker:
                       # textured materials actually referenced by DEFERRED
                       # triangles (mat_flat[5] is the use_textures flag);
                       # drives the static cfg.any_textured envelope bit.
-                      # The always-registered default material (slot 0) and
-                      # forward-only (billboard) materials don't count —
-                      # the forward overlay samples independently.
+                      # The always-registered default material (slot 0) is
+                      # excluded only because material_index() never returns
+                      # 0 (every descriptor gets a fresh slot), not because
+                      # of its flags — its flat[5] IS 1.0. Forward-only
+                      # (billboard) materials don't count either: the
+                      # forward overlay samples independently.
                       textured_materials=self._count_textured_deferred(
                           t_inst, t_def, i_mat))
 
