@@ -379,3 +379,55 @@ def test_upsample_bilinear_int_matches_resize():
         np.asarray(post.upsample_bilinear_int(x2, 2, 2)),
         np.asarray(jax.image.resize(x2, (16, 16), method="bilinear")),
         atol=1e-5, rtol=0)
+
+
+def test_remip_pool_device_matches_host():
+    """Device-side re-mip (the runtime mipmap_generator analog,
+    src/mipmap_generator.rs:108) must reproduce the host-packed pool from
+    level-0 texels alone — f32 pools exactly (same 2x2 means), u8 pools
+    within 1 LSB (quantize -> requantize round trip)."""
+    import jax
+
+    from tinyrenderer_tpu.assets import textures as texlib
+    rng = np.random.default_rng(11)
+    base = np.stack([rng.random((16, 16, 9)).astype(F32) for _ in range(3)])
+    chain = [base]
+    for _ in range(2):
+        chain.append(np.stack([texlib.box_filter_mip(t) for t in chain[-1]]))
+    for windowed in (False, True):
+        for u8 in (False, True):
+            pool = sampling.pack_texture_pool(chain, windowed=windowed,
+                                              u8=u8)
+            redone = jax.jit(sampling.remip_pool_device)(pool)
+            a = np.asarray(pool.texels)
+            b = np.asarray(redone.texels)
+            if u8:
+                assert np.max(np.abs(a.astype(np.int32)
+                                     - b.astype(np.int32))) <= 1
+            else:
+                np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
+            assert redone.level_sizes == pool.level_sizes
+            assert redone.level_offsets == pool.level_offsets
+
+
+def test_remip_pool_device_propagates_edit():
+    """Editing level-0 texels and re-mipping on device must update every
+    mip level (the GPU-resident-texture re-mip use case)."""
+    import jax
+    import jax.numpy as jnp2
+
+    from tinyrenderer_tpu.assets import textures as texlib
+    base = np.zeros((1, 8, 8, 9), F32)
+    chain = [base, np.zeros((1, 4, 4, 9), F32), np.zeros((1, 2, 2, 9), F32)]
+    pool = sampling.pack_texture_pool(chain, windowed=False, u8=False)
+    # paint level 0 solid 0.5 on device
+    tpt = pool.texels_per_tex
+    painted = pool.texels.at[0:64].set(jnp2.full((64, 9), 0.5))
+    pool2 = sampling.TexturePoolGPU(painted, pool.level_offsets,
+                                    pool.level_sizes, tpt,
+                                    pool.windowed, pool.base_channels,
+                                    pool.u8, pool.morton)
+    redone = jax.jit(sampling.remip_pool_device)(pool2)
+    t = np.asarray(redone.texels)
+    assert np.allclose(t[64:64 + 16], 0.5)   # level 1
+    assert np.allclose(t[80:80 + 4], 0.5)    # level 2

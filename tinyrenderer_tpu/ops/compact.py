@@ -124,7 +124,8 @@ def scatter_blocks(work: jax.Array, plan: BlockPlan, fill=0.0) -> jax.Array:
 def sample_pool_compacted(pool, rec: jax.Array, uv: jax.Array,
                           level_f: jax.Array, need: jax.Array,
                           capacity: int, filter: str = "dithered",
-                          wrap: bool = True, duv: jax.Array = None
+                          wrap: bool = True, duv: jax.Array = None,
+                          channel_first: bool = False
                           ) -> tuple[jax.Array, jax.Array]:
     """Mip-filtered material sampling, gathering only on needed blocks.
 
@@ -143,8 +144,11 @@ def sample_pool_compacted(pool, rec: jax.Array, uv: jax.Array,
     dims = block_dims(H, W)
     n_blocks = 0 if dims is None else (H // dims[0]) * (W // dims[1])
     if dims is None or capacity <= 0 or capacity >= n_blocks:
+        # dense fallback: the sampler can emit (C, H, W) natively for the
+        # fused shading kernel (skips the full-res channel relayout)
         out = sampling.sample_pool_mip(pool, rec, uv, level_f, wrap=wrap,
-                                       filter=filter, duv=duv)
+                                       filter=filter, duv=duv,
+                                       channel_first=channel_first)
         if dims is None:
             needed = jnp.int32(0)
         else:
@@ -170,6 +174,8 @@ def sample_pool_compacted(pool, rec: jax.Array, uv: jax.Array,
     out_c = sampling.sample_pool_mip(pool, rec_c, uv_c, lvl_c, wrap=wrap,
                                      filter=filter, duv=duv_c)
     out = from_blocks(scatter_blocks(out_c, plan), H, W)
+    if channel_first:
+        out = jnp.moveaxis(out, -1, 0)
     return out, plan.needed
 
 

@@ -52,6 +52,13 @@ _FLAT_WINDOW_BLEND = False
 # Kept for A/B via tools/profile_frame.py --set wblend; default OFF.
 _WINDOWED_BLEND_PALLAS = False
 
+# Pallas windowed blend for the CHANNEL-FIRST dense sample (fused shading
+# path). The +1.0 ms that shelved _WINDOWED_BLEND_PALLAS was the (C, N) ->
+# channel-last transpose for the compacted scatter; the fused kernel
+# consumes (C, H, W) directly, so the kernel's native channel-first output
+# is now layout-free. tools/ab_frame.py toggle; ~1 ULP vs the jnp blend.
+_CF_BLEND_PALLAS = False
+
 
 def _windowed_blend_kernel(rows_ref, fx_ref, fy_ref, out_ref, *, C: int):
     """One (R, 4C) u8 row block -> (C, R) blended texels.
@@ -77,7 +84,8 @@ def _windowed_blend_kernel(rows_ref, fx_ref, fy_ref, out_ref, *, C: int):
 
 
 def _windowed_blend_u8(texels: jax.Array, idx: jax.Array, fx: jax.Array,
-                       fy: jax.Array, C: int) -> jax.Array | None:
+                       fy: jax.Array, C: int,
+                       channel_first: bool = False) -> jax.Array | None:
     """Pallas windowed blend: gather (N, 4C) u8 rows flat, blend on-chip.
 
     idx: (...) int32 window-row indices; fx/fy: (..., 1) f32 corner
@@ -87,7 +95,7 @@ def _windowed_blend_u8(texels: jax.Array, idx: jax.Array, fx: jax.Array,
     R = 2048
     while R > N or N % R:
         R //= 2
-    if R < 256 or not _WINDOWED_BLEND_PALLAS:
+    if R < 256 or not (_WINDOWED_BLEND_PALLAS or channel_first):
         return None
     # gather with the ORIGINAL index shape: a flat (N,) index vector got
     # laid out (N, 1) T(1,128) with a 2.2 ms materialized clamp pass; the
@@ -113,6 +121,8 @@ def _windowed_blend_u8(texels: jax.Array, idx: jax.Array, fx: jax.Array,
             flops=N * C * 8, bytes_accessed=N * (4 * C + 8 + C * 4),
             transcendentals=0),
     )(rows, fxf, fyf)
+    if channel_first:
+        return out.reshape((C,) + idx.shape)
     return jnp.moveaxis(out.reshape((C,) + idx.shape), 0, -1)
 
 
@@ -208,6 +218,68 @@ def window_rows(img: np.ndarray, wrap: bool = True) -> np.ndarray:
     return np.concatenate([img, right, down, diag], axis=-1)
 
 
+def window_rows_device(img: jax.Array, wrap: bool = True) -> jax.Array:
+    """jnp mirror of :func:`window_rows` for device-resident re-mips."""
+    if wrap:
+        right = jnp.roll(img, -1, axis=-2)
+        down = jnp.roll(img, -1, axis=-3)
+        diag = jnp.roll(down, -1, axis=-2)
+    else:
+        right = jnp.concatenate([img[..., :, 1:, :], img[..., :, -1:, :]],
+                                axis=-2)
+        down = jnp.concatenate([img[..., 1:, :, :], img[..., -1:, :, :]],
+                               axis=-3)
+        diag = jnp.concatenate([down[..., :, 1:, :], down[..., :, -1:, :]],
+                               axis=-2)
+    return jnp.concatenate([img, right, down, diag], axis=-1)
+
+
+def remip_pool_device(pool: TexturePoolGPU,
+                      wrap: bool = True) -> TexturePoolGPU:
+    """Rebuild every texture's mip chain from its level-0 texels ON DEVICE.
+
+    The runtime analog of the reference's compute-shader mip generator
+    (src/mipmap_generator.rs:108 + mipmap_generator.wgsl:22-30), which can
+    re-mip a GPU-resident texture without a host round trip — e.g. after a
+    device-side bake or procedural edit wrote new level-0 texels into the
+    pool. Jit-compatible: one chain of 2x2 box reductions + a static
+    repack of the flat pool rows (no host transfers). Windowed pools
+    re-derive their neighbor windows per level; ``wrap`` must match the
+    pack-time setting. Morton pools are not supported (Z-order would need
+    a per-level permutation gather).
+
+    Returns a new TexturePoolGPU with identical static metadata.
+    """
+    assert not pool.morton, "remip_pool_device: morton layout unsupported"
+    sizes = pool.level_sizes
+    assert all(sizes[i] == 2 * sizes[i + 1] for i in range(len(sizes) - 1)),\
+        "remip_pool_device needs a 2x mip chain"
+    tpt = pool.texels_per_tex
+    n = pool.texels.shape[0] // tpt
+    Cw = pool.texels.shape[-1]
+    C = pool.base_channels
+    S0 = sizes[0]
+    per_tex = pool.texels.reshape(n, tpt, Cw)
+    lvl0 = per_tex[:, pool.level_offsets[0]:pool.level_offsets[0] + S0 * S0]
+    lvl0 = lvl0.reshape(n, S0, S0, Cw)[..., :C]          # self channels
+    if pool.u8:
+        lvl0 = lvl0.astype(F32) * (1.0 / 255.0)
+    mips = [lvl0]
+    for _ in range(len(sizes) - 1):
+        m = mips[-1]
+        h, w = m.shape[1:3]
+        mips.append(m.reshape(n, h // 2, 2, w // 2, 2, C).mean(axis=(2, 4)))
+    if pool.windowed:
+        mips = [window_rows_device(m, wrap) for m in mips]
+    regions = [m.reshape(n, s * s, Cw) for m, s in zip(mips, sizes)]
+    flat = jnp.concatenate(regions, axis=1)              # (n, tpt, Cw)
+    if pool.u8:
+        flat = jnp.clip(flat * 255.0 + 0.5, 0, 255).astype(jnp.uint8)
+    return TexturePoolGPU(flat.reshape(n * tpt, Cw), pool.level_offsets,
+                          sizes, tpt, pool.windowed, C, pool.u8,
+                          pool.morton)
+
+
 def pack_texture_pool(mips: list[np.ndarray],
                       windowed: bool = False,
                       wrap: bool = True,
@@ -296,7 +368,8 @@ def sample_pool_bilinear_level(pool: TexturePoolGPU, tex: jax.Array,
 
 def _sample_bilinear_dynamic_level(pool: TexturePoolGPU, tex: jax.Array,
                                    uv: jax.Array, level_i: jax.Array,
-                                   wrap: bool) -> jax.Array:
+                                   wrap: bool,
+                                   channel_first: bool = False) -> jax.Array:
     """Bilinear sample where the mip level is a per-pixel traced int.
 
     Level sizes/offsets are small static tuples, so the texel address is
@@ -346,6 +419,32 @@ def _sample_bilinear_dynamic_level(pool: TexturePoolGPU, tex: jax.Array,
         y0c = jnp.clip(y0i, 0, sizes - 1)
         idx = base + pool._texel_index(y0c, x0c, sizes)
         C = pool.base_channels
+        if channel_first:
+            # channel-first consumer (the fused shading kernel): blend
+            # each channel as an (H, W) plane and stack to (C, H, W) —
+            # the per-channel slices read the gather result in its
+            # XLA-chosen planar layout and the stack IS the kernel's
+            # input layout, skipping the full-res (H, W, C) -> (C, H, W)
+            # relayout the channel-last path pays (~0.6 ms at 1080p).
+            # Arithmetic per channel is identical to the channel-last
+            # blend (bit-exact).
+            if pool.u8 and _CF_BLEND_PALLAS:
+                out = _windowed_blend_u8(pool.texels, idx, fx, fy, C,
+                                         channel_first=True)
+                if out is not None:
+                    return out
+            row = pool._decode(jnp.take(pool.texels, idx, axis=0))
+            fx2 = fx[..., 0]
+            fy2 = fy[..., 0]
+            planes = []
+            for c in range(C):
+                p00 = row[..., c]
+                p10 = row[..., C + c]
+                p01 = row[..., 2 * C + c]
+                p11 = row[..., 3 * C + c]
+                planes.append((p00 * (1 - fx2) + p10 * fx2) * (1 - fy2)
+                              + (p01 * (1 - fx2) + p11 * fx2) * fy2)
+            return jnp.stack(planes, axis=0)
         if pool.u8 and not _FLAT_WINDOW_BLEND:
             out = _windowed_blend_u8(pool.texels, idx, fx, fy, C)
             if out is not None:
@@ -376,8 +475,9 @@ def _sample_bilinear_dynamic_level(pool: TexturePoolGPU, tex: jax.Array,
         return pool._decode(jnp.take(
             pool.texels, base + pool._texel_index(yi, xi, sizes), axis=0))
 
-    return ((texel(x0i, y0i) * (1 - fx) + texel(x1i, y0i) * fx) * (1 - fy)
-            + (texel(x0i, y1i) * (1 - fx) + texel(x1i, y1i) * fx) * fy)
+    out = ((texel(x0i, y0i) * (1 - fx) + texel(x1i, y0i) * fx) * (1 - fy)
+           + (texel(x0i, y1i) * (1 - fx) + texel(x1i, y1i) * fx) * fy)
+    return jnp.moveaxis(out, -1, 0) if channel_first else out
 
 
 _BAYER4 = np.array([[0, 8, 2, 10], [12, 4, 14, 6],
@@ -448,7 +548,8 @@ def _sample_stochastic_dynamic_level(pool: TexturePoolGPU, tex: jax.Array,
 def sample_pool_mip(pool: TexturePoolGPU, tex: jax.Array, uv: jax.Array,
                     level_f: jax.Array, wrap: bool = True,
                     filter: str = "dithered",
-                    duv: jax.Array = None) -> jax.Array:
+                    duv: jax.Array = None,
+                    channel_first: bool = False) -> jax.Array:
     """Mipmapped bilinear sample with a per-pixel fractional level.
 
     filter:
@@ -463,16 +564,21 @@ def sample_pool_mip(pool: TexturePoolGPU, tex: jax.Array, uv: jax.Array,
       1 gather, ordered-dither noise at texel scale (speed preset).
     """
     if isinstance(pool, NativeTexturePoolGPU):
-        return sample_native_pool_mip(pool, tex, uv, level_f, wrap=wrap,
-                                      filter=filter, duv=duv)
+        out = sample_native_pool_mip(pool, tex, uv, level_f, wrap=wrap,
+                                     filter=filter, duv=duv)
+        return jnp.moveaxis(out, -1, 0) if channel_first else out
     nlev = len(pool.level_sizes)
     lf = jnp.clip(level_f, 0.0, nlev - 1.0)
     if filter == "trilinear":
         lo = jnp.floor(lf).astype(I32)
         frac = (lf - lo.astype(F32))[..., None]
-        out_lo = _sample_bilinear_dynamic_level(pool, tex, uv, lo, wrap)
+        out_lo = _sample_bilinear_dynamic_level(pool, tex, uv, lo, wrap,
+                                                channel_first=channel_first)
         out_hi = _sample_bilinear_dynamic_level(
-            pool, tex, uv, jnp.minimum(lo + 1, nlev - 1), wrap)
+            pool, tex, uv, jnp.minimum(lo + 1, nlev - 1), wrap,
+            channel_first=channel_first)
+        if channel_first:
+            frac = jnp.moveaxis(frac, -1, 0)             # (1, H, W)
         return out_lo * (1.0 - frac) + out_hi * frac
     if filter in ("dithered", "stochastic"):
         lo = jnp.floor(lf).astype(I32)
@@ -480,11 +586,15 @@ def sample_pool_mip(pool: TexturePoolGPU, tex: jax.Array, uv: jax.Array,
         thresh = _bayer_threshold((lf.shape[-2], lf.shape[-1]))
         level = jnp.minimum(lo + (frac > thresh).astype(I32), nlev - 1)
         if filter == "stochastic":
-            return _sample_stochastic_dynamic_level(pool, tex, uv, level, wrap)
-        return _sample_bilinear_dynamic_level(pool, tex, uv, level, wrap)
+            out = _sample_stochastic_dynamic_level(pool, tex, uv, level,
+                                                   wrap)
+            return jnp.moveaxis(out, -1, 0) if channel_first else out
+        return _sample_bilinear_dynamic_level(pool, tex, uv, level, wrap,
+                                              channel_first=channel_first)
     # 'bilinear'
     level = jnp.clip(jnp.round(lf), 0, nlev - 1).astype(I32)
-    return _sample_bilinear_dynamic_level(pool, tex, uv, level, wrap)
+    return _sample_bilinear_dynamic_level(pool, tex, uv, level, wrap,
+                                          channel_first=channel_first)
 
 
 def uv_derivatives(uv: jax.Array) -> jax.Array:
@@ -798,6 +908,25 @@ def _decode_rgbe(q: jax.Array) -> jax.Array:
     return f[..., :3] * (jnp.exp2(f[..., 3] - 128.0) / 255.0)[..., None]
 
 
+# u32-packed sky gather rows (tools/ab_frame.py toggle; see use site).
+# MEASURED SLOWER r5 interleaved 1080p: +1.07 ms — the u8[N,16] gather's
+# column-major result layout that looks pathological in traces is in fact
+# what the downstream planar consumers want; forcing u32 rows + VPU byte
+# unpack re-introduces the relayout on the consumer side. OFF.
+_SKY_U32_ROWS = False
+
+
+def _decode_rgbe_u32(q: jax.Array) -> jax.Array:
+    """(...,) u32 little-endian-packed RGBE -> (..., 3) f32 linear
+    (bit-identical to _decode_rgbe on the bitcast bytes)."""
+    r = (q & 0xFF).astype(F32)
+    g = ((q >> 8) & 0xFF).astype(F32)
+    b = ((q >> 16) & 0xFF).astype(F32)
+    e = (q >> 24).astype(F32)
+    scale = (jnp.exp2(e - 128.0) / 255.0)[..., None]
+    return jnp.stack([r, g, b], axis=-1) * scale
+
+
 def sample_cubemap_rgbe_windowed(win: jax.Array, d: jax.Array) -> jax.Array:
     """Bilinear cubemap sample from a windowed RGBE cube — one gather.
 
@@ -812,12 +941,27 @@ def sample_cubemap_rgbe_windowed(win: jax.Array, d: jax.Array) -> jax.Array:
     fy = (fv - y0)[..., None]
     x0 = x0.astype(I32)
     y0 = y0.astype(I32)
-    flat = win.reshape(6 * S * S, 16)
-    row = jnp.take(flat, (face * S + y0) * S + x0, axis=0)
-    c00 = _decode_rgbe(row[..., 0:4])
-    c10 = _decode_rgbe(row[..., 4:8])
-    c01 = _decode_rgbe(row[..., 8:12])
-    c11 = _decode_rgbe(row[..., 12:16])
+    idx = (face * S + y0) * S + x0
+    if _SKY_U32_ROWS:
+        # gather u32[N, 4] rows instead of u8[N, 16]: the u8 gather result
+        # gets a column-major layout from XLA (each row's 16 bytes strided
+        # across 16 separate streams — 1.7 ms attributed in the r5 1080p
+        # trace); 4 u32 lanes unpacked by VPU shifts keep the row payload
+        # contiguous. Bit-identical decode (little-endian byte order).
+        flat32 = jax.lax.bitcast_convert_type(
+            win.reshape(6 * S * S, 4, 4), jnp.uint32)        # (6SS, 4)
+        row = jnp.take(flat32, idx, axis=0)                  # (..., 4)
+        c00 = _decode_rgbe_u32(row[..., 0])
+        c10 = _decode_rgbe_u32(row[..., 1])
+        c01 = _decode_rgbe_u32(row[..., 2])
+        c11 = _decode_rgbe_u32(row[..., 3])
+    else:
+        flat = win.reshape(6 * S * S, 16)
+        row = jnp.take(flat, idx, axis=0)
+        c00 = _decode_rgbe(row[..., 0:4])
+        c10 = _decode_rgbe(row[..., 4:8])
+        c01 = _decode_rgbe(row[..., 8:12])
+        c11 = _decode_rgbe(row[..., 12:16])
     return ((c00 * (1 - fx) + c10 * fx) * (1 - fy)
             + (c01 * (1 - fx) + c11 * fx) * fy)
 

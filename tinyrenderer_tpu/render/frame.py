@@ -37,6 +37,13 @@ PARAM_SSR_STRENGTH = 3
 PARAM_SHADOW_BIAS = 4     # NDC units; + biases the compare toward lit
 NUM_PARAMS = 5
 
+# Channel-first dense material sample in the fused path (bit-exact with
+# the channel-last blend + moveaxis; tools/ab_frame.py toggle). MEASURED
+# SLOWER r5 interleaved 1080p: CF-jnp +0.23 ms, CF+Pallas blend +0.85 ms —
+# XLA's (H, W, 9) -> (9, H, W) relayout is cheaper than forcing the blend
+# into planar/flat domains (consistent with the wblend findings). OFF.
+_CF_SAMPLE = False
+
 
 def default_params() -> jnp.ndarray:
     return jnp.array([1.0, 1.0, 0.25, 0.0, 0.0], F32)
@@ -356,10 +363,17 @@ def _render_frame_fused(scene: SceneGPU, pool: sampling.TexturePoolGPU,
         lvl = sampling.mip_level_from_uv(uv, pool.level_sizes[0])
         duv = (sampling.uv_derivatives(uv)
                if isinstance(pool, sampling.NativeTexturePoolGPU) else None)
-        rec, tex_needed = compact.sample_pool_compacted(
-            pool, record, uv, lvl, use_tex & valid, cfg.tex_block_capacity,
-            filter=cfg.texture_filter, duv=duv)         # (H, W, 9)
-        rec_c = jnp.moveaxis(rec, -1, 0)                # (9, H, W)
+        if _CF_SAMPLE:
+            rec_c, tex_needed = compact.sample_pool_compacted(
+                pool, record, uv, lvl, use_tex & valid,
+                cfg.tex_block_capacity, filter=cfg.texture_filter, duv=duv,
+                channel_first=True)                     # (9, H, W)
+        else:
+            rec, tex_needed = compact.sample_pool_compacted(
+                pool, record, uv, lvl, use_tex & valid,
+                cfg.tex_block_capacity, filter=cfg.texture_filter,
+                duv=duv)                                # (H, W, 9)
+            rec_c = jnp.moveaxis(rec, -1, 0)            # (9, H, W)
     else:
         # statically flat-only scene: the kernel shades from geometric
         # normals + flat params; no material plane is materialized

@@ -1,0 +1,112 @@
+"""Interleaved A/B of a module-flag code variant on the FULL headline frame.
+
+Traces the frame twice — once with the named module attribute False, once
+True — into two independently jitted callables (bypassing the
+compiled_frame lru-cache), then times them interleaved round-robin with
+bench.py's scan methodology. Tenancy drift cancels; the printed delta is
+the honest full-frame effect of the code variant.
+
+    python tools/ab_frame.py --flag tinyrenderer_tpu.ops.shadows:_GATE_GATHER_2D
+    python tools/ab_frame.py --flag ...:FLAG --scene highpoly --rounds 6
+"""
+
+from __future__ import annotations
+
+import argparse
+import importlib
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--flag", required=True,
+                    help="module.path:ATTR to flip between traces")
+    ap.add_argument("--scene", default="test",
+                    choices=["test", "stress", "highpoly", "multilight"])
+    ap.add_argument("--rounds", type=int, default=6)
+    ap.add_argument("--frames", type=int, default=8)
+    args = ap.parse_args()
+
+    modname, attr = args.flag.split(":")
+    mod = importlib.import_module(modname)
+    assert hasattr(mod, attr), f"{modname} has no {attr}"
+
+    import jax
+    import jax.numpy as jnp
+
+    import bench
+    from tinyrenderer_tpu.render import frame as framelib
+
+    eng = bench.build_engine(stress=(args.scene == "stress"),
+                             highpoly=(args.scene == "highpoly"),
+                             multilight=(args.scene == "multilight"))
+    eng.update(0.0)
+    eng._drain_actions()
+    for _ in range(10):
+        eng.run_frame(0.0)
+    if eng._overflow_inflight:
+        eng.drain_monitors()
+        for _ in range(2):
+            eng.run_frame(0.0)
+    env = eng._ensure_env()
+    cfg = eng.cfg
+    scene = eng._pack.scene
+    pool = eng._packer.pool_for(cfg)
+    lights = eng._pack.lights
+    cam0 = jnp.asarray(eng.camera.to_raw())
+    params = eng.params
+    atlas = eng._atlas
+    n = args.frames
+
+    def make_loop():
+        """Fresh jit of the frame scan (traces NOW, capturing the current
+        flag value as a Python constant)."""
+
+        @jax.jit
+        def loop(cam):
+            def step(c, _):
+                out = framelib.render_frame(scene, pool, lights, c, params,
+                                            env, cfg, atlas)
+                return (c + 1e-30 * out.sdr[0, 0, 0].astype(jnp.float32),
+                        out.sdr[0, 0, 0].astype(jnp.int32))
+            _, outs = jax.lax.scan(step, cam, None, length=n)
+            return outs.sum()
+
+        jax.block_until_ready(loop(cam0))  # compile under current flag
+        return loop
+
+    variants = {}
+    for val in (False, True):
+        setattr(mod, attr, val)
+        t0 = time.perf_counter()
+        variants[f"{attr}={val}"] = make_loop()
+        float(variants[f"{attr}={val}"](cam0))
+        print(f"traced {attr}={val} in {time.perf_counter()-t0:.1f}s",
+              flush=True)
+    setattr(mod, attr, True)
+
+    times = {k: [] for k in variants}
+    for r in range(args.rounds):
+        for name, fn in variants.items():
+            t0 = time.perf_counter()
+            float(fn(cam0))
+            times[name].append((time.perf_counter() - t0) * 1e3 / n)
+        print(f"round {r}: " + "  ".join(
+            f"{k}={times[k][-1]:.2f}" for k in variants), flush=True)
+
+    meds = {k: statistics.median(v) for k, v in times.items()}
+    print("\n=== medians (ms/frame) ===")
+    for k, v in meds.items():
+        print(f"{k:30s} {v:8.3f}")
+    ks = list(meds)
+    print(f"delta (True - False): {meds[ks[1]] - meds[ks[0]]:+.3f} ms")
+
+
+if __name__ == "__main__":
+    main()

@@ -53,6 +53,15 @@ def main() -> None:
         "default_shadow8_sky8": replace(base, shadow_lookup_scale=8,
                                         sky_scale=8),
         "default_texscale2": replace(base, texture_scale=2),
+        # error-source isolation for the fidelity/speed closure (VERDICT
+        # r4 #3): which lever pays for the default's >1 LSB pixels?
+        "default_trilinear": replace(base, texture_filter="trilinear"),
+        "default_sky1": replace(base, sky_scale=1),
+        "default_sky4": replace(base, sky_scale=4),
+        "default_shadow4": replace(base, shadow_lookup_scale=4),
+        "default_f32_atlas": replace(base, shadow_bf16=False),
+        "default_trilinear_sky4": replace(base, texture_filter="trilinear",
+                                          sky_scale=4),
         "default_75pct": replace(base, render_scale_pct=75),
         "performance_preset": base.performance_preset(),
         "preset_75pct": replace(base.performance_preset(),
