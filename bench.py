@@ -174,10 +174,30 @@ def _retry(fn, attempts: int = RETRIES, label: str = "", fast: bool = False):
 
 def build_engine(stress: bool = False, forward: bool = False,
                  highpoly: bool = False, envpass: bool = False,
-                 multilight: bool = False, parity: bool = False):
+                 multilight: bool = False, parity: bool = False,
+                 cfg_overrides: dict | None = None):
+    from dataclasses import replace as _replace
+
     from tinyrenderer_tpu.config import RenderConfig
     from tinyrenderer_tpu.render.engine import Engine
     from tinyrenderer_tpu.scene import demo
+
+    if cfg_overrides:
+        # apply RenderConfig field overrides to whichever scene config the
+        # flags below produce (tools/ab_frame.py --cfg variants)
+        _orig_init = Engine.__init__
+
+        def _patched(self, cfg=None, **kw):
+            _orig_init(self, cfg=_replace(cfg or RenderConfig(),
+                                          **cfg_overrides), **kw)
+
+        Engine.__init__ = _patched
+        try:
+            return build_engine(stress=stress, forward=forward,
+                                highpoly=highpoly, envpass=envpass,
+                                multilight=multilight, parity=parity)
+        finally:
+            Engine.__init__ = _orig_init
 
     ref_level = "/root/reference/levels/test.lvl"
     if forward:

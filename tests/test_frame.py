@@ -215,3 +215,46 @@ def test_shadow_bf16_atlas_close(reference_level_path):
                           level_path=reference_level_path).run_frame(0.0).sdr)
     d = np.abs(a.astype(np.int16) - b.astype(np.int16)).max(axis=-1)
     assert (d > 2).mean() < 0.01, f"{(d > 2).sum()} pixels differ"
+
+
+def test_sky_block_compaction_exact():
+    """cfg.sky_block_capacity > 0 (block-compacted full-rate sky on
+    background blocks) must be pixel-identical to sky_scale=1 (dense
+    full-rate sky): compaction changes WHERE sky is evaluated, never the
+    values, and sky is masked to background pixels in the composite."""
+    import dataclasses
+
+    from tinyrenderer_tpu.render.engine import Engine
+
+    base = RenderConfig(
+        width=160, height=96, tile_h=16, tile_w=128, bin_capacity=128,
+        shadow_size=128, shadow_tile=128, shadow_bin_capacity=128,
+        env_size=32, irradiance_size=8, texture_size=64, mip_levels=4,
+        max_vertices=4096, max_triangles=2048, max_instances=64,
+        use_pallas=True)
+    lvl = "/root/reference/levels/test.lvl"
+
+    def render(cfg):
+        eng = Engine(cfg=cfg, level_path=lvl)
+        out = eng.run_frame(0.0)
+        return eng, out
+
+    eng_d, dense = render(dataclasses.replace(base, sky_scale=1))
+    eng_c, compacted = render(dataclasses.replace(base, sky_scale=8,
+                                                  sky_block_capacity=4096))
+    assert np.asarray(dense.pick_id).min() >= 0
+    # some sky must actually be visible or the test is vacuous
+    n_sky = int((np.asarray(dense.pick_id) == 0).sum())
+    assert n_sky > 50, f"camera sees only {n_sky} background pixels"
+    assert int(compacted.sky_blocks) > 0
+    np.testing.assert_array_equal(np.asarray(dense.sdr),
+                                  np.asarray(compacted.sdr))
+
+    # unfused path too
+    eng_d2, dense2 = render(dataclasses.replace(base, sky_scale=1,
+                                                fused_shading=False))
+    eng_c2, comp2 = render(dataclasses.replace(base, sky_scale=8,
+                                               sky_block_capacity=4096,
+                                               fused_shading=False))
+    np.testing.assert_array_equal(np.asarray(dense2.sdr),
+                                  np.asarray(comp2.sdr))

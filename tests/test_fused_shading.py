@@ -113,3 +113,33 @@ def test_sharded_config_keeps_fused_when_bands_fit():
     # an 8-row band with bf16 attrs cannot host the kernel block
     cfg8 = dataclasses.replace(CFG, tile_h=8, height=64)
     assert not parallel.sharded_config(cfg8, 8).fused_shading
+
+
+def test_flat_only_slim_matches_full_tiled():
+    """The slim 28-channel flat-only table (resolve slim=True, active on
+    every Pallas select path when cfg.any_textured is False) must render
+    identically to the full 53-channel jnp tiled path (use_pallas=False),
+    which never slims — pins the slim layout against the reference
+    math, not just against itself."""
+    from tinyrenderer_tpu.scene import demo
+
+    def build(cfg):
+        eng = Engine.from_world(
+            demo.build_demo_world(n_cubes=9),
+            camera=demo.build_demo_camera(cfg.width, cfg.height), cfg=cfg)
+        eng.update(0.0)
+        eng._drain_actions()
+        return eng
+
+    eng = build(CFG)
+    assert not eng.cfg.any_textured
+    slim_out = eng.run_frame(0.0)
+    eng2 = build(dataclasses.replace(CFG, use_pallas=False,
+                                     fused_shading=False))
+    full_out = eng2.run_frame(0.0)
+
+    np.testing.assert_array_equal(np.asarray(slim_out.pick_id),
+                                  np.asarray(full_out.pick_id))
+    d = np.abs(np.asarray(slim_out.sdr).astype(np.int16)
+               - np.asarray(full_out.sdr).astype(np.int16))
+    assert d.max() <= 1, f"sdr differs by {d.max()} LSB"

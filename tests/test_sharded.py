@@ -291,3 +291,27 @@ def test_sharded_render_scale(engine):
     # pick ids upsample nearest from the same internal grid: exact
     match = (np.asarray(out.pick_id[0]) == np.asarray(single.pick_id))
     assert match.mean() > 0.98
+
+
+def test_sharded_compact_sky_matches(engine):
+    """Block-compacted exact sky (cfg.sky_block_capacity > 0) band-local
+    vs single-chip: pixel directions are closed-form in y0-offset coords,
+    so the band decomposition must be exact on every sky pixel (no
+    coarse-upsample seam handling involved)."""
+    import dataclasses
+
+    scene, pool, lights, cam, params, env = _args(engine)
+    cfg = dataclasses.replace(engine.cfg, sky_block_capacity=4096,
+                              sky_scale=8)
+    mesh = parallel.make_mesh(4, dp=1)
+    cfg_s = parallel.sharded_config(cfg, mesh.shape["sp"])
+
+    single = framelib.compiled_frame(cfg_s)(scene, pool, lights, cam,
+                                            params, env)
+    out = parallel.compiled_sharded_frame(cfg_s, mesh)(
+        scene, pool, lights, cam[None], params, env)
+    sky = np.asarray(single.pick_id) == 0
+    assert sky.sum() > 50, "no visible sky in the test view"
+    a = np.asarray(out.sdr[0]).astype(np.int16)
+    b = np.asarray(single.sdr).astype(np.int16)
+    np.testing.assert_array_equal(a[sky], b[sky])

@@ -131,6 +131,23 @@ class RenderConfig:
     # boundary-exact; only sub-8px shadow features and sky detail soften).
     shadow_lookup_scale: int = 8
     sky_scale: int = 8
+    # Coarse-sky upsample kernel: 'bilinear' (default) or 'cubic'
+    # (Catmull-Rom; same cost class — phase-wise shifted adds). Cubic
+    # measured a wash at 1080p/sky_scale=8 vs reference_parity (>1 LSB
+    # 1.71 -> 1.81%, >4 LSB 0.40 -> 0.32%, 53.6 -> 54.2 dB): the sky is
+    # only piecewise-linear in env-map texels (C0), so the coarse grid
+    # misses texel-level detail no interpolant can recover — exact
+    # full-rate evaluation (sky_scale=1 / sky_block_capacity) is the
+    # fidelity lever, not the upsample kernel.
+    sky_upsample: str = "bilinear"
+    # Block-compacted EXACT sky: > 0 evaluates the skybox FULL-RATE but
+    # only on the screen blocks that contain background pixels (sky is
+    # masked out everywhere else), replacing the sky_scale coarse pass +
+    # upsample. Exact where visible — removes the largest single >1-LSB
+    # error source vs reference_parity (sky upsample: 1.71% -> 0.98% at
+    # 1080p) for ~the background fraction of the dense full-rate cost.
+    # Monitored + grown like tex_block_capacity; 0 = scaled sky path.
+    sky_block_capacity: int = 0
     # Work list for the shadow gate refinement: (light, screen-block)
     # pairs on shadow edges — one batched pass shared by ALL lights, each
     # slot tagged with its light. Monitored + grown like
@@ -254,6 +271,16 @@ class RenderConfig:
         return replace(self, texture_filter="stochastic",
                        shadow_lookup_scale=8, sky_scale=8,
                        windowed_pool=False)
+
+    def fidelity_preset(self) -> "RenderConfig":
+        """Highest-fidelity real-time config short of reference_parity:
+        true trilinear filtering + exact full-rate sky (the two levers
+        that carry ~all of the default's >1 LSB pixels vs parity; shadow
+        gates and bf16 storage measured ZERO fidelity contribution).
+        Measured r5 at 1080p test.lvl: 0.75% pixels >1 LSB / 0.05% >4 LSB
+        / 59.3 dB vs reference_parity at ~40 ms/frame (default: 1.71% /
+        0.40% / 53.6 dB at ~18 ms; parity itself: exact at ~242 ms)."""
+        return replace(self, texture_filter="trilinear", sky_scale=1)
 
     def reference_parity(self) -> "RenderConfig":
         """Settings that reproduce the reference's sampling exactly:

@@ -203,3 +203,46 @@ def skybox_colors(env_cube: jax.Array, proj_inv: jax.Array,
     if rgbe_win is not None:
         return sampling.sample_cubemap_rgbe_windowed(rgbe_win, d)
     return sampling.sample_cubemap(env_cube, d)
+
+
+def skybox_colors_blocks(env_cube: jax.Array, proj_inv: jax.Array,
+                         view_rot_inv: jax.Array, slots: jax.Array,
+                         bh: int, bw: int, nbx: int,
+                         width: int, height: int,
+                         y0: int = 0, full_height: int = 0,
+                         rgbe_win: jax.Array | None = None) -> jax.Array:
+    """Skybox colors for a compacted block work list — (K, bh, bw, 3).
+
+    ``slots``: (K,) block indices (compact.BlockPlan.slots; -1 = empty)
+    over the (height//bh, width//bw) row-major block grid of a
+    ``width`` x ``height`` image (band [y0, y0+height) of a
+    ``full_height``-tall frame for the sharded path). Sky only matters on
+    background pixels, so evaluating it FULL-RATE on the blocks that
+    contain any (exact where visible) costs a fraction of the dense
+    full-rate pass while eliminating the coarse-grid upsample error —
+    the largest single >1-LSB source vs reference_parity (sky_scale=8
+    measured 1.71% vs sky_scale=1's 0.98% at 1080p; dense full-rate sky
+    cost +15 ms, this costs ~the background fraction of that). Pixel
+    directions are closed-form in the block coordinates — no gather of
+    per-pixel inputs, only the cube-sample gather itself."""
+    fh = full_height or height
+    b = jnp.clip(slots, 0, None)
+    by = (b // nbx).astype(F32)                     # (K,)
+    bx = (b % nbx).astype(F32)
+    xs = jnp.arange(bw, dtype=F32)[None, None, :]   # (1, 1, bw)
+    ys = jnp.arange(bh, dtype=F32)[None, :, None]   # (1, bh, 1)
+    px = bx[:, None, None] * bw + xs + 0.5
+    py = by[:, None, None] * bh + ys + y0 + 0.5
+    px, py = jnp.broadcast_arrays(px, py)           # (K, bh, bw)
+    x = (px / width) * 2.0 - 1.0
+    y = -((py / fh) * 2.0 - 1.0)
+    ndc = jnp.stack([x, y, jnp.zeros_like(x), jnp.ones_like(x)], axis=-1)
+    un = jnp.einsum("khwj,ij->khwi", ndc, proj_inv,
+                    preferred_element_type=F32)
+    d = jnp.einsum("khwj,ij->khwi", un[..., :3], view_rot_inv,
+                   preferred_element_type=F32)
+    if rgbe_win is not None:
+        cols = sampling.sample_cubemap_rgbe_windowed(rgbe_win, d)
+    else:
+        cols = sampling.sample_cubemap(env_cube, d)
+    return jnp.where((slots >= 0)[:, None, None, None], cols, 0.0)

@@ -233,3 +233,68 @@ def upsample_bilinear_int_cf(img: jax.Array, sy: int, sx: int) -> jax.Array:
     (the fused shading kernel's sky input layout)."""
     out = _upsample_axis(img, sy, 1) if sy > 1 else img
     return _upsample_axis(out, sx, 2) if sx > 1 else out
+
+
+def _shift_clamped(img: jax.Array, k: int, axis: int) -> jax.Array:
+    """in[i + k] along ``axis`` with clamp-at-edge (edge row replicated
+    |k| times), any |k| < n."""
+    if k == 0:
+        return img
+    n = img.shape[axis]
+    sl = [slice(None)] * img.ndim
+    edge = [slice(None)] * img.ndim
+    if k > 0:
+        sl[axis] = slice(k, None)
+        edge[axis] = slice(n - 1, None)
+        rep = [img[tuple(edge)]] * k
+        return jnp.concatenate([img[tuple(sl)]] + rep, axis=axis)
+    sl[axis] = slice(None, k)
+    edge[axis] = slice(None, 1)
+    rep = [img[tuple(edge)]] * (-k)
+    return jnp.concatenate(rep + [img[tuple(sl)]], axis=axis)
+
+
+def _cr_weights(p: float) -> tuple[float, float, float, float]:
+    """Catmull-Rom (a = -0.5) weights for taps at offsets -1, 0, 1, 2
+    around the base sample, at fraction ``p`` in [0, 1)."""
+    p2, p3 = p * p, p * p * p
+    return (-0.5 * p3 + p2 - 0.5 * p,
+            1.5 * p3 - 2.5 * p2 + 1.0,
+            -1.5 * p3 + 2.0 * p2 + 0.5 * p,
+            0.5 * p3 - 0.5 * p2)
+
+
+def _upsample_axis_cubic(img: jax.Array, s: int, axis: int) -> jax.Array:
+    """Exact integer-factor Catmull-Rom upsample along one axis
+    (half-pixel-center convention, clamp-at-edge), as s phase-wise
+    4-tap weighted adds — pure fusable VPU work like _upsample_axis.
+
+    For SMOOTH signals (the skybox: an env-map sample through a C-inf
+    unprojection) the cubic kernel's curvature correction cuts the
+    coarse-grid interpolation error by ~an order of magnitude over
+    bilinear at the same sample count."""
+    shifts = {k: _shift_clamped(img, k, axis) for k in (-2, -1, 0, 1, 2)}
+    phases = []
+    for k in range(s):
+        f = (k + 0.5) / s - 0.5
+        m = -1 if f < 0.0 else 0
+        p = f - m
+        w = _cr_weights(p)
+        phases.append(w[0] * shifts[m - 1] + w[1] * shifts[m]
+                      + w[2] * shifts[m + 1] + w[3] * shifts[m + 2])
+    out = jnp.stack(phases, axis=axis + 1)
+    shape = list(img.shape)
+    shape[axis] = img.shape[axis] * s
+    return out.reshape(shape)
+
+
+def upsample_bicubic_int(img: jax.Array, sy: int, sx: int) -> jax.Array:
+    """(H, W, *C) integer-factor Catmull-Rom upsample (separable)."""
+    out = _upsample_axis_cubic(img, sy, 0) if sy > 1 else img
+    return _upsample_axis_cubic(out, sx, 1) if sx > 1 else out
+
+
+def upsample_bicubic_int_cf(img: jax.Array, sy: int, sx: int) -> jax.Array:
+    """(C, H, W) channel-first variant of :func:`upsample_bicubic_int`."""
+    out = _upsample_axis_cubic(img, sy, 1) if sy > 1 else img
+    return _upsample_axis_cubic(out, sx, 2) if sx > 1 else out

@@ -183,14 +183,24 @@ ROW_D = _PLANES + 8
 def build_gbuffer_table(setup, tri_vidx: jax.Array, attrs: "VertexAttrs",
                         tri_instance: jax.Array, inst_object_id: jax.Array,
                         inst_material: jax.Array, mat_record: jax.Array,
-                        mat_flat: jax.Array) -> jax.Array:
+                        mat_flat: jax.Array, slim: bool = False) -> jax.Array:
     """(T, ROW_D) per-triangle resolve table (triangle-level gathers only).
 
     Corner attributes are gathered per corner ((T, 14) rows) and the
     plane accumulation runs block-wise: A_j = sum_k (attrs_k / w_k) *
     E_kj for j in {x, y, c} — all (T, 14) full-width ops, no (T, 3, C)
-    intermediates."""
+    intermediates.
+
+    ``slim`` builds the flat-only layout (statically untextured scenes):
+    attrs [world3 normal3], consts [flat6 oid] — 28 channels instead of
+    53, halving the per-(tile, pair) select/eval MXU work and table DMA;
+    uv/tangent/bitangent/record are never read when no deferred triangle
+    references a textured material (XLA also dead-code-eliminates their
+    vertex-stage math through the unused columns)."""
     attr_rows = attrs.rows()                                 # (V, 14)
+    if slim:
+        attr_rows = jnp.concatenate(
+            [attr_rows[:, 0:3], attr_rows[:, 5:8]], axis=1)  # world, normal
     # Channel-first accumulation: (T, C) intermediates lane-pad C -> 128
     # (64 MB each at T=131k — the round-4 high-poly trace's top fusion
     # group), so the plane accumulation runs on (14, T) full-lane tensors
@@ -212,6 +222,8 @@ def build_gbuffer_table(setup, tri_vidx: jax.Array, attrs: "VertexAttrs",
         jnp.take(mat_record, mat).astype(F32)[None, :],      # (1, T)
         jnp.take(inst_object_id, tri_instance).astype(F32)[None, :],
     ]
+    if slim:
+        consts = [consts[0], consts[2]]                      # no record
     rows_cf = jnp.concatenate([jnp.stack(pw, axis=0)] + blocks + consts,
                               axis=0)                        # (ROW_D, T)
     return jnp.where(setup.valid[None, :], rows_cf, 0.0).T
@@ -340,10 +352,11 @@ def resolve_attrs_tiled(tri_id: jax.Array, bin_ids: jax.Array,
     )
 
 
-def _write_eval(acc, i, j, out_refs, tile_h: int, tile_w: int) -> None:
+def _write_eval(acc, i, j, out_refs, tile_h: int, tile_w: int,
+                n_attr: int = _N_ATTR) -> None:
     """Shared finish step of the select+eval kernels: evaluate the
     numerator/denominator planes of the accumulated (Dp, P) selection at
-    this tile's pixel centers and write the 22 result channels.
+    this tile's pixel centers and write the result channels.
 
     Outputs are CHANNEL-FIRST image blocks (C, tile_h, tile_w) of a
     (C, H, W) array — the (C, P) accumulator reshapes into them for
@@ -353,8 +366,17 @@ def _write_eval(acc, i, j, out_refs, tile_h: int, tile_w: int) -> None:
     1080p). One out ref: all channels f32 (rows [attrs 14 | flat 6 |
     record | oid]). Two out refs (cfg.bf16_attrs): the f32 ref carries
     [world3 uv2 record oid] and the bf16 ref [normal3 tangent3
-    bitangent3 flat6] — the channels that tolerate 8 mantissa bits."""
+    bitangent3 flat6] — the channels that tolerate 8 mantissa bits.
+
+    ``n_attr`` = 6 selects the SLIM flat-only layout (build_gbuffer_table
+    slim=True): attrs [world3 normal3], consts [flat6 oid] — one ref
+    [world3 normal3 flat6 oid] (13), split refs [world3 oid] (4) +
+    [normal3 flat6] (9)."""
     P = tile_h * tile_w
+    ax, ay = 3, 3 + n_attr
+    ac = 3 + 2 * n_attr
+    planes = 3 * (n_attr + 1)
+    n_const = 8 if n_attr == _N_ATTR else 7
     ox = (j * tile_w).astype(F32) + 0.5
     oy = (i * tile_h).astype(F32) + 0.5
     xs = jax.lax.broadcasted_iota(I32, (1, P), 1).astype(F32)
@@ -363,25 +385,29 @@ def _write_eval(acc, i, j, out_refs, tile_h: int, tile_w: int) -> None:
 
     denom = acc[0:1] * px + acc[1:2] * py + acc[2:3]         # (1, P)
     denom = jnp.where(jnp.abs(denom) > 1e-20, denom, 1.0)
-    attrs = (acc[_AX:_AY] * px + acc[_AY:_AC] * py
-             + acc[_AC:_PLANES]) / denom                     # (14, P)
-    consts = acc[CONST_FLAT:ROW_D]                           # (8, P)
+    attrs = (acc[ax:ay] * px + acc[ay:ac] * py
+             + acc[ac:planes]) / denom                       # (n_attr, P)
+    consts = acc[planes:planes + n_const]
+    n_vec = 5 if n_attr == _N_ATTR else 3     # f32-precision attr prefix
     if len(out_refs) == 2:
         outf_ref, outh_ref = out_refs
         outf_ref[...] = jnp.concatenate(
-            [attrs[0:5], consts[6:8]], axis=0).reshape(7, tile_h, tile_w)
+            [attrs[0:n_vec], consts[6:n_const]],
+            axis=0).reshape(n_vec + n_const - 6, tile_h, tile_w)
         outh_ref[...] = jnp.concatenate(
-            [attrs[5:14], consts[0:6]],
-            axis=0).astype(outh_ref.dtype).reshape(15, tile_h, tile_w)
+            [attrs[n_vec:n_attr], consts[0:6]],
+            axis=0).astype(outh_ref.dtype).reshape(
+                n_attr - n_vec + 6, tile_h, tile_w)
     else:
         (out_ref,) = out_refs
         out_ref[...] = jnp.concatenate(
-            [attrs, consts], axis=0).reshape(22, tile_h, tile_w)
+            [attrs, consts], axis=0).reshape(n_attr + n_const,
+                                             tile_h, tile_w)
 
 
 def _select_eval_kernel(counts_ref, tid_ref, ids_ref, rows_ref, *refs,
                         tile_h: int, tile_w: int, chunk: int,
-                        kblock: int, nk: int):
+                        kblock: int, nk: int, n_attr: int = _N_ATTR):
     """Per-tile one-hot select + plane evaluation, onehot kept in VMEM.
 
     The jnp select materializes the (tiles, P, K) one-hot tensor in HBM
@@ -427,22 +453,26 @@ def _select_eval_kernel(counts_ref, tid_ref, ids_ref, rows_ref, *refs,
 
     @pl.when(k == nk - 1)
     def _finish():
-        _write_eval(acc_ref[...], i, j, out_refs, tile_h, tile_w)
+        _write_eval(acc_ref[...], i, j, out_refs, tile_h, tile_w,
+                    n_attr=n_attr)
 
 
 def _split_out_shapes(H: int, W: int, tile_h: int, tile_w: int,
-                      hdtype=jnp.bfloat16):
+                      hdtype=jnp.bfloat16, slim: bool = False):
     """(out_shape, out_specs) for the split-output layout: channel-first
     (7, H, W) f32 [world3 uv2 record oid] + (15, H, W) ``hdtype``
     [normal3 tangent3 bitangent3 flat6] (bf16 under cfg.bf16_attrs, f32
-    for the fused-shading path at full precision)."""
+    for the fused-shading path at full precision). ``slim`` (flat-only):
+    (4, H, W) f32 [world3 oid] + (9, H, W) [normal3 flat6]."""
+    cf, ch = (4, 9) if slim else (7, 15)
+
     def spec(c):
         return pl.BlockSpec((c, tile_h, tile_w),
                             lambda *g: (0, g[0], g[1]),
                             memory_space=pltpu.VMEM)
-    shapes = (jax.ShapeDtypeStruct((7, H, W), F32),
-              jax.ShapeDtypeStruct((15, H, W), hdtype))
-    return shapes, (spec(7), spec(15))
+    shapes = (jax.ShapeDtypeStruct((cf, H, W), F32),
+              jax.ShapeDtypeStruct((ch, H, W), hdtype))
+    return shapes, (spec(cf), spec(ch))
 
 
 def _to_hwc(out_cfirst: jax.Array) -> jax.Array:
@@ -455,7 +485,8 @@ def select_eval_pallas(tri_id: jax.Array, bin_ids: jax.Array,
                        table: jax.Array, tile_h: int, tile_w: int,
                        chunk: int = 128,
                        counts: jax.Array | None = None,
-                       bf16: bool = False, raw: bool = False):
+                       bf16: bool = False, raw: bool = False,
+                       slim: bool = False):
     """(H, W) winner ids + (ty, tx, K) bins + (T, ROW_D) table ->
     (H, W, 22) evaluated channels [attrs 14 | flat 6 | record | oid],
     numerically identical to resolve_attrs_tiled's pre-normalize output
@@ -477,7 +508,7 @@ def select_eval_pallas(tri_id: jax.Array, bin_ids: jax.Array,
     tid_tiles = tri_id.reshape(ty, tile_h, tx, tile_w).transpose(0, 2, 1, 3)
 
     P = tile_h * tile_w
-    C_OUT = 22
+    C_OUT = 13 if slim else 22
     if counts is None:  # valid ids are a contiguous prefix of each bin
         counts = jnp.sum((bin_ids >= 0).astype(I32), axis=2)
     # stream K through the innermost grid dim so VMEM stays bounded when
@@ -488,12 +519,14 @@ def select_eval_pallas(tri_id: jax.Array, bin_ids: jax.Array,
     nk = K // kblock
     kernel = functools.partial(_select_eval_kernel, tile_h=tile_h,
                                tile_w=tile_w, chunk=min(chunk, kblock),
-                               kblock=kblock, nk=nk)
+                               kblock=kblock, nk=nk,
+                               n_attr=6 if slim else _N_ATTR)
     if bf16 or raw:
         hdtype = jnp.bfloat16 if bf16 else F32
         out_shape, out_specs = _split_out_shapes(H, W, tile_h, tile_w,
-                                                 hdtype)
-        out_bytes = ty * tx * P * (7 * 4 + 15 * (2 if bf16 else 4))
+                                                 hdtype, slim=slim)
+        cf, ch = (4, 9) if slim else (7, 15)
+        out_bytes = ty * tx * P * (cf * 4 + ch * (2 if bf16 else 4))
     else:
         out_shape = jax.ShapeDtypeStruct((C_OUT, H, W), F32)
         out_specs = pl.BlockSpec((C_OUT, tile_h, tile_w),
@@ -533,10 +566,27 @@ def select_eval_pallas(tri_id: jax.Array, bin_ids: jax.Array,
 
 
 def _attrs_from_split(tri_id: jax.Array, outf: jax.Array,
-                      outh: jax.Array) -> ResolvedAttrs:
-    """Assemble ResolvedAttrs from the bf16_attrs split kernel outputs."""
+                      outh: jax.Array,
+                      slim: bool = False) -> ResolvedAttrs:
+    """Assemble ResolvedAttrs from the bf16_attrs split kernel outputs.
+
+    Slim (flat-only) inputs carry no uv/tangent/bitangent/record; the
+    fields are filled with zeros / the geometric normal — nothing
+    downstream reads them when cfg.any_textured is False."""
     valid = tri_id >= 0
     h = outh.astype(F32)
+    if slim:
+        n = _safe_normalize(h[..., 0:3])
+        return ResolvedAttrs(
+            world=outf[..., 0:3],
+            uv=jnp.zeros(tri_id.shape + (2,), F32),
+            normal=n, tangent=n, bitangent=n,
+            flat=h[..., 3:9],
+            record=jnp.zeros(tri_id.shape, I32),
+            object_id=jnp.where(valid,
+                                jnp.round(outf[..., 3]).astype(I32), 0),
+            valid=valid,
+        )
     return ResolvedAttrs(
         world=outf[..., 0:3],
         uv=outf[..., 3:5],
@@ -550,17 +600,23 @@ def _attrs_from_split(tri_id: jax.Array, outf: jax.Array,
     )
 
 
-def resolve_attrs_pallas(tri_id: jax.Array, bin_ids: jax.Array,
-                         table: jax.Array, tile_h: int, tile_w: int,
-                         counts: jax.Array | None = None,
-                         bf16: bool = False) -> ResolvedAttrs:
-    """ResolvedAttrs via the VMEM select+eval kernel (TPU fast path;
-    bit-compatible with resolve_attrs_tiled when not ``bf16``)."""
-    out = select_eval_pallas(tri_id, bin_ids, table, tile_h, tile_w,
-                             counts=counts, bf16=bf16)
-    if bf16:
-        return _attrs_from_split(tri_id, *out)
+def _attrs_from_single(tri_id: jax.Array, out: jax.Array,
+                       slim: bool = False) -> ResolvedAttrs:
+    """Assemble ResolvedAttrs from the single-ref (all-f32) kernel output
+    ([attrs | consts] channels; see _write_eval)."""
     valid = tri_id >= 0
+    if slim:
+        n = _safe_normalize(out[..., 3:6])
+        return ResolvedAttrs(
+            world=out[..., 0:3],
+            uv=jnp.zeros(tri_id.shape + (2,), F32),
+            normal=n, tangent=n, bitangent=n,
+            flat=out[..., 6:12],
+            record=jnp.zeros(tri_id.shape, I32),
+            object_id=jnp.where(valid,
+                                jnp.round(out[..., 12]).astype(I32), 0),
+            valid=valid,
+        )
     return ResolvedAttrs(
         world=out[..., 0:3],
         uv=out[..., 3:5],
@@ -574,10 +630,24 @@ def resolve_attrs_pallas(tri_id: jax.Array, bin_ids: jax.Array,
     )
 
 
+def resolve_attrs_pallas(tri_id: jax.Array, bin_ids: jax.Array,
+                         table: jax.Array, tile_h: int, tile_w: int,
+                         counts: jax.Array | None = None,
+                         bf16: bool = False,
+                         slim: bool = False) -> ResolvedAttrs:
+    """ResolvedAttrs via the VMEM select+eval kernel (TPU fast path;
+    bit-compatible with resolve_attrs_tiled when not ``bf16``)."""
+    out = select_eval_pallas(tri_id, bin_ids, table, tile_h, tile_w,
+                             counts=counts, bf16=bf16, slim=slim)
+    if bf16:
+        return _attrs_from_split(tri_id, *out, slim=slim)
+    return _attrs_from_single(tri_id, out, slim=slim)
+
+
 def _select_eval_stream_kernel(starts_ref, tid_ref, ids_ref, rows_ref,
                                *refs, tile_h: int, tile_w: int,
                                chunk: int, kb: int, nb: int, nblocks: int,
-                               tiles_x: int):
+                               tiles_x: int, n_attr: int = _N_ATTR):
     """CSR-stream variant of _select_eval_kernel: the tile's bin is the
     stream segment [starts[t], starts[t+1]) walked in ``kb`` blocks by
     grid dim 2 (raster.StreamBins). Rows outside the segment — neighbor
@@ -628,13 +698,14 @@ def _select_eval_stream_kernel(starts_ref, tid_ref, ids_ref, rows_ref,
 
     @pl.when(b == nb - 1)
     def _finish():
-        _write_eval(acc_ref[...], i, j, out_refs, tile_h, tile_w)
+        _write_eval(acc_ref[...], i, j, out_refs, tile_h, tile_w,
+                    n_attr=n_attr)
 
 
 def select_eval_stream(tri_id: jax.Array, sbins, table: jax.Array,
                        tile_h: int, tile_w: int, kmax: int,
                        chunk: int = 128, bf16: bool = False,
-                       raw: bool = False):
+                       raw: bool = False, slim: bool = False):
     """select_eval_pallas over CSR stream bins (raster.StreamBins).
 
     The dense variant gathers + DMAs (tiles, K, Dp) table rows — at a
@@ -654,14 +725,15 @@ def select_eval_stream(tri_id: jax.Array, sbins, table: jax.Array,
 
     from . import raster
     P = tile_h * tile_w
-    C_OUT = 22
+    C_OUT = 13 if slim else 22
     Ls = sbins.ids.shape[0]
     kb = min(2048, Ls)
     nblocks = Ls // kb
     nb = min(-(-kmax // kb) + 1, nblocks)
     kernel = functools.partial(_select_eval_stream_kernel, tile_h=tile_h,
                                tile_w=tile_w, chunk=min(chunk, kb), kb=kb,
-                               nb=nb, nblocks=nblocks, tiles_x=tx)
+                               nb=nb, nblocks=nblocks, tiles_x=tx,
+                               n_attr=6 if slim else _N_ATTR)
 
     def stream_map(i, j, b, starts):
         t = i * tx + j
@@ -671,8 +743,9 @@ def select_eval_stream(tri_id: jax.Array, sbins, table: jax.Array,
     if bf16 or raw:
         hdtype = jnp.bfloat16 if bf16 else F32
         out_shape, out_specs = _split_out_shapes(H, W, tile_h, tile_w,
-                                                 hdtype)
-        out_bytes = ty * tx * P * (7 * 4 + 15 * (2 if bf16 else 4))
+                                                 hdtype, slim=slim)
+        cf, ch = (4, 9) if slim else (7, 15)
+        out_bytes = ty * tx * P * (cf * 4 + ch * (2 if bf16 else 4))
     else:
         out_shape = jax.ShapeDtypeStruct((C_OUT, H, W), F32)
         out_specs = pl.BlockSpec((C_OUT, tile_h, tile_w),
@@ -714,25 +787,15 @@ def select_eval_stream(tri_id: jax.Array, sbins, table: jax.Array,
 
 def resolve_attrs_stream(tri_id: jax.Array, sbins, table: jax.Array,
                          tile_h: int, tile_w: int, kmax: int,
-                         bf16: bool = False) -> ResolvedAttrs:
+                         bf16: bool = False,
+                         slim: bool = False) -> ResolvedAttrs:
     """ResolvedAttrs via the CSR-stream select+eval kernel (bit-compatible
     with resolve_attrs_pallas on the same bin contents)."""
     out = select_eval_stream(tri_id, sbins, table, tile_h, tile_w, kmax,
-                             bf16=bf16)
+                             bf16=bf16, slim=slim)
     if bf16:
-        return _attrs_from_split(tri_id, *out)
-    valid = tri_id >= 0
-    return ResolvedAttrs(
-        world=out[..., 0:3],
-        uv=out[..., 3:5],
-        normal=_safe_normalize(out[..., 5:8]),
-        tangent=_safe_normalize(out[..., 8:11]),
-        bitangent=_safe_normalize(out[..., 11:14]),
-        flat=out[..., 14:20],
-        record=jnp.round(out[..., 20]).astype(I32),
-        object_id=jnp.where(valid, jnp.round(out[..., 21]).astype(I32), 0),
-        valid=valid,
-    )
+        return _attrs_from_split(tri_id, *out, slim=slim)
+    return _attrs_from_single(tri_id, out, slim=slim)
 
 
 def resolve_attrs_onehot(tri_id: jax.Array, setup, bin_ids: jax.Array,

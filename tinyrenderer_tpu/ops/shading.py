@@ -207,7 +207,8 @@ def _norm3(x, y, z):
 
 def _shade_kernel(consts_ref, tid_ref, outf_ref, outh_ref, *refs,
                   num_point: int, num_dir: int,
-                  has_ibl: bool, has_sky: bool, has_rec: bool = True):
+                  has_ibl: bool, has_sky: bool, has_rec: bool = True,
+                  slim: bool = False):
     idx = 0
     rec_ref = None
     if has_rec:
@@ -246,6 +247,11 @@ def _shade_kernel(consts_ref, tid_ref, outf_ref, outh_ref, *refs,
         alb = [jnp.where(use_tex, rec[k], h[9 + k]) for k in range(3)]
         rough = jnp.where(use_tex, rec[7], h[12])
         metal = jnp.where(use_tex, rec[8], h[13])
+    elif slim:
+        # slim flat-only layout (resolve slim=True): outh [normal3 flat6]
+        nx, ny, nz = ngx, ngy, ngz
+        alb = [h[3 + k] for k in range(3)]
+        rough, metal = h[6], h[7]
     else:
         # flat-only scene (cfg.any_textured False): geometric normal +
         # flat params, no material plane
@@ -370,10 +376,15 @@ def shade_deferred_fused(tri_id: jax.Array, outf_c: jax.Array,
                                  irradiance_sh)
     has_sky = sky_c is not None
     has_rec = rec_c is not None
+    # slim flat-only input layout (resolve select_eval slim=True):
+    # outf [world3 oid], outh [normal3 flat6]
+    slim = outf_c.shape[0] == 4
+    assert not (slim and has_rec), "slim layout carries no uv/record"
     kernel = functools.partial(_shade_kernel, num_point=num_point,
                                num_dir=num_dir,
                                has_ibl=irradiance_sh is not None,
-                               has_sky=has_sky, has_rec=has_rec)
+                               has_sky=has_sky, has_rec=has_rec,
+                               slim=slim)
 
     def cmap(C):
         return pl.BlockSpec((C, bh, bw), lambda i, j: (0, i, j),
@@ -383,7 +394,7 @@ def shade_deferred_fused(tri_id: jax.Array, outf_c: jax.Array,
         pl.BlockSpec(memory_space=pltpu.SMEM),
         pl.BlockSpec((bh, bw), lambda i, j: (i, j),
                      memory_space=pltpu.VMEM),
-        cmap(7), cmap(15),
+        cmap(outf_c.shape[0]), cmap(outh_c.shape[0]),
     ]
     args = [consts, tri_id, outf_c, outh_c]
     if has_rec:

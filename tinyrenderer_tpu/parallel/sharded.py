@@ -291,27 +291,62 @@ def _render_band(scene: SceneGPU, pool, lights: LightsGPU, atlas,
     def band_sky():
         if env is None:
             return None
+        dims = compact.block_dims(band_h, PW)
+        if cfg.sky_block_capacity > 0 and dims is not None:
+            # block-compacted EXACT sky, band-local (frame._sky_image):
+            # directions are closed-form in (y0-offset) pixel coords, so
+            # each band plans its own background blocks with the full
+            # frame capacity (always sufficient — a band's background
+            # block count is bounded by the frame's settled capacity)
+            bh, bw = dims
+            nby, nbx = band_h // bh, PW // bw
+            valid_band = tri_id >= 0
+            need = jnp.any(compact.to_blocks(~valid_band, bh, bw),
+                           axis=(1, 2))
+            plan = compact.plan_blocks(
+                need, min(cfg.sky_block_capacity, nby * nbx))
+            cols = envops.skybox_colors_blocks(
+                env.env_cube, cam["proj_inv"], cam["view_inv"][:3, :3],
+                plan.slots, bh, bw, nbx, PW, band_h, y0=y0,
+                full_height=PH,
+                rgbe_win=(env.sky_rgbe if cfg.sky_rgbe else None))
+            return compact.from_blocks(compact.scatter_blocks(cols, plan),
+                                       band_h, PW)
         s = cfg.sky_scale
         if s > 1:
-            # render the low-res strip with ONE extra coarse row above and
-            # below (pure unprojection — rows outside the band are as
-            # computable as inside), emulate the frame-border clamp, and
-            # crop the upsample back to the band: bit-identical to the
-            # single-chip path's global upsample (a band-local upsample
-            # reads clamped phantom rows at band seams otherwise)
+            # render the low-res strip with ``e`` extra coarse rows above
+            # and below (pure unprojection — rows outside the band are as
+            # computable as inside; e = the upsample kernel's support:
+            # bilinear 1, Catmull-Rom 2), emulate the frame-border clamp,
+            # and crop the upsample back to the band: bit-identical to
+            # the single-chip path's global upsample (a band-local
+            # upsample reads clamped phantom rows at band seams otherwise)
+            from ..ops import post as postops
+            cubic = (cfg.sky_upsample == "cubic"
+                     and PH % s == 0 and PW % s == 0)
+            e = 2 if cubic else 1
             hl = band_h // s
             nsp = (proj_h or cfg.padded_height) // band_h
             strip = envops.skybox_colors(
                 env.env_cube, cam["proj_inv"], cam["view_inv"][:3, :3],
-                PW // s, hl + 2, y0=y0 / s - 1.0, full_height=PH // s,
+                PW // s, hl + 2 * e, y0=y0 / s - float(e),
+                full_height=PH // s,
                 rgbe_win=(env.sky_rgbe if cfg.sky_rgbe else None))
             sp_i = jax.lax.axis_index("sp")
-            top = jnp.where(sp_i == 0, strip[1:2], strip[0:1])
-            bot = jnp.where(sp_i == nsp - 1, strip[hl:hl + 1],
-                            strip[hl + 1:hl + 2])
-            strip = jnp.concatenate([top, strip[1:hl + 1], bot], axis=0)
-            return framelib._upsample_bilinear(
-                strip, ((hl + 2) * s, PW, 3))[s:s + band_h]
+            tops = [jnp.where(sp_i == 0, strip[e:e + 1], strip[r:r + 1])
+                    for r in range(e)]
+            bots = [jnp.where(sp_i == nsp - 1,
+                              strip[e + hl - 1:e + hl],
+                              strip[e + hl + r:e + hl + r + 1])
+                    for r in range(e)]
+            strip = jnp.concatenate(tops + [strip[e:e + hl]] + bots,
+                                    axis=0)
+            if cubic:
+                up = postops.upsample_bicubic_int(strip, s, s)[:, :PW]
+            else:
+                up = framelib._upsample_bilinear(
+                    strip, ((hl + 2 * e) * s, PW, 3))
+            return up[e * s:e * s + band_h]
         return envops.skybox_colors(env.env_cube, cam["proj_inv"],
                                     cam["view_inv"][:3, :3], PW, band_h,
                                     y0=y0, full_height=PH,

@@ -372,10 +372,12 @@ class Engine:
         # per-frame stack excludes 'shadow'; the atlas-time
         # _queue_overflow above reports the real occupancy.
         self._queue_overflow(
-            ("bins", "binsbig", "tex", "fwdtex", "shadowblk", "stream"),
+            ("bins", "binsbig", "tex", "fwdtex", "shadowblk", "skyblk",
+             "stream"),
             jnp.stack([out.bin_overflow, out.big_overflow,
                        out.tex_overflow[0], out.tex_overflow[1],
-                       out.shadow_blocks, out.stream_overflow]))
+                       out.shadow_blocks, out.sky_blocks,
+                       out.stream_overflow]))
         if self._settled:
             self._check_overflow()
         return out
@@ -414,6 +416,7 @@ class Engine:
         "fwdtex": ("fwd_tile_capacity", "Forward overlay tile overflow"),
         "shadowblk": ("shadow_block_capacity",
                       "Shadow boundary-block overflow"),
+        "skyblk": ("sky_block_capacity", "Sky background-block overflow"),
         "stream": ("stream_capacity", "Raster stream overflow"),
     }
 
@@ -504,7 +507,7 @@ class Engine:
                 if cap <= 0:
                     continue  # monitor disabled (dense path by request)
                 if v > cap:
-                    if kind in ("tex", "fwdtex", "shadowblk"):
+                    if kind in ("tex", "fwdtex", "shadowblk", "skyblk"):
                         # finer buckets than pow2: the compacted gather
                         # count scales with the capacity, so overshooting
                         # to the next power of two (e.g. 1351 -> 2048 =
@@ -552,7 +555,7 @@ class Engine:
                 if shrink and cap > floor and v < int(cap * 0.4):
                     n = self._under_count.get(kind, 0) + 1
                     if n >= self.SHRINK_AFTER:
-                        if kind in ("tex", "fwdtex", "shadowblk"):
+                        if kind in ("tex", "fwdtex", "shadowblk", "skyblk"):
                             new_cap = max(floor,
                                           -(-max(v, 1) * 2 // 256) * 256)
                         else:

@@ -75,6 +75,8 @@ class FrameOutput(NamedTuple):
     stream_overflow: jax.Array  # () i32 total (tile, triangle) pairs the
     #   CSR stream raster wanted (cfg.stream_capacity monitor; 0 on the
     #   dense binning path)
+    sky_blocks: jax.Array = jnp.int32(0)  # () i32 background blocks wanted
+    #   (cfg.sky_block_capacity monitor; 0 on the scaled-sky path)
 
 
 def _sovf(bins) -> jax.Array:
@@ -137,6 +139,42 @@ def world_positions(scene: SceneGPU) -> jax.Array:
     return world
 
 
+def _sky_image(cfg: config.RenderConfig, env: "EnvGPU", cam: dict,
+               valid: jax.Array, PW: int, PH: int):
+    """(PH, PW, 3) sky colors + () i32 needed-block count.
+
+    cfg.sky_block_capacity > 0: block-compacted EXACT sky — full-rate
+    cube samples only on blocks containing background pixels (valid is
+    the main raster's hit mask). Otherwise: the sky_scale coarse pass +
+    bilinear upsample."""
+    from ..ops import compact
+
+    rgbe = env.sky_rgbe if cfg.sky_rgbe else None
+    dims = compact.block_dims(PH, PW)
+    cap = cfg.sky_block_capacity
+    if cap > 0 and dims is not None:
+        bh, bw = dims
+        nby, nbx = PH // bh, PW // bw
+        need = jnp.any(compact.to_blocks(~valid, bh, bw), axis=(1, 2))
+        plan = compact.plan_blocks(need, min(cap, nby * nbx))
+        cols = envops.skybox_colors_blocks(
+            env.env_cube, cam["proj_inv"], cam["view_inv"][:3, :3],
+            plan.slots, bh, bw, nbx, PW, PH, rgbe_win=rgbe)
+        sky = compact.from_blocks(compact.scatter_blocks(cols, plan),
+                                  PH, PW)
+        return sky, plan.needed
+    s = cfg.sky_scale
+    sky = envops.skybox_colors(env.env_cube, cam["proj_inv"],
+                               cam["view_inv"][:3, :3], PW // s, PH // s,
+                               rgbe_win=rgbe)
+    if s > 1:
+        if cfg.sky_upsample == "cubic" and PH % s == 0 and PW % s == 0:
+            sky = post.upsample_bicubic_int(sky, s, s)
+        else:
+            sky = _upsample_bilinear(sky, (PH, PW, 3))
+    return sky, jnp.int32(0)
+
+
 def _raster_resolve(clip, tri_vidx, tri_mask, tri_instance, vattrs, scene,
                     cfg: config.RenderConfig, cull: str):
     """Raster + per-pixel resolve-row selection.
@@ -146,6 +184,9 @@ def _raster_resolve(clip, tri_vidx, tri_mask, tri_instance, vattrs, scene,
     (visibility buffer, then a per-tile one-hot select).
     Returns (tri_id, depth, ResolvedAttrs, overflow)."""
     PW, PH = cfg.padded_width, cfg.padded_height
+    # slim flat-only table on the Pallas select paths (the tiled jnp
+    # fallback and the fused-resolve raster keep the full layout)
+    slim = not cfg.any_textured and cfg.use_pallas and not cfg.fused_resolve
     setup = raster.triangle_setup(clip, tri_vidx, tri_mask, PW, PH, cull)
     if (cfg.use_pallas and cfg.stream_raster and not cfg.fused_resolve
             and raster.stream_pays_off(tri_vidx.shape[0])):
@@ -156,19 +197,21 @@ def _raster_resolve(clip, tri_vidx, tri_mask, tri_instance, vattrs, scene,
             cfg.bin_big_capacity)
         table = resolve.build_gbuffer_table(
             setup, tri_vidx, vattrs, tri_instance, scene.inst_object_id,
-            scene.inst_material, scene.mat_record, scene.mat_flat)
+            scene.inst_material, scene.mat_record, scene.mat_flat,
+            slim=slim)
         ty, tx = sbins.counts.shape
         tri_id, depth = raster.rasterize_stream(
             sbins, ty, tx, cfg.tile_h, cfg.tile_w, kmax=cfg.bin_capacity)
         r = resolve.resolve_attrs_stream(tri_id, sbins, table, cfg.tile_h,
                                          cfg.tile_w, kmax=cfg.bin_capacity,
-                                         bf16=cfg.bf16_attrs)
+                                         bf16=cfg.bf16_attrs, slim=slim)
         return tri_id, depth, r, sbins
     bins = raster.bin_triangles(setup, PW, PH, cfg.tile_h, cfg.tile_w,
                                 cfg.bin_capacity, cfg.bin_big_capacity)
     table = resolve.build_gbuffer_table(
         setup, tri_vidx, vattrs, tri_instance, scene.inst_object_id,
-        scene.inst_material, scene.mat_record, scene.mat_flat)
+        scene.inst_material, scene.mat_record, scene.mat_flat,
+        slim=slim)
     if cfg.use_pallas and cfg.fused_resolve:
         D = table.shape[1]
         pad = (-D) % 64
@@ -181,11 +224,12 @@ def _raster_resolve(clip, tri_vidx, tri_mask, tri_instance, vattrs, scene,
                                                 use_pallas=cfg.use_pallas)
         if cfg.use_pallas:
             # VMEM select+eval kernel: no HBM one-hot tensor, writes only
-            # the 22 evaluated channels
+            # the evaluated channels
             r = resolve.resolve_attrs_pallas(tri_id, bins.ids, table,
                                              cfg.tile_h, cfg.tile_w,
                                              counts=bins.counts,
-                                             bf16=cfg.bf16_attrs)
+                                             bf16=cfg.bf16_attrs,
+                                             slim=slim)
         else:
             # tiled-domain select + plane eval (untiles only the evaluated
             # ~22 channels instead of the 53-channel sel tensor)
@@ -320,12 +364,15 @@ def _render_frame_fused(scene: SceneGPU, pool: sampling.TexturePoolGPU,
     world, clip, attrs = geometry_stage(scene, cam["view_proj"])
 
     # ---- main visibility raster + raw channel-first select+eval ----
+    # statically flat-only scenes use the SLIM 28-channel table (half the
+    # select/eval MXU work and table DMA; uv/tbn/record never read)
+    slim = not cfg.any_textured
     setup = raster.triangle_setup(clip, scene.tri_vidx, scene.tri_deferred,
                                   PW, PH, "back")
     table = resolve.build_gbuffer_table(
         setup, scene.tri_vidx, attrs, scene.tri_instance,
         scene.inst_object_id, scene.inst_material, scene.mat_record,
-        scene.mat_flat)
+        scene.mat_flat, slim=slim)
     if cfg.stream_raster and raster.stream_pays_off(scene.tri_vidx.shape[0]):
         m_bins = raster.bin_triangles_stream(
             setup, PW, PH, cfg.tile_h, cfg.tile_w, cfg.stream_capacity,
@@ -335,7 +382,8 @@ def _render_frame_fused(scene: SceneGPU, pool: sampling.TexturePoolGPU,
             m_bins, ty, tx, cfg.tile_h, cfg.tile_w, kmax=cfg.bin_capacity)
         outf_c, outh_c = resolve.select_eval_stream(
             tri_id, m_bins, table, cfg.tile_h, cfg.tile_w,
-            kmax=cfg.bin_capacity, bf16=cfg.bf16_attrs, raw=True)
+            kmax=cfg.bin_capacity, bf16=cfg.bf16_attrs, raw=True,
+            slim=slim)
     else:
         m_bins = raster.bin_triangles(setup, PW, PH, cfg.tile_h, cfg.tile_w,
                                       cfg.bin_capacity, cfg.bin_big_capacity)
@@ -343,20 +391,22 @@ def _render_frame_fused(scene: SceneGPU, pool: sampling.TexturePoolGPU,
                                                 cfg.tile_w, use_pallas=True)
         outf_c, outh_c = resolve.select_eval_pallas(
             tri_id, m_bins.ids, table, cfg.tile_h, cfg.tile_w,
-            counts=m_bins.counts, bf16=cfg.bf16_attrs, raw=True)
+            counts=m_bins.counts, bf16=cfg.bf16_attrs, raw=True, slim=slim)
     overflow = m_bins.overflow
     big_overflow = m_bins.big_overflow
 
     # image-domain planes the gather stages need: world (shadow gates),
-    # uv/record (texture compaction) — one 7-channel relayout; the 15
-    # attribute channels stay channel-first for the kernel
-    outf = jnp.moveaxis(outf_c, 0, -1)                  # (H, W, 7)
+    # uv/record (texture compaction) — one relayout; the attribute
+    # channels stay channel-first for the kernel
+    outf = jnp.moveaxis(outf_c, 0, -1)            # (H, W, 7) / slim (.., 4)
     valid = tri_id >= 0
     g_pos = jnp.where(valid[..., None], outf[..., 0:3], 0.0)
-    uv = outf[..., 3:5]
-    record = jnp.round(outf[..., 5]).astype(I32)
-    pick = jnp.where(valid, jnp.round(outf_c[6]).astype(I32), 0)
-    use_tex = outh_c[14].astype(F32) > 0.5              # (H, W) — flat[5]
+    oid_plane = outf_c[3] if slim else outf_c[6]
+    pick = jnp.where(valid, jnp.round(oid_plane).astype(I32), 0)
+    if not slim:
+        uv = outf[..., 3:5]
+        record = jnp.round(outf[..., 5]).astype(I32)
+        use_tex = outh_c[14].astype(F32) > 0.5    # (H, W) — flat[5]
 
     # ---- material sample (block-compacted, same op as the unfused path) ----
     if cfg.any_textured:
@@ -401,19 +451,31 @@ def _render_frame_fused(scene: SceneGPU, pool: sampling.TexturePoolGPU,
 
     # ---- channel-first sky ----
     sky_c = None
+    sky_blocks = jnp.int32(0)
     if env is not None:
-        s = cfg.sky_scale
-        sky = envops.skybox_colors(env.env_cube, cam["proj_inv"],
-                                   cam["view_inv"][:3, :3], PW // s, PH // s,
-                                   rgbe_win=(env.sky_rgbe if cfg.sky_rgbe
-                                             else None))
-        sky_c = jnp.moveaxis(sky, -1, 0)                # cheap at sky res
-        if s > 1:
-            if PH % s == 0 and PW % s == 0:
-                sky_c = post.upsample_bilinear_int_cf(sky_c, s, s)
-            else:
-                sky_c = jax.image.resize(sky_c, (3, PH, PW),
-                                         method="bilinear")
+        from ..ops import compact as compactlib
+        dims = compactlib.block_dims(PH, PW)
+        if cfg.sky_block_capacity > 0 and dims is not None:
+            # block-compacted exact sky (see _sky_image); full-res HWC ->
+            # CF relayout is the price of the kernel's input layout
+            sky, sky_blocks = _sky_image(cfg, env, cam, valid, PW, PH)
+            sky_c = jnp.moveaxis(sky, -1, 0)
+        else:
+            s = cfg.sky_scale
+            sky = envops.skybox_colors(
+                env.env_cube, cam["proj_inv"], cam["view_inv"][:3, :3],
+                PW // s, PH // s,
+                rgbe_win=(env.sky_rgbe if cfg.sky_rgbe else None))
+            sky_c = jnp.moveaxis(sky, -1, 0)            # cheap at sky res
+            if s > 1:
+                if PH % s == 0 and PW % s == 0:
+                    up = (post.upsample_bicubic_int_cf
+                          if cfg.sky_upsample == "cubic"
+                          else post.upsample_bilinear_int_cf)
+                    sky_c = up(sky_c, s, s)
+                else:
+                    sky_c = jax.image.resize(sky_c, (3, PH, PW),
+                                             method="bilinear")
 
     # ---- fused shading: one VMEM pass over the resolved planes ----
     slights = shading.ShadingLights(
@@ -454,7 +516,8 @@ def _render_frame_fused(scene: SceneGPU, pool: sampling.TexturePoolGPU,
                        tex_overflow=jnp.stack([tex_needed, fwd_needed]),
                        big_overflow=big_overflow,
                        shadow_blocks=shadow_blocks,
-                       stream_overflow=_sovf(m_bins))
+                       stream_overflow=_sovf(m_bins),
+                       sky_blocks=sky_blocks)
 
 
 def render_frame(scene: SceneGPU, pool: sampling.TexturePoolGPU,
@@ -496,6 +559,7 @@ def render_frame(scene: SceneGPU, pool: sampling.TexturePoolGPU,
                            shadow_overflow=out.shadow_overflow,
                            tex_overflow=out.tex_overflow,
                            big_overflow=out.big_overflow,
+                           sky_blocks=out.sky_blocks,
                            shadow_blocks=out.shadow_blocks,
                            stream_overflow=out.stream_overflow)
     cam = _unpack_camera(camera_raw)
@@ -561,14 +625,9 @@ def render_frame(scene: SceneGPU, pool: sampling.TexturePoolGPU,
                                  point_shadow_fn, dir_shadow_fn)
 
     # ---- skybox (background pixels, depth GreaterEqual at far plane) ----
+    sky_blocks = jnp.int32(0)
     if env is not None:
-        s = cfg.sky_scale
-        sky = envops.skybox_colors(env.env_cube, cam["proj_inv"],
-                                   cam["view_inv"][:3, :3], PW // s, PH // s,
-                                   rgbe_win=(env.sky_rgbe if cfg.sky_rgbe
-                                             else None))
-        if s > 1:
-            sky = _upsample_bilinear(sky, (PH, PW, 3))
+        sky, sky_blocks = _sky_image(cfg, env, cam, g.mask, PW, PH)
         hdr = jnp.where(g.mask[..., None], hdr, sky)
 
     # ---- forward pass (gizmos/billboards: depth Always, drawn on top) ----
@@ -613,7 +672,8 @@ def render_frame(scene: SceneGPU, pool: sampling.TexturePoolGPU,
                        tex_overflow=jnp.stack([tex_needed, fwd_needed]),
                        big_overflow=big_overflow,
                        shadow_blocks=shadow_blocks,
-                       stream_overflow=_sovf(m_bins))
+                       stream_overflow=_sovf(m_bins),
+                       sky_blocks=sky_blocks)
 
 
 @functools.lru_cache(maxsize=8)

@@ -32,6 +32,13 @@ def main() -> None:
     ap.add_argument("--height", type=int, default=1080)
     ap.add_argument("--save-dir", default="",
                     help="also dump the rendered PNGs here")
+    ap.add_argument("--time", type=int, default=0, metavar="ROUNDS",
+                    help="also measure ms/frame per config, interleaved "
+                         "round-robin (honest scan timing) — the full "
+                         "fidelity/speed decision table in one process")
+    ap.add_argument("--frames", type=int, default=8)
+    ap.add_argument("--only", default="",
+                    help="comma-separated config-name filter")
     args = ap.parse_args()
     if args.cpu:
         import jax
@@ -62,17 +69,30 @@ def main() -> None:
         "default_f32_atlas": replace(base, shadow_bf16=False),
         "default_trilinear_sky4": replace(base, texture_filter="trilinear",
                                           sky_scale=4),
+        "default_skybilinear": replace(base, sky_upsample="bilinear"),
+        "default_sky4_cubic": replace(base, sky_scale=4),
+        "default_skyblk": replace(base, sky_block_capacity=2048),
+        "default_skyblk_trilinear": replace(base, sky_block_capacity=2048,
+                                            texture_filter="trilinear"),
         "default_75pct": replace(base, render_scale_pct=75),
+        "fidelity_preset": base.fidelity_preset(),
         "performance_preset": base.performance_preset(),
         "preset_75pct": replace(base.performance_preset(),
                                 render_scale_pct=75),
     }
 
+    if args.only:
+        keep = set(args.only.split(","))
+        keep.add("reference_parity")   # the comparison baseline
+        configs = {k: v for k, v in configs.items() if k in keep}
+
     frames = {}
+    engines = {}
     for name, cfg in configs.items():
         eng = Engine(cfg=cfg, level_path="/root/reference/levels/test.lvl")
         for _ in range(4):  # let capacity monitors settle
             out = eng.run_frame(0.0)
+        engines[name] = eng
         frames[name] = np.asarray(out.sdr)
         if args.save_dir:
             from tinyrenderer_tpu.utils import image_io
@@ -81,15 +101,56 @@ def main() -> None:
                               frames[name])
         print(f"# rendered {name}", file=sys.stderr)
 
+    times = {}
+    if args.time > 0:
+        import statistics
+        import time as timelib
+
+        import jax
+        import jax.numpy as jnp
+
+        sys.path.insert(0, os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        import bench
+
+        loops = {}
+        for name, eng in engines.items():
+            eng.update(0.0)
+            eng._drain_actions()
+            env = eng._ensure_env()
+            loop = bench._frame_loop(eng, args.frames)
+            a = (jnp.asarray(eng.camera.to_raw()), eng._pack.scene,
+                 eng._packer.pool_for(eng.cfg), eng._pack.lights,
+                 eng.params, env, eng._atlas)
+            t0 = timelib.perf_counter()
+            float(loop(*a))
+            float(loop(*a))
+            print(f"# warmed {name} loop in "
+                  f"{timelib.perf_counter()-t0:.0f}s", file=sys.stderr)
+            loops[name] = (loop, a)
+        raw = {k: [] for k in loops}
+        for r in range(args.time):
+            for name, (loop, a) in loops.items():
+                t0 = timelib.perf_counter()
+                float(loop(*a))
+                raw[name].append(
+                    (timelib.perf_counter() - t0) * 1e3 / args.frames)
+            print(f"# round {r}: " + "  ".join(
+                f"{k}={raw[k][-1]:.1f}" for k in loops), file=sys.stderr)
+        times = {k: statistics.median(v) for k, v in raw.items()}
+
     ref = frames["reference_parity"]
-    print("| config | PSNR (dB) | % pixels >1 LSB | % pixels >4 LSB |")
-    print("|---|---|---|---|")
+    tcol = " ms/frame |" if times else ""
+    print(f"| config | PSNR (dB) | % pixels >1 LSB | % pixels >4 LSB |"
+          + tcol)
+    print("|---|---|---|---|" + ("---|" if times else ""))
     for name, img in frames.items():
         d = np.abs(img.astype(np.int16) - ref.astype(np.int16)).max(axis=-1)
         p = psnr(img, ref)
+        trow = f" {times[name]:.2f} |" if times else ""
         print(f"| {name} | {'exact' if p == float('inf') else f'{p:.1f}'} | "
               f"{100.0 * (d > 1).mean():.2f}% | "
-              f"{100.0 * (d > 4).mean():.2f}% |")
+              f"{100.0 * (d > 4).mean():.2f}% |" + trow)
 
 
 if __name__ == "__main__":

@@ -72,16 +72,17 @@ def main() -> None:
                     sbins, ty, tx, cfg.tile_h, cfg.tile_w,
                     kmax=cfg.bin_capacity)
                 acc = acc + depth.sum() + tri_id.sum()
+            slim = not cfg.any_textured
             if depth_k >= 4:
                 table = resolve.build_gbuffer_table(
                     setup, scene.tri_vidx, attrs, scene.tri_instance,
                     scene.inst_object_id, scene.inst_material,
-                    scene.mat_record, scene.mat_flat)
+                    scene.mat_record, scene.mat_flat, slim=slim)
                 acc = acc + table.sum()
             if depth_k >= 5:
                 r = resolve.resolve_attrs_stream(
                     tri_id, sbins, table, cfg.tile_h, cfg.tile_w,
-                    kmax=cfg.bin_capacity, bf16=cfg.bf16_attrs)
+                    kmax=cfg.bin_capacity, bf16=cfg.bf16_attrs, slim=slim)
                 acc = (acc + r.world.sum() + r.normal.sum()
                        + r.flat.sum() + r.record.sum())
             return acc.astype(jnp.float32)
