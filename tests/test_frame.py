@@ -217,6 +217,7 @@ def test_shadow_bf16_atlas_close(reference_level_path):
     assert (d > 2).mean() < 0.01, f"{(d > 2).sum()} pixels differ"
 
 
+@pytest.mark.slow
 def test_sky_block_compaction_exact():
     """cfg.sky_block_capacity > 0 (block-compacted full-rate sky on
     background blocks) must be pixel-identical to sky_scale=1 (dense
