@@ -271,6 +271,7 @@ def test_select_eval_kernel_streams_large_bins(rng):
                                    rtol=1e-6, atol=1e-7, err_msg=f)
 
 
+@pytest.mark.slow
 def test_pallas_multiblock_bins_match(rng):
     """bin_capacity > 4096 exercises the kernel's bin-block revisit path
     (grid dim 2 + running depth race over output blocks) — must agree

@@ -114,6 +114,7 @@ def test_bad_requests_surface_cleanly(server):
     assert _get(server, "/frame.png")[:4] == b"\x89PNG"
 
 
+@pytest.mark.slow
 def test_set_config_action(server):
     _post(server, "/action", {"action": "set_config",
                               "values": {"texture_filter": "bilinear"}})
@@ -134,6 +135,7 @@ def test_set_config_action(server):
     assert server.app.engine.cfg.max_instances != 4
 
 
+@pytest.mark.slow
 def test_set_config_resize_updates_camera(server):
     _post(server, "/action", {"action": "set_config",
                               "values": {"width": 384, "height": 192}})
