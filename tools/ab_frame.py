@@ -73,27 +73,27 @@ def main() -> None:
 
     def make_loop(eng):
         """Fresh jit of the engine's frame scan (traces NOW, capturing
-        the current module-flag values as Python constants)."""
+        the current module-flag values as Python constants). Scene/pool/
+        atlas flow as ARGUMENTS — closure constants >~100 MB (the stress
+        scene's 2K shadow atlas) blow the remote-compile request
+        (CLAUDE.md, HTTP 413)."""
         env = eng._ensure_env()
         cfg = eng.cfg
-        scene = eng._pack.scene
-        pool = eng._packer.pool_for(cfg)
-        lights = eng._pack.lights
-        params = eng.params
-        atlas = eng._atlas
+        args = (eng._pack.scene, eng._packer.pool_for(cfg),
+                eng._pack.lights, eng.params, env, eng._atlas)
 
         @jax.jit
-        def loop(cam):
+        def loop(cam, scene, pool, lights, params, env_, atlas):
             def step(c, _):
                 out = framelib.render_frame(scene, pool, lights, c, params,
-                                            env, cfg, atlas)
+                                            env_, cfg, atlas)
                 return (c + 1e-30 * out.sdr[0, 0, 0].astype(jnp.float32),
                         out.sdr[0, 0, 0].astype(jnp.int32))
             _, outs = jax.lax.scan(step, cam, None, length=n)
             return outs.sum()
 
-        jax.block_until_ready(loop(cam0))
-        return loop
+        jax.block_until_ready(loop(cam0, *args))
+        return lambda cam: loop(cam, *args)
 
     eng = build()
     cam0 = jnp.asarray(eng.camera.to_raw())
